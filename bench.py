@@ -1,0 +1,60 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count() forces the full plan —
+aggregations/joins can't be pruned away) but results are not collected
+to the driver, so this measures engine throughput, not py4j transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: scan-agg, sliding-window agg (short + long), as-of join,
+# nested+JSON encode. Names match registry entries.
+HEADLINE = [
+    "q1_pricing_summary",
+    "moving_stats_flat",
+    "moving_stats_long_windows",
+    "zscore_asof_join",
+    "moving_stats_nested_json",
+]
+
+
+def main() -> None:
+    from lab04_spark_streaming_spark.registry import queries
+    from lab04_spark_streaming_spark.session import get_spark
+
+    spark = get_spark(app_name="lab04-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    q = queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        q[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,331 @@
+"""Reference-parity queries: the streaming pipeline's semantics expressed
+as batch-equivalent queries over the ``events`` table (SURVEY.md §5).
+
+The streaming pipeline itself lives in streaming/; these queries prove
+the OPERATOR semantics (windowed stats, guards, grid join, as-of join,
+nesting, JSON codec, watermark late-drop) against a DuckDB oracle.
+
+events stands in for ticks: ts → event_time, event_type → symbol,
+value → price (FIXTURES.md §B mapping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lab04_spark_streaming_spark.functions.guards import (
+    sql_stable_round,
+    stable_round,
+)
+from lab04_spark_streaming_spark.operators.moving_stats import moving_stats_flat
+from lab04_spark_streaming_spark.operators.zscore import (
+    zscore_asof,
+    zscore_exact_grid,
+)
+from lab04_spark_streaming_spark.schemas import EVENT_PROPS_SCHEMA
+from lab04_spark_streaming_spark.sources.files import load_table
+
+from lab04_spark_streaming_spark.functions.guards import sql_exact_avg, sql_exact_std
+
+# Window subsets. Oracle queries bound their OUTPUT size so they stay
+# collectable under the driver's plain (default-heap) SparkSession at
+# sf0.01: the short windows run over the full table; the full 6-window
+# set runs over a bounded time slice. Together they cover all six
+# durations. (Observed: unbounded 6-window flat output is ~4M rows at
+# sf0.01 — kills a 1 GiB driver during collect.)
+WINDOWS_SHORT = (("30s", 30), ("1m", 60), ("5m", 300))
+WINDOWS_ALL = WINDOWS_SHORT + (("15m", 900), ("30m", 1800), ("1h", 3600))
+SPARK_WINDOWS = {
+    "30s": "30 seconds",
+    "1m": "1 minute",
+    "5m": "5 minutes",
+    "15m": "15 minutes",
+    "30m": "30 minutes",
+    "1h": "1 hour",
+}
+
+
+def stats_cte(windows=WINDOWS_ALL, until: str | None = None) -> str:
+    """DuckDB CTE mirroring Spark's sliding window(ts, dur, '10 seconds')
+    over ``events``: a row at time t belongs to windows ENDING at each
+    grid point in (t, t + dur]. avg/std are the exact decimal-moment
+    expressions matching operators/moving_stats.py (bit-identical
+    doubles, no rounding needed)."""
+    values = ", ".join(f"('{label}', {secs})" for label, secs in windows)
+    where = f"WHERE e.ts < TIMESTAMP '{until}'" if until else ""
+    return f"""
+  w(label, dur_s) AS (VALUES {values}),
+  expanded AS (
+    SELECT e.event_type, e.value, w.label,
+           make_timestamp((CAST(floor(epoch(e.ts) / 10) AS BIGINT) * 10 + s.i)
+                          * 1000000) AS window_end
+    FROM events e
+    CROSS JOIN w
+    CROSS JOIN LATERAL (SELECT unnest(generate_series(10, w.dur_s, 10)) AS i) s
+    {where}
+  ),
+  stats AS (
+    SELECT window_end AS "timestamp", event_type, label AS "window",
+           {sql_exact_avg("value")} AS avg_value,
+           {sql_exact_std("value")} AS std_value
+    FROM expanded
+    GROUP BY 1, 2, 3
+  )
+"""
+
+
+_STATS_CTE = stats_cte()
+
+_ZGUARD = """CASE WHEN s.std_value IS NULL OR isnan(s.std_value)
+                   OR s.std_value = 0.0
+             THEN 0.0 ELSE (t.value - s.avg_value) / s.std_value END"""
+
+
+def _events(
+    spark: SparkSession, sf_dir: str, until: str | None = None
+) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    if until:
+        df = df.filter(F.col("ts") < F.lit(until).cast("timestamp"))
+    return df
+
+
+def _spark_windows(windows) -> list[tuple[str, str]]:
+    return [(label, SPARK_WINDOWS[label]) for label, _ in windows]
+
+
+def _stats_flat(
+    spark: SparkSession,
+    sf_dir: str,
+    windows=WINDOWS_ALL,
+    until: str | None = None,
+) -> DataFrame:
+    return moving_stats_flat(
+        _events(spark, sf_dir, until),
+        "ts",
+        ["event_type"],
+        "value",
+        windows=_spark_windows(windows),
+    )
+
+
+# --- A1+T2+T3: sliding windows avg/stddev, flat ---------------------------
+# Short windows × full table; long windows × bounded slice — combined
+# coverage of all six reference durations with bounded output size.
+def q_moving_stats_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stats_flat(spark, sf_dir, WINDOWS_SHORT)
+
+
+SQL_MOVING_STATS_FLAT = f"""
+WITH {stats_cte(WINDOWS_SHORT)}
+SELECT "timestamp", event_type, "window", avg_value, std_value
+FROM stats
+"""
+
+_LONG_UNTIL = "2024-01-03 00:00:00"
+
+
+def q_moving_stats_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stats_flat(spark, sf_dir, WINDOWS_ALL, until=_LONG_UNTIL)
+
+
+SQL_MOVING_STATS_LONG = f"""
+WITH {stats_cte(WINDOWS_ALL, until=_LONG_UNTIL)}
+SELECT "timestamp", event_type, "window", avg_value, std_value
+FROM stats
+"""
+
+
+# --- T4 (reference-literal): exact-grid equi-join + z-score ---------------
+def q_zscore_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference join semantics (zscore_calculator.py:103-109): tick time
+    must equal a stats window end. Raw microsecond ticks never align, so
+    the tick side is first quantized to its slide-slot start — the batch
+    stand-in for the reference's 100 ms-grid ticks (SURVEY.md §3.4)."""
+    ev = _events(spark, sf_dir)
+    ticks = ev.withColumn(
+        "ts", (F.floor(F.unix_timestamp("ts") / 10) * 10).cast("timestamp")
+    )
+    out = zscore_exact_grid(
+        ticks, _stats_flat(spark, sf_dir), "ts", ["event_type"], "value"
+    )
+    return out.select("timestamp", "event_type", "window", "zscore_value")
+
+
+SQL_ZSCORE_GRID = f"""
+WITH {_STATS_CTE},
+ticks AS (
+  SELECT event_type, value,
+         make_timestamp(CAST(floor(epoch(ts) / 10) AS BIGINT) * 10 * 1000000) AS ts
+  FROM events
+)
+SELECT s."timestamp", t.event_type, s."window",
+       {_ZGUARD} AS zscore_value
+FROM ticks t
+JOIN stats s
+  ON t.ts = s."timestamp" AND t.event_type = s.event_type
+"""
+
+
+# --- §7.7a: as-of join (intended semantics) -------------------------------
+def q_zscore_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = zscore_asof(
+        _events(spark, sf_dir),
+        _stats_flat(spark, sf_dir),
+        "ts",
+        ["event_type"],
+        "value",
+        slide_seconds=10,
+        max_stale_slots=1,
+        id_col="event_id",
+    )
+    return out.select(
+        "event_id", "timestamp", "event_type", "window", "zscore_value"
+    )
+
+
+SQL_ZSCORE_ASOF = f"""
+WITH {_STATS_CTE},
+cands AS (
+  SELECT e.event_id, e.ts, e.event_type, e.value,
+         make_timestamp((CAST(floor(epoch(e.ts) / 10) AS BIGINT) - g.i) * 10
+                        * 1000000) AS cand_end
+  FROM events e
+  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS i) g
+)
+SELECT t.event_id, t.ts AS "timestamp", t.event_type, s."window",
+       {_ZGUARD} AS zscore_value
+FROM cands t
+JOIN stats s
+  ON t.cand_end = s."timestamp" AND t.event_type = s.event_type
+QUALIFY row_number() OVER (
+  PARTITION BY t.event_id, s."window" ORDER BY s."timestamp" DESC) = 1
+"""
+
+
+# --- A2+N1+N2+S6: nest → JSON encode (full stage-2 output shape) ----------
+def q_moving_stats_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-2 wire shape: one row per (timestamp, key) with the window
+    array JSON-encoded (reference: moving_statistic.py:100-118). Stats
+    are rounded before nesting so the JSON text is cross-engine stable;
+    array sorted by window label for determinism."""
+    flat = _stats_flat(spark, sf_dir, WINDOWS_SHORT, until=_NEST_UNTIL).select(
+        "timestamp",
+        "event_type",
+        "window",
+        stable_round(F.col("avg_value")).alias("avg_value"),
+        stable_round(F.col("std_value")).alias("std_value"),
+    )
+    nested = flat.groupBy("timestamp", "event_type").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("window"), F.col("avg_value"), F.col("std_value"))
+            )
+        ).alias("windows")
+    )
+    return nested.select(
+        "timestamp", "event_type", F.to_json(F.col("windows")).alias("windows_json")
+    )
+
+
+_NEST_UNTIL = "2024-01-08 00:00:00"
+
+SQL_MOVING_STATS_NESTED_JSON = f"""
+WITH {stats_cte(WINDOWS_SHORT, until=_NEST_UNTIL)},
+rounded AS (
+  SELECT "timestamp", event_type, "window",
+         {sql_stable_round("avg_value")} AS avg_value,
+         {sql_stable_round("std_value")} AS std_value
+  FROM stats
+)
+SELECT "timestamp", event_type,
+       to_json(list(struct_pack("window" := "window",
+                                avg_value := avg_value,
+                                std_value := std_value)
+                    ORDER BY "window", avg_value, std_value))::VARCHAR AS windows_json
+FROM rounded
+GROUP BY 1, 2
+"""
+
+
+# --- T1/T5: watermark late-row drop, batch equivalent ---------------------
+def q_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model of the 10 s watermark (moving_statistic.py:47): keep
+    rows within 10 s of the max event time seen so far in arrival order
+    (arrival order = event_id order in the fixture)."""
+    ev = _events(spark, sf_dir)
+    w = (
+        F.max("ts")
+        .over(Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("max_ts")
+    )
+    flagged = ev.select("event_id", "ts", "event_type", "value", w)
+    return (
+        flagged.filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 10 SECONDS"))
+        .select("event_id", "ts", "event_type", "value")
+    )
+
+
+SQL_WATERMARK_DROP = """
+WITH flagged AS (
+  SELECT event_id, ts, event_type, value,
+         max(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_ts
+  FROM events
+)
+SELECT event_id, ts, event_type, value
+FROM flagged
+WHERE ts >= max_ts - INTERVAL 10 SECOND
+"""
+
+
+# --- S5: JSON decode + project (from_json ≡ reference parse) --------------
+def q_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.from_json(F.col("props"), EVENT_PROPS_SCHEMA).getField("k").alias("k"),
+    )
+
+
+SQL_JSON_DECODE = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+
+# --- S6: JSON encode (to_json(struct(...))) -------------------------------
+def q_json_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct(F.col("event_id"), F.col("event_type"))).alias("payload"),
+    )
+
+
+SQL_JSON_ENCODE = """
+SELECT event_id,
+       to_json(struct_pack(event_id := event_id,
+                           event_type := event_type))::VARCHAR AS payload
+FROM events
+"""
+
+
+def specs():
+    from lab04_spark_streaming_spark.registry import QuerySpec
+
+    return [
+        QuerySpec("moving_stats_flat", q_moving_stats_flat, SQL_MOVING_STATS_FLAT),
+        QuerySpec("moving_stats_long_windows", q_moving_stats_long, SQL_MOVING_STATS_LONG),
+        QuerySpec("zscore_grid_join", q_zscore_grid, SQL_ZSCORE_GRID),
+        QuerySpec("zscore_asof_join", q_zscore_asof, SQL_ZSCORE_ASOF),
+        QuerySpec(
+            "moving_stats_nested_json",
+            q_moving_stats_nested_json,
+            SQL_MOVING_STATS_NESTED_JSON,
+        ),
+        QuerySpec("watermark_late_drop", q_watermark_drop, SQL_WATERMARK_DROP),
+        QuerySpec("json_decode_project", q_json_decode, SQL_JSON_DECODE),
+        QuerySpec("json_encode_struct", q_json_encode, SQL_JSON_ENCODE),
+    ]

@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference pins ``local[4]`` and disables AQE because its version of
+Spark does not support AQE inside streaming micro-batch plans
+(``/root/reference/src/Tranforms/moving_statistic.py:11,14-15``).  This
+engine keeps AQE ON for the batch path — at 100 TB it is what coalesces
+post-shuffle partitions, re-plans skewed joins, and converts
+sort-merge-joins to broadcast joins at runtime — and leaves streaming
+queries to Spark's own handling (Spark ≥3.5 simply ignores AQE where
+unsupported, so one session serves both).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "lab04-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Scale notes (100 TB / 1000 executors):
+      * ``spark.sql.shuffle.partitions`` is only an AQE *starting* hint
+        here; with AQE coalescing enabled the effective post-shuffle
+        parallelism adapts to the real data volume, so the same code runs
+        local[32] and on a large cluster (where you'd raise the initial
+        value to ~2-4x total cores via env/config, not code changes).
+      * AQE skew-join splitting replaces manual salting for the common
+        case; operators that still need salting (extreme hot keys) do it
+        explicitly and say so in their docstrings.
+      * Arrow transfer is enabled for the few pandas-UDF operators
+        (vector similarity, multimodal decode) — batch-columnar transfer,
+        never row-at-a-time pickling.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Streaming micro-batches keep their own checkpointing; make temp
+        # checkpoints cleanable (reference: moving_statistic.py:13).
+        .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,50 @@
+"""Batch file sources for the star-schema parquet tables.
+
+Scale notes: ``spark.read.parquet`` is already the right 100 TB scan —
+Catalyst pushes filters and prunes columns into the parquet reader
+(verify with ``df.explain('formatted')`` → ``PushedFilters`` /
+``ReadSchema``), and ``spark.sql.files.maxPartitionBytes`` splits the
+scan across executors. Nothing custom is needed; the engine's job is to
+NOT break pushdown (no opaque UDF between scan and filter).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampType
+
+from lab04_spark_streaming_spark.schemas import STAR_TABLES
+
+# Parquet columns written as TIMESTAMP(NANOS) — Spark has no nanos
+# timestamp type, so we read them as long (legacy conf) and convert to
+# microsecond timestamps, matching DuckDB's own nanos→µs truncation.
+_NANOS_TS_COLS = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table from ``{sf_dir}/{name}.parquet``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANOS_TS_COLS.get(name, []):
+        field = df.schema[c]
+        if isinstance(field.dataType, LongType):
+            # Integer division — ns epochs exceed 2^53, double division
+            # would be off by up to ~128 ns (observed as ±1 µs).
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif not isinstance(field.dataType, TimestampType):
+            raise TypeError(f"{name}.{c}: unexpected type {field.dataType}")
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every star-schema table present in ``sf_dir``."""
+    out: dict[str, DataFrame] = {}
+    for name in STAR_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
