@@ -1,0 +1,183 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five flavors, each a documented Spark plan designed for 100 TB:
+
+* exact        — hash-groupBy on content. One shuffle, keyed by a
+                 64-bit content hash (never the full text), so the
+                 exchange carries (hash, id) pairs only.
+* minhash+LSH  — per-row MinHash signature (zero-shuffle higher-order
+                 exprs) → banding → one shuffle on (band, band_hash) →
+                 bucket self-join emits candidate pairs. The classic
+                 near-dup pipeline: cost is driven by bucket sizes, not
+                 n², and hot buckets are split by AQE skew handling.
+* simhash      — per-row 32-bit signature; near-dups share signatures
+                 (or differ in few bits — a banding pass over bit
+                 halves finds those at scale).
+* n-gram Jaccard — exact pairwise similarity restricted to candidate
+                 pairs that share ≥1 shingle (inverted-index join), the
+                 verification stage after LSH.
+* embedding    — cosine near-dup, see operators/similarity.py.
+
+All signature computation uses the cross-engine md5 hash
+(operators/textops.py), which makes even MinHash fully DuckDB-
+oracle-able — rare for hash-based operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lab04_spark_streaming_spark.operators.textops import (
+    expr_hash_int,
+    expr_shingles,
+    expr_tokens,
+)
+
+MINHASH_K = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per distinct text. The groupBy key is the
+    md5 of the content — at 100 TB the shuffle then moves ~40 bytes/row
+    instead of whole documents; collisions are re-checked nowhere
+    because md5 collision odds at any realistic corpus are negligible
+    (and an optional exact re-verify join is one line)."""
+    h = F.md5(F.col(text_col)).alias("_h")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("_h")
+    )
+
+
+def minhash_signature_expr(text_col: str = "text", k: int = MINHASH_K) -> F.Column:
+    """array<long> MinHash signature — one Catalyst expression, no
+    shuffle, no UDF: sig[i] = min over 3-word shingles of hash_i."""
+    toks = expr_tokens(text_col)
+    shingles = expr_shingles(toks)
+    mins = ", ".join(
+        f"array_min(transform(_sh, s -> {expr_hash_int('s', seed=i)}))"
+        for i in range(k)
+    )
+    # Wrap the shingle array in a 1-element array + transform so the
+    # (expensive) shingling is evaluated once per row, with the k
+    # minima taken over the bound variable `_sh`.
+    return F.expr(f"transform(array({shingles}), _sh -> array({mins}))[0]")
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = MINHASH_K
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), minhash_signature_expr(text_col, k).alias("sig")
+    )
+
+
+def lsh_bands(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = LSH_BANDS
+) -> DataFrame:
+    """(id, band, band_hash) — one row per band. Rows per band =
+    MINHASH_K / bands."""
+    rows = MINHASH_K // bands
+    entries = ", ".join(
+        "struct({b} as band, md5(concat_ws(',', {cols})) as band_hash)".format(
+            b=b,
+            cols=", ".join(f"element_at(sig, {b * rows + r + 1})" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return sigs.select(
+        F.col(id_col), F.explode(F.expr(f"array({entries})")).alias("bd")
+    ).select(id_col, F.col("bd.band").alias("band"), F.col("bd.band_hash").alias("band_hash"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (a < b) sharing ≥1 LSH band.
+    One shuffle on (band, band_hash); bucket self-join."""
+    bands = lsh_bands(minhash_signatures(df, text_col, id_col), id_col)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_expr(text_col: str = "text", bits: int = 32) -> F.Column:
+    """32-bit SimHash over the distinct token set: bit j is the sign of
+    Σ_tokens (±1 depending on bit j of the token hash). Pure integer
+    arithmetic → order-independent and cross-engine exact."""
+    toks = f"array_distinct({expr_tokens(text_col)})"
+    th = expr_hash_int("t")
+    bit_sum = (
+        f"aggregate(transform({toks}, t -> "
+        f"CASE WHEN pmod(shiftright({th}, j), 2) = 1 THEN 1 ELSE -1 END), "
+        f"0, (acc, x) -> acc + x)"
+    )
+    return F.expr(
+        f"aggregate(transform(sequence(0, {bits - 1}), j -> "
+        f"CASE WHEN {bit_sum} > 0 THEN shiftleft(cast(1 as bigint), j) "
+        f"ELSE cast(0 as bigint) END), cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col), simhash_expr(text_col).alias("simhash"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
+
+    Plan: explode distinct (id, shingle) → self-join on shingle
+    (inverted index — the shuffle key is the shingle hash) → count
+    shared shingles per pair → |A∪B| = |A|+|B|−|A∩B|. At scale,
+    stop-shingle removal (drop shingles with df > threshold) bounds
+    bucket sizes; here the corpus is synthetic and tame."""
+    toks = expr_tokens(text_col)
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.expr(expr_shingles(toks)))).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )

@@ -1,0 +1,107 @@
+"""Multimodal column pattern: opaque binary payloads + typed metadata.
+
+Media (image/audio/video) live in DataFrames as ``binary`` columns with
+a typed ``meta`` struct (schemas.MEDIA_SCHEMA). The engine's contract:
+
+* the binary column is NEVER interpreted by Catalyst — it flows
+  column-pruned and untouched unless a decode stage needs it;
+* decode / feature-extraction runs in Arrow-batched ``mapInPandas``
+  stages: one Python worker per partition, whole-column Arrow transfer
+  (never per-row pickling). Partitioning stays whatever the upstream
+  scan produced — decode is embarrassingly parallel, so the only tuning
+  knob at 100 TB is ``spark.sql.files.maxPartitionBytes`` to keep a
+  partition's payload bytes within worker memory.
+
+The actual codec libraries (PIL/ffmpeg/...) are NOT in this container:
+``decode_stub`` is a clearly-marked deterministic fake that exercises
+the real plumbing (schema, batching, Arrow round-trip); swap
+``_fake_decode`` for a real decoder to productionize.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a synthetic media table from ``documents`` (the container
+    has no real media): payload = UTF-8 bytes of the text, kind cycles
+    image/audio/video, meta carries sizes. Exercises the exact schema
+    and plumbing a real ingest would produce."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real decoder: 4 'features' from the
+    byte stream (length, mean, first, last). A real implementation
+    raises NotImplementedError without its codec:
+
+        try:
+            from PIL import Image  # noqa
+        except ImportError:
+            raise NotImplementedError("image codec not available")
+    """
+    if not payload:
+        return [0.0, 0.0, 0.0, 0.0]
+    return [
+        float(len(payload)),
+        float(sum(payload)) / len(payload),
+        float(payload[0]),
+        float(payload[-1]),
+    ]
+
+
+def decode_stub(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode stage. ``mapInPandas`` streams record
+    batches; each batch decodes vectorized-ish in Python and yields the
+    typed result — the canonical shape for any real decoder."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "features": pdf["payload"].map(_fake_decode),
+                }
+            )
+
+    return media.mapInPandas(decode_batches, DECODED_SCHEMA)

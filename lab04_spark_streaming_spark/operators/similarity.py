@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+* **Brute-force cosine top-k** — the exact baseline. The JVM fast path
+  (:func:`cosine_to_query`) is a single zip_with/aggregate expression:
+  per-row, zero shuffle, pipelined into the scan; top-k via
+  TakeOrderedAndProject. At 100 TB you fan this out by partition and
+  it is embarrassingly parallel.
+* **SRP-LSH bucketing** (:func:`srp_buckets`) — sign-random-projection
+  hashing: bit p of the bucket key is the sign of <v, r_p> where r_p is
+  a ±1 hyperplane derived from the cross-engine md5 hash (so even the
+  LSH bucketing is oracle-checkable). ANN = candidate generation within
+  buckets (one shuffle on the bucket key) + exact re-rank, i.e. the
+  same shape as MinHash-LSH dedup.
+
+For oracle-exact scoring the dot/norm moments go through per-position
+decimal sums (order-independent, bit-identical cross-engine); the fast
+path keeps a plain double fold (left-to-right, deterministic in Spark,
+but not decimal-exact vs DuckDB — it's the rows-only bench variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lab04_spark_streaming_spark.operators.textops import expr_hash_int
+
+
+def cosine_to_query(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "cosine",
+) -> DataFrame:
+    """JVM-side cosine against a literal query vector: one pass, no
+    shuffle, no UDF. (Pandas-UDF variants lose here at this vector
+    width — Arrow transfer cost exceeds the fold's cost.)"""
+    q = "array(" + ", ".join(f"cast({x!r} as double)" for x in query_vec) + ")"
+    dot = (
+        f"aggregate(zip_with({vec_col}, {q}, (x, y) -> cast(x as double) * y), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+    n1 = (
+        f"aggregate({vec_col}, 0D, "
+        f"(acc, x) -> acc + cast(x as double) * cast(x as double))"
+    )
+    n2 = sum(x * x for x in query_vec)
+    return df.withColumn(out_col, F.expr(f"{dot} / (sqrt({n1}) * sqrt({n2!r}))"))
+
+
+def exact_cosine_topk_vs_id(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Oracle-exact top-k: cosine(query_id's vector, every other vector)
+    via positional explode + integer moment sums. Components are
+    quantized to 1e-7 (floor(x*1e7+0.5) — identical IEEE both engines),
+    so dot/norms are exact int64 arithmetic and the final cosine is
+    bit-identical cross-engine. (Double→decimal casts are NOT safe
+    here: a float product's binary expansion exceeds any decimal scale
+    and the engines round the tail differently — observed last-ulp
+    drift.) Heavier than the zip_with fold (one shuffle on id); it's
+    the correctness anchor, the fold is the production path."""
+    q = 10_000_000.0
+    pos = emb.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "xf"),
+    ).withColumn("x", F.floor(F.col("xf").cast("double") * q + F.lit(0.5)))
+    qpos = (
+        pos.filter(F.col(id_col) == query_id)
+        .select(F.col("pos"), F.col("x").alias("qx"))
+    )
+    joined = pos.join(F.broadcast(qpos), "pos")
+    moments = joined.groupBy(id_col).agg(
+        F.sum(F.col("x") * F.col("qx")).alias("dot"),
+        F.sum(F.col("x") * F.col("x")).alias("n2"),
+    )
+    qn2 = moments.filter(F.col(id_col) == query_id).select(
+        F.col("n2").alias("qn2")
+    )
+    return (
+        moments.crossJoin(F.broadcast(qn2))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            id_col,
+            (F.col("dot") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2")))).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def srp_buckets(
+    emb: DataFrame,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection bucket per vector: bit p = [<v, r_p> > 0]
+    with r_p[i] = ±1 from the deterministic md5 hash. Vectors in the
+    same bucket are ANN candidates. Pure per-row expression."""
+    def plane_dot(p: int) -> str:
+        h = expr_hash_int("cast(i as string)", seed=f"plane{p}")
+        return (
+            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+            f"(x, i) -> CASE WHEN pmod({h}, 2) = 1 THEN cast(x as double) "
+            f"ELSE -cast(x as double) END), 0D, (acc, v) -> acc + v)"
+        )
+
+    bits = " + ".join(
+        f"CASE WHEN {plane_dot(p)} > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(planes)
+    )
+    return emb.select(F.col(id_col), F.expr(f"cast({bits} as int)").alias("bucket"))
+
+
+def ann_bucket_pairs(
+    emb: DataFrame,
+    planes: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Candidate ANN pairs = same SRP bucket. One shuffle on bucket."""
+    b = srp_buckets(emb, planes, id_col)
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.bucket").alias("bucket"),
+        )
+    )

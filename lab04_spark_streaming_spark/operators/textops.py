@@ -1,0 +1,66 @@
+"""Text-analysis primitives shared by the dedup / text-quality operators.
+
+Everything here is a pure Catalyst expression (higher-order array
+functions — JVM-side, codegen'd, zero shuffle): tokenization, word
+shingles, and a cross-engine deterministic 32-bit hash derived from
+md5 (both Spark and DuckDB expose md5; the first 8 hex chars parsed as
+int give an identical uniform hash in both engines — verified).
+
+Scale notes: all of these are per-row projections — they pipeline
+inside the parquet scan stage and never shuffle. The only shuffles in
+the dedup/text pipeline come from the explicit groupBys/joins in
+operators/dedup.py, where they're documented.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- tokenize --------------------------------------------------------------
+# lowercase, split on non-alphanumeric runs, drop empties.
+def tokens(col: str = "text") -> Column:
+    return F.array_remove(F.split(F.lower(F.col(col)), "[^a-z0-9]+"), "")
+
+
+def sql_tokens(col: str = "text") -> str:
+    return (
+        f"list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+    )
+
+
+# Spark-SQL text of the same expression (for use inside F.expr lambdas).
+def expr_tokens(col: str = "text") -> str:
+    return f"array_remove(split(lower({col}), '[^a-z0-9]+'), '')"
+
+
+# --- word shingles ---------------------------------------------------------
+def expr_shingles(toks_expr: str, n: int = 3) -> str:
+    """Spark SQL: n-word shingles from a token array (0-based indexing)."""
+    parts = ", ".join(f"{toks_expr}[i+{j}]" for j in range(n))
+    return (
+        f"transform(sequence(0, size({toks_expr}) - {n}), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+
+
+def sql_shingles(toks_expr: str, n: int = 3) -> str:
+    """DuckDB SQL: same shingles (1-based indexing)."""
+    parts = " || ' ' || ".join(f"{toks_expr}[i+{j}]" for j in range(n))
+    return (
+        f"list_transform(generate_series(1, len({toks_expr}) - {n - 1}), "
+        f"i -> {parts})"
+    )
+
+
+# --- deterministic cross-engine hash --------------------------------------
+def expr_hash_int(s_expr: str, seed: int | str | None = None) -> str:
+    """Spark SQL: first 8 md5 hex chars of (seed|s) as a bigint in
+    [0, 2^32). Identical in DuckDB via :func:`sql_hash_int`."""
+    inner = s_expr if seed is None else f"concat('{seed}|', {s_expr})"
+    return f"cast(conv(substring(md5({inner}), 1, 8), 16, 10) as bigint)"
+
+
+def sql_hash_int(s_expr: str, seed: int | str | None = None) -> str:
+    inner = s_expr if seed is None else f"concat('{seed}|', {s_expr})"
+    return f"CAST(('0x' || substring(md5({inner}), 1, 8)) AS BIGINT)"

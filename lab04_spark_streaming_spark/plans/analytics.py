@@ -73,9 +73,523 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# --- TPC-H Q3: shipping priority (3-way join + top-k) ---------------------
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⨝ orders ⨝ lineitem with a top-10. customer is small
+    relative to the facts → broadcast; orders⨝lineitem co-shuffles on
+    the order key. Tie-broken fully (revenue, orderdate, orderkey) so
+    LIMIT is deterministic cross-engine."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-06-15")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dec_sum(disc_price, 6, "revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'MACHINERY'
+  AND o_orderdate < TIMESTAMP '1998-06-15'
+  AND l_shipdate > TIMESTAMP '1999-06-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+# --- TPC-H Q5: local supplier volume (6-way join) -------------------------
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: all four dims broadcast; the lineitem⨝orders fact join
+    is the only shuffle. At 100 TB this is the canonical plan — verify
+    with explain() that no dim lands on a sort-merge join."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("region", "nation", "customer", "supplier", "orders", "lineitem")}
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .groupBy("n_name")
+        .agg(_dec_sum(disc_price, 6, "revenue"))
+    )
+
+
+SQL_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+# --- Semi / anti joins ----------------------------------------------------
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi — customers with ≥1 high-value order. Semi joins only
+    carry the key side across the shuffle (no payload duplication)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000.0
+    )
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti — customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- Outer join with null-producing side ----------------------------------
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 450000.0
+    )
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            _dec_sum(F.col("o_totalprice"), 2, "sum_big"),
+        )
+        .withColumn("sum_big", F.coalesce(F.col("sum_big"), F.lit(0.0)))
+    )
+
+
+SQL_OUTER_JOIN = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders,
+       coalesce(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 0.0)
+         AS sum_big
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000.0) o
+  ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+# --- Rollup / cube / grouping sets ----------------------------------------
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum(F.col("l_quantity"), 2, "qty"))
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_CUBE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- Ranking / analytic window functions ----------------------------------
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — row_number with full tiebreak. The
+    partition-local sort never shuffles more than (customer) keys."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SQL_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals + lag/lead. The cumulative sum goes through a
+    per-row decimal cast so the prefix sums are exact cross-engine."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_total"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_order"),
+        F.lead("o_orderkey", 1).over(w).alias("next_order"),
+        F.rank().over(w).alias("rnk"),
+    )
+
+
+SQL_WINDOW_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_total,
+       lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev_order,
+       lead(o_orderkey, 1) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS next_order,
+       rank() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS rnk
+FROM orders
+"""
+
+
+# --- Distinct aggregation -------------------------------------------------
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_DISTINCT_AGG = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --- Set operations -------------------------------------------------------
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over nation-key projections, tagged so
+    one result covers all three."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    )
+    union = cust.union(supp).distinct().withColumn("op", F.lit("union"))
+    inter = cust.intersect(supp).withColumn("op", F.lit("intersect"))
+    exc = cust.exceptAll(supp).distinct().withColumn("op", F.lit("except"))
+    return union.union(inter).union(exc)
+
+
+SQL_SET_OPS = """
+SELECT nk, 'union' AS op FROM
+  (SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nk, 'intersect' AS op FROM
+  (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT DISTINCT s.nk, 'except' AS op FROM
+  (SELECT c_nationkey AS nk FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier) s
+"""
+
+
+# --- Global sort + limit (top-k) ------------------------------------------
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20. Spark plans TakeOrderedAndProject — a per-partition
+    heap + driver merge, NOT a full sort; the right plan at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+SQL_SORT_LIMIT = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 20
+"""
+
+
+# --- Scalar function batteries --------------------------------------------
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.length("p_name").alias("len"),
+        F.substring("p_name", 1, 5).alias("sub"),
+        F.concat_ws("|", "p_brand", "p_type").alias("cat"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+        F.replace(F.col("p_type"), F.lit("SMALL"), F.lit("S")).alias("repl"),
+        F.col("p_name").contains("red").alias("has_red"),
+        F.split(F.col("p_name"), " ").alias("words"),
+    )
+
+
+SQL_STRING_FUNCS = """
+SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+       length(p_name) AS len, substring(p_name, 1, 5) AS sub,
+       concat_ws('|', p_brand, p_type) AS cat, trim('  x  ') AS trimmed,
+       replace(p_type, 'SMALL', 'S') AS repl,
+       contains(p_name, 'red') AS has_red,
+       string_split(p_name, ' ') AS words
+FROM part
+"""
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .alias("days_to_y2k"),
+        F.add_months(F.col("o_orderdate"), 3).cast("date").alias("plus3mo"),
+    )
+
+
+SQL_DATE_FUNCS = """
+SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+       day(o_orderdate) AS dom,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+         AS days_to_y2k,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3mo
+FROM orders
+"""
+
+
+def q_math_case_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("absd"),
+        F.ceil("l_extendedprice").alias("ce"),
+        F.floor("l_extendedprice").alias("fl"),
+        F.sqrt("l_quantity").alias("sq"),
+        (F.col("l_orderkey") % 7).alias("m7"),
+        F.when(F.col("l_quantity") > 25, "big")
+        .when(F.col("l_quantity") > 10, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("x")).alias(
+            "nn"
+        ),
+        F.greatest("l_tax", "l_discount").alias("gr"),
+        F.least("l_tax", "l_discount").alias("le"),
+    )
+
+
+SQL_MATH_CASE_FUNCS = """
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS absd,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+       CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+       sqrt(l_quantity) AS sq,
+       l_orderkey % 7 AS m7,
+       CASE WHEN l_quantity > 25 THEN 'big'
+            WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END AS bucket,
+       coalesce(nullif(l_returnflag, 'N'), 'x') AS nn,
+       greatest(l_tax, l_discount) AS gr, least(l_tax, l_discount) AS le
+FROM lineitem
+WHERE l_orderkey < 2000
+"""
+
+
+# --- Conditional aggregation (pivot-style) --------------------------------
+def q_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in types
+        ]
+    )
+
+
+SQL_CONDITIONAL_PIVOT = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS n_click,
+       COUNT(*) FILTER (event_type = 'view') AS n_view,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (event_type = 'error') AS n_error
+FROM events
+GROUP BY user_id
+"""
+
+
+# --- Sessionization (gap-based) over events -------------------------------
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic gap-based sessionization (30 min inactivity) with window
+    functions — the batch equivalent of a session window. Per-user
+    partitions; no global sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            > 1800,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = with_gap.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH with_gap AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts)::BIGINT
+                   - lag(epoch(ts)::BIGINT) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM with_gap
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+# --- Approximate distinct (no SQL oracle — algorithm-specific) ------------
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approx_count_distinct — algorithm differs from
+    DuckDB's approx_count_distinct, so this is a rows-only check; the
+    exact twin (q_distinct_agg) carries the value oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    )
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
     return [
         QuerySpec("q1_pricing_summary", q1_pricing_summary, SQL_Q1),
+        QuerySpec("q3_shipping_priority", q3_shipping_priority, SQL_Q3),
+        QuerySpec("q5_local_supplier", q5_local_supplier, SQL_Q5),
+        QuerySpec("semi_join_exists", q_semi_join, SQL_SEMI_JOIN),
+        QuerySpec("anti_join_not_exists", q_anti_join, SQL_ANTI_JOIN),
+        QuerySpec("outer_join_agg", q_outer_join, SQL_OUTER_JOIN),
+        QuerySpec("rollup_agg", q_rollup, SQL_ROLLUP),
+        QuerySpec("cube_agg", q_cube, SQL_CUBE),
+        QuerySpec("window_topk_per_group", q_window_topk_per_group, SQL_WINDOW_TOPK),
+        QuerySpec("window_running_lag_lead", q_window_running, SQL_WINDOW_RUNNING),
+        QuerySpec("distinct_agg", q_distinct_agg, SQL_DISTINCT_AGG),
+        QuerySpec("set_ops", q_set_ops, SQL_SET_OPS),
+        QuerySpec("sort_limit_topk", q_sort_limit, SQL_SORT_LIMIT),
+        QuerySpec("string_funcs", q_string_funcs, SQL_STRING_FUNCS),
+        QuerySpec("date_funcs", q_date_funcs, SQL_DATE_FUNCS),
+        QuerySpec("math_case_funcs", q_math_case_funcs, SQL_MATH_CASE_FUNCS),
+        QuerySpec("conditional_pivot", q_conditional_pivot, SQL_CONDITIONAL_PIVOT),
+        QuerySpec("sessionize_gap30m", q_sessionize, SQL_SESSIONIZE),
+        QuerySpec("approx_count_distinct", q_approx_distinct, None),
     ]

@@ -1,13 +1,429 @@
-"""LLM-training-data-pipeline operators (north star, SURVEY.md §7 step 6):
-dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
-similarity search, text analysis, multimodal columns.
+"""LLM-training-data-pipeline queries (north star, SURVEY.md §7 step 6):
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+search over embeddings, text analysis, multimodal columns.
 
-Populated incrementally; each op ships with a DuckDB oracle where
-SQL-expressible (md5-based hashing makes even MinHash oracle-able).
+The md5-based cross-engine hash (operators/textops.py) makes even the
+hash-based operators (MinHash, SimHash, SRP-LSH) fully DuckDB-oracle-
+checkable; only the Arrow-batched multimodal decode is rows-only.
 """
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lab04_spark_streaming_spark.operators import dedup as dd
+from lab04_spark_streaming_spark.operators import multimodal as mm
+from lab04_spark_streaming_spark.operators import similarity as sim
+from lab04_spark_streaming_spark.operators.textops import (
+    sql_hash_int,
+    sql_shingles,
+    sql_tokens,
+)
+from lab04_spark_streaming_spark.sources.files import load_table
+
+_TOKS = sql_tokens("text")
+_SHINGLES = sql_shingles("t.toks")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- exact dedup -----------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+# --- MinHash signatures ----------------------------------------------------
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_signatures(_docs(spark, sf_dir))
+
+
+def _sql_minhash_mins() -> str:
+    return ", ".join(
+        f"list_aggregate(list_transform(t.shingles, s -> {sql_hash_int('s', seed=i)}), 'min')"
+        for i in range(dd.MINHASH_K)
+    )
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {sql_shingles('toks')} AS shingles FROM tok t(doc_id, toks))
+SELECT doc_id, [{_sql_minhash_mins()}] AS sig
+FROM sh t(doc_id, shingles)
+"""
+
+
+# --- MinHash-LSH candidate pairs ------------------------------------------
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_candidate_pairs(_docs(spark, sf_dir))
+
+
+def _sql_bands() -> str:
+    rows = dd.MINHASH_K // dd.LSH_BANDS
+    entries = ", ".join(
+        "{{'band': {b}, 'band_hash': md5(concat_ws(',', {cols}))}}".format(
+            b=b,
+            cols=", ".join(f"sig[{b * rows + r + 1}]" for r in range(rows)),
+        )
+        for b in range(dd.LSH_BANDS)
+    )
+    return f"[{entries}]"
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH sigs AS ({SQL_MINHASH_SIGNATURES.strip()}),
+bands AS (
+  SELECT doc_id, bd.band AS band, bd.band_hash AS band_hash
+  FROM sigs, unnest({_sql_bands()}) u(bd)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id
+"""
+
+
+# --- SimHash ---------------------------------------------------------------
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(_docs(spark, sf_dir))
+
+
+def _sql_simhash() -> str:
+    th = sql_hash_int("t")
+    bit_sum = (
+        f"list_sum(list_transform(toks, t -> "
+        f"CASE WHEN ({th} >> j) % 2 = 1 THEN 1 ELSE -1 END))"
+    )
+    return (
+        f"list_sum(list_transform(generate_series(0, 31), j -> "
+        f"CASE WHEN {bit_sum} > 0 THEN (CAST(1 AS BIGINT) << j) "
+        f"ELSE CAST(0 AS BIGINT) END))"
+    )
+
+
+SQL_SIMHASH = f"""
+WITH tok AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+SELECT doc_id, CAST({_sql_simhash()} AS BIGINT) AS simhash
+FROM tok
+"""
+
+
+# --- n-gram Jaccard pairs --------------------------------------------------
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.jaccard_pairs(_docs(spark, sf_dir))
+
+
+SQL_JACCARD_PAIRS = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({sql_shingles('toks')})) AS shingle
+  FROM tok t(doc_id, toks)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter,
+       n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.4
+"""
+
+
+# --- embedding cosine top-k ------------------------------------------------
+def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.exact_cosine_topk_vs_id(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+SQL_KNN_COSINE_TOPK = """
+WITH pos0 AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos, embedding
+  FROM embeddings
+),
+pos AS (
+  SELECT vec_id, pos,
+         CAST(floor(CAST(embedding[pos] AS DOUBLE) * 10000000.0 + 0.5)
+              AS BIGINT) AS x
+  FROM pos0
+),
+q AS (SELECT pos, x AS qx FROM pos WHERE vec_id = 0),
+moments AS (
+  SELECT p.vec_id,
+         SUM(p.x * q.qx) AS dot,
+         SUM(p.x * p.x) AS n2
+  FROM pos p JOIN q ON p.pos = q.pos
+  GROUP BY p.vec_id
+),
+qn AS (SELECT n2 AS qn2 FROM moments WHERE vec_id = 0)
+SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cosine
+FROM moments, qn
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+# --- SRP-LSH ANN buckets ---------------------------------------------------
+def q_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.srp_buckets(_emb(spark, sf_dir), planes=8)
+
+
+def _sql_srp() -> str:
+    def plane_dot(p: int) -> str:
+        h = sql_hash_int("CAST(i - 1 AS VARCHAR)", seed=f"plane{p}")
+        return (
+            f"list_sum(list_transform(generate_series(1, len(embedding)), "
+            f"i -> CASE WHEN {h} % 2 = 1 THEN CAST(embedding[i] AS DOUBLE) "
+            f"ELSE -CAST(embedding[i] AS DOUBLE) END))"
+        )
+
+    return " + ".join(
+        f"CASE WHEN {plane_dot(p)} > 0 THEN {1 << p} ELSE 0 END" for p in range(8)
+    )
+
+
+SQL_SRP_BUCKETS = f"""
+SELECT vec_id, CAST({_sql_srp()} AS INTEGER) AS bucket
+FROM embeddings
+"""
+
+
+# --- text metrics / quality ------------------------------------------------
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model data-quality battery: token counts, length stats,
+    stopword/digit ratios — all JVM-side expressions."""
+    toks = "array_remove(split(lower(text), '[^a-z0-9]+'), '')"
+    stop = "array('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.expr(
+            f"CASE WHEN size({toks}) = 0 THEN 0.0 ELSE "
+            f"aggregate({toks}, 0, (a, t) -> a + length(t)) / size({toks}) END"
+        ).alias("avg_word_len"),
+        F.expr(
+            f"CASE WHEN size({toks}) = 0 THEN 0.0 ELSE "
+            f"size(filter({toks}, t -> array_contains({stop}, t))) / size({toks}) END"
+        ).alias("stopword_ratio"),
+        F.expr(
+            "length(regexp_replace(text, '[^0-9]', '')) / greatest(length(text), 1)"
+        ).alias("digit_ratio"),
+    )
+
+
+SQL_TEXT_METRICS = f"""
+WITH tok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars_actual,
+       CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         list_sum(list_transform(toks, t -> length(t))) / len(toks) END
+         AS avg_word_len,
+       CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         len(list_filter(toks, t -> list_contains(
+           ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'], t))) / len(toks) END
+         AS stopword_ratio,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1)
+         AS digit_ratio
+FROM tok
+"""
+
+
+# --- language-ID heuristic -------------------------------------------------
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "los", "y", "es", "una"),
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: score = #tokens in each language's
+    function-word list; argmax with a fixed precedence (en>de>fr>es,
+    'und' = unknown when all scores are 0). On this synthetic corpus
+    everything scores 'en' — the operator semantics, not accuracy, are
+    under test."""
+    toks = "array_remove(split(lower(text), '[^a-z0-9]+'), '')"
+
+    def score(lang: str) -> str:
+        arr = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+        return f"size(filter({toks}, t -> array_contains(array({arr}), t)))"
+
+    scores = {lang: score(lang) for lang in _LANG_MARKERS}
+    whens = " ".join(
+        "WHEN {cond} THEN '{lang}'".format(
+            cond=" AND ".join(
+                f"{scores[lang]} >= {scores[o]}" for o in _LANG_MARKERS if o != lang
+            ),
+            lang=lang,
+        )
+        for lang in _LANG_MARKERS
+    )
+    total = " + ".join(scores.values())
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(scores["en"]).alias("score_en"),
+        F.expr(f"CASE WHEN {total} = 0 THEN 'und' {whens} ELSE 'und' END").alias(
+            "pred_lang"
+        ),
+        "lang",
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return f"len(list_filter(toks, t -> list_contains([{arr}], t)))"
+
+
+def _sql_lang_case() -> str:
+    scores = {lang: _sql_lang_score(lang) for lang in _LANG_MARKERS}
+    whens = " ".join(
+        "WHEN {cond} THEN '{lang}'".format(
+            cond=" AND ".join(
+                f"{scores[lang]} >= {scores[o]}" for o in _LANG_MARKERS if o != lang
+            ),
+            lang=lang,
+        )
+        for lang in _LANG_MARKERS
+    )
+    total = " + ".join(scores.values())
+    return f"CASE WHEN {total} = 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+SQL_LANG_ID = f"""
+WITH tok AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+SELECT doc_id, {_sql_lang_score('en')} AS score_en,
+       {_sql_lang_case()} AS pred_lang, lang
+FROM tok
+"""
+
+
+# --- document fingerprint --------------------------------------------------
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two fingerprints per doc: md5 of the sorted distinct token set
+    (bag-of-words identity) and the minimum shingle hash (winnowing-
+    style content anchor)."""
+    toks = "array_remove(split(lower(text), '[^a-z0-9]+'), '')"
+    from lab04_spark_streaming_spark.operators.textops import (
+        expr_hash_int,
+        expr_shingles,
+    )
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            f"md5(concat_ws(' ', array_sort(array_distinct({toks}))))"
+        ).alias("bow_fingerprint"),
+        F.expr(
+            f"array_min(transform({expr_shingles(toks)}, "
+            f"s -> {expr_hash_int('s')}))"
+        ).alias("min_shingle_hash"),
+    )
+
+
+SQL_FINGERPRINT = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bow_fingerprint,
+       list_aggregate(list_transform({sql_shingles('toks')},
+         s -> {sql_hash_int('s')}), 'min') AS min_shingle_hash
+FROM tok t(doc_id, toks)
+"""
+
+
+# --- term frequency / document frequency ----------------------------------
+def q_tf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, doc) term frequencies joined to corpus document
+    frequencies — the integer core of tf-idf (the idf log is libm-
+    dependent, so the oracle checks the exact integer moments)."""
+    toks = "array_remove(split(lower(text), '[^a-z0-9]+'), '')"
+    tf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(toks)).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return tf.join(df_, "token").filter(F.col("tf") >= 3).select(
+        "doc_id", "token", "tf", "df"
+    )
+
+
+SQL_TF_DF = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id, tf.token, tf.tf, dfreq.df
+FROM tf JOIN dfreq ON tf.token = dfreq.token
+WHERE tf.tf >= 3
+"""
+
+
+# --- multimodal ------------------------------------------------------------
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata projection over the media table (binary column
+    untouched — column pruning drops it from the scan)."""
+    media = mm.media_from_documents(_docs(spark, sf_dir))
+    return media.select(
+        "media_id",
+        "kind",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.length("payload").alias("payload_bytes"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+       'application/x-fake-' || ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1]
+         AS mime,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS payload_bytes
+FROM documents
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode stub (mapInPandas) — rows-only check: the
+    fake features are deterministic but the decode path is Python-side
+    by design (real codecs live there)."""
+    media = mm.media_from_documents(_docs(spark, sf_dir))
+    return mm.decode_stub(media)
+
 
 def specs():
-    return []
+    from lab04_spark_streaming_spark.registry import QuerySpec
+
+    return [
+        QuerySpec("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT),
+        QuerySpec("dedup_minhash_signatures", q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+        QuerySpec("dedup_minhash_lsh_pairs", q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+        QuerySpec("dedup_simhash", q_simhash, SQL_SIMHASH),
+        QuerySpec("dedup_jaccard_pairs", q_jaccard_pairs, SQL_JACCARD_PAIRS),
+        QuerySpec("knn_cosine_topk", q_knn_cosine_topk, SQL_KNN_COSINE_TOPK),
+        QuerySpec("ann_srp_buckets", q_srp_buckets, SQL_SRP_BUCKETS),
+        QuerySpec("text_metrics", q_text_metrics, SQL_TEXT_METRICS),
+        QuerySpec("lang_id_heuristic", q_lang_id, SQL_LANG_ID),
+        QuerySpec("doc_fingerprint", q_fingerprint, SQL_FINGERPRINT),
+        QuerySpec("tf_df_terms", q_tf_df, SQL_TF_DF),
+        QuerySpec("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META),
+        QuerySpec("multimodal_decode_stub", q_multimodal_decode, None),
+    ]
