@@ -312,6 +312,30 @@ FROM events
 """
 
 
+# --- Bonus topics semantics (btc-price-higher/lower) ----------------------
+def q_first_higher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming first-crossing state op
+    (streaming/state.py; reference setup_transform.py:129-130 declares
+    the topics but ships no job). Bucketed range join, horizon 60 s."""
+    from lab04_spark_streaming_spark.streaming.state import first_crossing_batch
+
+    return first_crossing_batch(
+        _events(spark, sf_dir), "ts", ["event_type"], "value", 60, "higher"
+    )
+
+
+SQL_FIRST_HIGHER = """
+SELECT a.event_type, a.ts, a.value,
+       epoch(MIN(b.ts)) - epoch(a.ts) AS seconds_until
+FROM events a
+LEFT JOIN events b
+  ON b.event_type = a.event_type
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 SECOND
+ AND b.value > a.value
+GROUP BY a.event_type, a.ts, a.value
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -328,4 +352,5 @@ def specs():
         QuerySpec("watermark_late_drop", q_watermark_drop, SQL_WATERMARK_DROP),
         QuerySpec("json_decode_project", q_json_decode, SQL_JSON_DECODE),
         QuerySpec("json_encode_struct", q_json_encode, SQL_JSON_ENCODE),
+        QuerySpec("first_crossing_higher", q_first_higher, SQL_FIRST_HIGHER),
     ]

@@ -1,0 +1,171 @@
+"""The 3-stage streaming pipeline, re-expressed Spark-first.
+
+Stage 2 (reference: moving_statistic.py): ticks → watermark → 6
+sliding-window stats → nest → JSON → Kafka `btc-price-moving`,
+update mode, 5 s trigger.
+
+Stage 3 (reference: zscore_calculator.py): ticks ⋈ stats (stream-stream
+inner equi-join, both sides watermarked) → z-score → nest → JSON →
+Kafka `btc-price-zscore`, append mode, 5 s trigger.
+
+The transformation bodies are the SAME operator functions the batch
+path uses (operators/moving_stats.py, operators/zscore.py) — the
+streaming wrapper only adds watermarks and sinks. That is the designed
+invariant: one logical plan, two execution modes, and the batch oracle
+harness therefore validates the streaming semantics (SURVEY.md §5).
+
+The reference chains multiple stateful operators inside single queries
+and must disable Spark's correctness check
+(spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false,
+moving_statistic.py:21, zscore_calculator.py:24). This engine keeps
+each stage a separate query decoupled by topics — the flag is
+unnecessary — but exposes ``strict_parity_conf`` for bit-for-bit
+reference behavior.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from lab04_spark_streaming_spark.operators.moving_stats import (
+    REFERENCE_SLIDE,
+    REFERENCE_WINDOWS,
+    moving_stats_flat,
+    nest_window_stats,
+)
+from lab04_spark_streaming_spark.operators.zscore import (
+    nest_zscores,
+    zscore_exact_grid,
+)
+
+WATERMARK = "10 seconds"  # reference: moving_statistic.py:47
+KAFKA_TRIGGER = "5 seconds"  # reference: moving_statistic.py:129
+CONSOLE_TRIGGER = "10 seconds"  # reference: moving_statistic.py:139
+
+
+def strict_parity_conf(spark: SparkSession) -> None:
+    """Reference parity flag (T6): allows multi-stateful-operator
+    chains exactly as the reference runs them. Off by default — the
+    decoupled-stage design doesn't need it."""
+    spark.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false"
+    )
+
+
+def stage2_moving_stats(
+    ticks: DataFrame,
+    ts_col: str = "event_time",
+    key_cols: Sequence[str] = ("symbol",),
+    value_col: str = "price",
+    windows=REFERENCE_WINDOWS,
+    slide: str = REFERENCE_SLIDE,
+    watermark: str = WATERMARK,
+    nested: bool = True,
+) -> DataFrame:
+    """Watermarked 6-window stats (T1+T2+T3+A1+A2). Works on a
+    streaming OR batch DataFrame (withWatermark is a no-op in batch)."""
+    wm = ticks.withWatermark(ts_col, watermark) if ticks.isStreaming else ticks
+    flat = moving_stats_flat(wm, ts_col, list(key_cols), value_col, windows, slide)
+    return nest_window_stats(flat, list(key_cols)) if nested else flat
+
+
+def stage2_wire(ticks: DataFrame, **kwargs) -> DataFrame:
+    """Stage-2 output in the reference wire shape: timestamp cast to
+    string (Spark default format — reference moving_statistic.py:109),
+    JSON value ready for Kafka.
+
+    Streaming callers note: the nested shape chains window-agg →
+    collect_list-agg (two stateful operators), which Spark's
+    correctness check rejects — the reference disables the check
+    (moving_statistic.py:20-21) and so must callers of this wire shape
+    (call :func:`strict_parity_conf` first). The flat shape
+    (``stage2_moving_stats(nested=False)``) needs no such flag and is
+    the recommended streaming output; downstream stage 3 consumes
+    either (it re-flattens the nested form anyway)."""
+    nested = stage2_moving_stats(ticks, **kwargs)
+    key_cols = [c for c in nested.columns if c not in ("timestamp", "windows")]
+    return nested.select(
+        F.to_json(
+            F.struct(
+                F.col("timestamp").cast("string").alias("timestamp"),
+                *[F.col(k) for k in key_cols],
+                F.col("windows"),
+            )
+        ).alias("value")
+    )
+
+
+def stage3_zscore(
+    ticks: DataFrame,
+    stats_flat: DataFrame,
+    ts_col: str = "event_time",
+    key_cols: Sequence[str] = ("symbol",),
+    value_col: str = "price",
+    watermark: str = WATERMARK,
+    nested: bool = True,
+) -> DataFrame:
+    """Stream-stream inner equi-join + z-score (T4), reference key
+    semantics (tick time == stats window end — SURVEY.md §3.4; use
+    operators/zscore.zscore_asof for the intended as-of semantics).
+    Both inputs watermarked 10 s (reference: zscore_calculator.py:61,78)."""
+    if ticks.isStreaming:
+        ticks = ticks.withWatermark(ts_col, watermark)
+    if stats_flat.isStreaming:
+        stats_flat = stats_flat.withWatermark("timestamp", watermark)
+    flat = zscore_exact_grid(ticks, stats_flat, ts_col, list(key_cols), value_col)
+    out = nest_zscores(flat, list(key_cols)) if nested else flat
+    return out
+
+
+def kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    output_mode: str,
+    trigger: str = KAFKA_TRIGGER,
+) -> DataStreamWriter:
+    """S7 (reference: moving_statistic.py:123-131). Caller starts it;
+    checkpoint dir is mandatory and configurable (the reference
+    hard-codes ./tmp — SURVEY.md §4 flags that as a fix)."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(processingTime=trigger)
+    )
+
+
+def console_sink(
+    df: DataFrame,
+    output_mode: str,
+    num_rows: int = 3,
+    trigger: str = CONSOLE_TRIGGER,
+) -> DataStreamWriter:
+    """S8 monitoring sink (reference: moving_statistic.py:134-141)."""
+    return (
+        df.writeStream.format("console")
+        .option("numRows", str(num_rows))
+        .option("truncate", "false")
+        .outputMode(output_mode)
+        .trigger(processingTime=trigger)
+    )
+
+
+def memory_sink_once(df: DataFrame, name: str, output_mode: str) -> None:
+    """Test helper: run the stream to completion (availableNow) into an
+    in-memory table ``name`` and block until done."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

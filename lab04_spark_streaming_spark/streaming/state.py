@@ -1,0 +1,209 @@
+"""First-crossing operator — the reference's declared-but-unbuilt bonus
+topics ``btc-price-higher`` / ``btc-price-lower``
+(setup_transform.py:129-130; semantics inferred per SURVEY.md §1.3):
+for each tick, how long until the price first moves strictly
+higher (resp. lower), within a bounded horizon.
+
+Two implementations with identical semantics:
+
+* :func:`first_crossing_stream` — true streaming state via
+  ``applyInPandasWithState`` (grouped per key, event-time timeout).
+  State = the still-unresolved ticks; each micro-batch resolves what it
+  can and expires ticks older than the horizon. State size is bounded
+  by horizon × tick rate per key.
+* :func:`first_crossing_batch` — the batch/oracle twin: a bucketed
+  range join (each row joins candidate buckets k, k+1 on an equi key,
+  then filters the time range) + min-aggregation. The bucketing keeps
+  it an EQUI join — no nested-loop explosion, scales like any hash
+  join. This is the general recipe for range joins at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+CROSSING_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("seconds_until", DoubleType()),  # null = never within horizon
+    ]
+)
+
+def first_crossing_batch(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    horizon_s: int = 60,
+    direction: str = "higher",
+) -> DataFrame:
+    """Seconds until the first strictly higher/lower value within
+    ``horizon_s``, per key. Bucketed range join: rows in horizon-sized
+    bucket k can only be crossed by rows in buckets {k, k+1}, so the
+    join key is (key, candidate_bucket) — a plain shuffled equi-join."""
+    cmp_ok = (
+        (F.col("b.value") > F.col("a.value"))
+        if direction == "higher"
+        else (F.col("b.value") < F.col("a.value"))
+    )
+    bucket = lambda c: F.floor(F.unix_timestamp(F.col(c)) / horizon_s)  # noqa: E731
+    left = df.select(
+        *key_cols,
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+        F.explode(F.array(bucket(ts_col), bucket(ts_col) + 1)).alias("cand_bucket"),
+    )
+    right = df.select(
+        *key_cols,
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+        bucket(ts_col).alias("cand_bucket"),
+    )
+    cond = F.col("a.cand_bucket") == F.col("b.cand_bucket")
+    for k in key_cols:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    cond = (
+        cond
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr(f"INTERVAL {horizon_s} SECONDS"))
+        & cmp_ok
+    )
+    joined = left.alias("a").join(right.alias("b"), cond, "left")
+    return (
+        joined.groupBy(
+            *[F.col(f"a.{k}").alias(k) for k in key_cols],
+            F.col("a.ts").alias("ts"),
+            F.col("a.value").alias("value"),
+        )
+        .agg(F.min(F.col("b.ts")).alias("first_cross_ts"))
+        .select(
+            *key_cols,
+            "ts",
+            "value",
+            (
+                (
+                    F.col("first_cross_ts").cast("double")
+                    - F.col("ts").cast("double")
+                )
+            ).alias("seconds_until"),
+        )
+    )
+
+
+def first_crossing_stream(
+    ticks: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    horizon_s: int = 60,
+    direction: str = "higher",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming twin via applyInPandasWithState (T-state, SURVEY.md
+    §7.7b). Each group's state holds unresolved ticks; a tick resolves
+    when a strictly later tick crosses it, or emits null when the
+    event-time watermark passes its horizon."""
+    higher = direction == "higher"
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts_us, vals = state.get
+            pend = [(int(t), float(v)) for t, v in zip(ts_us, vals)]
+        else:
+            pend = []
+
+        new_rows = []
+        for pdf in batches:
+            for t, v in zip(pdf["_ts_us"], pdf["_value"]):
+                new_rows.append((int(t), float(v)))
+
+        all_rows = sorted(pend + new_rows)
+        resolved: list[tuple[int, float, float]] = []  # ts, value, seconds
+        still = []
+        for i, (t, v) in enumerate(all_rows):
+            hit = None
+            for t2, v2 in all_rows[i + 1 :]:
+                if t2 - t > horizon_s * 1_000_000:
+                    break
+                if (v2 > v) if higher else (v2 < v):
+                    hit = (t2 - t) / 1e6
+                    break
+            if hit is not None:
+                resolved.append((t, v, hit))
+            else:
+                still.append((t, v))
+
+        # Expire pending ticks whose horizon is past the watermark.
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        expired = [
+            (t, v, None) for t, v in still if t + horizon_s * 1_000_000 < wm_us
+        ]
+        still = [(t, v) for t, v in still if t + horizon_s * 1_000_000 >= wm_us]
+
+        if still:
+            state.update((
+                [t for t, _ in still],
+                [v for _, v in still],
+            ))
+            state.setTimeoutTimestamp(
+                max(t for t, _ in still) // 1000 + horizon_s * 1000
+            )
+        elif state.exists:
+            state.remove()
+
+        out = resolved + expired
+        if out:
+            yield pd.DataFrame(
+                {
+                    "key": [str(key[0])] * len(out),
+                    "ts": [pd.Timestamp(t, unit="us") for t, _, _ in out],
+                    "value": [v for _, v, _ in out],
+                    "seconds_until": [s for _, _, s in out],
+                }
+            )
+
+    prepared = ticks.select(
+        F.col(key_col).alias("_key"),
+        (F.unix_micros(F.col(ts_col))).alias("_ts_us"),
+        F.col(value_col).cast("double").alias("_value"),
+        F.col(ts_col).alias("_event_time"),
+    ).withWatermark("_event_time", watermark)
+
+    return prepared.groupBy("_key").applyInPandasWithState(
+        fn,
+        outputStructType=CROSSING_OUTPUT_SCHEMA,
+        stateStructType=StructType(
+            [
+                StructField("ts_us", _array_of(LongType())),
+                StructField("value", _array_of(DoubleType())),
+            ]
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _array_of(t):
+    from pyspark.sql.types import ArrayType
+
+    return ArrayType(t)

@@ -1,0 +1,195 @@
+"""Structured Streaming smoke tests: the streaming wrappers must agree
+with their batch twins on identical data (SURVEY.md §5 strategy), and
+watermark/state semantics must behave (late drop, first-crossing)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from lab04_spark_streaming_spark.operators.moving_stats import moving_stats_flat
+from lab04_spark_streaming_spark.streaming.pipeline import (
+    memory_sink_once,
+    stage2_moving_stats,
+    stage2_wire,
+)
+from lab04_spark_streaming_spark.streaming.sources import file_stream
+from lab04_spark_streaming_spark.streaming.state import (
+    first_crossing_batch,
+    first_crossing_stream,
+)
+
+TICK_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("price", DoubleType()),
+        StructField("event_time", TimestampType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+T0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+
+def _ticks(n=120, step_s=1.0, start=T0, symbol="BTCUSDT"):
+    rows = []
+    for i in range(n):
+        price = 67000.0 + ((i * 37) % 100) - 50  # deterministic walk
+        rows.append((symbol, price, start + dt.timedelta(seconds=i * step_s), i))
+    return rows
+
+
+@pytest.fixture()
+def tick_dir(spark, tmp_path):
+    df = spark.createDataFrame(_ticks(), TICK_SCHEMA)
+    path = str(tmp_path / "ticks")
+    df.coalesce(1).write.parquet(path)
+    return path
+
+
+def test_stage2_stream_equals_batch(spark, tick_dir):
+    stream = file_stream(spark, tick_dir, TICK_SCHEMA)
+    assert stream.isStreaming
+    flat_stream = stage2_moving_stats(
+        stream, "event_time", ["symbol"], "price", nested=False
+    )
+    memory_sink_once(flat_stream, "stage2_flat", "update")
+    got = {
+        (r.timestamp, r.symbol, r.window): (r.avg_value, r.std_value)
+        for r in spark.table("stage2_flat").collect()
+    }
+
+    batch = spark.createDataFrame(_ticks(), TICK_SCHEMA)
+    expected = {
+        (r.timestamp, r.symbol, r.window): (r.avg_value, r.std_value)
+        for r in moving_stats_flat(
+            batch, "event_time", ["symbol"], "price"
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_stage2_wire_shape(spark, tick_dir):
+    """The nested wire output chains window-agg → collect_list-agg —
+    the exact multi-stateful pattern for which the reference disables
+    Spark's correctness check (T6, moving_statistic.py:20-21). We do
+    the same here, scoped to this query, via strict_parity_conf."""
+    from lab04_spark_streaming_spark.streaming.pipeline import strict_parity_conf
+
+    strict_parity_conf(spark)
+    try:
+        stream = file_stream(spark, tick_dir, TICK_SCHEMA)
+        memory_sink_once(stage2_wire(stream), "stage2_wire", "update")
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true"
+        )
+    rows = spark.table("stage2_wire").collect()
+    assert rows, "no wire output"
+    import json
+
+    msg = json.loads(rows[0].value)
+    assert set(msg) == {"timestamp", "symbol", "windows"}
+    assert isinstance(msg["windows"], list) and msg["windows"]
+    assert set(msg["windows"][0]) == {"window", "avg_value", "std_value"}
+    # reference wire format: Spark default timestamp string, no 'T'
+    assert "T" not in msg["timestamp"]
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Rows >10 s older than the committed watermark must not produce
+    windows (T1/T5). Note Spark's late filter uses the watermark
+    committed as of the PREVIOUS batch, so the late file arrives two
+    batches after the fresh data that established the watermark
+    (verified empirically: a late file in the very next batch is still
+    accepted — batch N's filter runs on the watermark of batch N-1)."""
+    fresh = _ticks(n=60, start=T0)
+    fresh2 = _ticks(n=10, start=T0 + dt.timedelta(seconds=60))
+    late = _ticks(n=10, start=T0 - dt.timedelta(seconds=3600))
+    path = tmp_path / "wm"
+    os.makedirs(path)
+    spark.createDataFrame(fresh, TICK_SCHEMA).coalesce(1).write.parquet(
+        str(path / "batch=0")
+    )
+    spark.createDataFrame(fresh2, TICK_SCHEMA).coalesce(1).write.parquet(
+        str(path / "batch=1")
+    )
+    spark.createDataFrame(late, TICK_SCHEMA).coalesce(1).write.parquet(
+        str(path / "batch=2")
+    )
+    # File source orders by modification time — pin the batch order.
+    import time as _time
+
+    now = _time.time()
+    for i, sub in enumerate(("batch=0", "batch=1", "batch=2")):
+        mtime = now - 300 + i * 100
+        for f in (path / sub).iterdir():
+            os.utime(f, (mtime, mtime))
+    stream = file_stream(
+        spark, str(path / "batch=*"), TICK_SCHEMA, max_files_per_trigger=1
+    )
+    flat = stage2_moving_stats(
+        stream, "event_time", ["symbol"], "price", nested=False
+    )
+    memory_sink_once(flat, "wm_out", "update")
+    stamps = [r.timestamp for r in spark.table("wm_out").collect()]
+    assert stamps
+    # no window end at/before the late block's hour
+    cutoff = T0 - dt.timedelta(seconds=1800)
+    assert all(t > cutoff for t in stamps)
+
+
+def test_first_crossing_stream_matches_batch(spark, tmp_path):
+    rows = _ticks(n=100, step_s=2.0)
+    path = str(tmp_path / "fc")
+    spark.createDataFrame(rows, TICK_SCHEMA).coalesce(1).write.parquet(path)
+
+    stream = file_stream(spark, path, TICK_SCHEMA)
+    out = first_crossing_stream(
+        stream, "event_time", "symbol", "price", horizon_s=20, direction="higher"
+    )
+    memory_sink_once(out, "fc_out", "append")
+    streamed = {
+        (r.key, r.ts): r.seconds_until for r in spark.table("fc_out").collect()
+    }
+    assert streamed, "stateful op emitted nothing"
+
+    batch = first_crossing_batch(
+        spark.createDataFrame(rows, TICK_SCHEMA),
+        "event_time",
+        ["symbol"],
+        "price",
+        horizon_s=20,
+        direction="higher",
+    )
+    expected = {(r.symbol, r.ts): r.seconds_until for r in batch.collect()}
+    for k, v in streamed.items():
+        assert k in expected
+        if v is None:
+            assert expected[k] is None
+        else:
+            assert expected[k] == pytest.approx(v, abs=1e-6)
+
+
+def test_kafka_builder_plan(spark):
+    """Kafka isn't running in this container; assert the source builder
+    constructs a valid streaming plan (options accepted, schema known)."""
+    from lab04_spark_streaming_spark.streaming.sources import kafka_source
+
+    try:
+        df = kafka_source(spark, "localhost:9092", "btc-price")
+    except Exception as e:  # pragma: no cover - missing kafka package
+        pytest.skip(f"kafka source unavailable: {e}")
+    assert df.isStreaming
+    assert "value" in df.columns
