@@ -39,6 +39,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     q = queries()
 
+    # Warm the JVM/codegen once (not measured): a trivial scan-agg.
+    q["q1_pricing_summary"](spark, SF_DIR).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()

@@ -101,12 +101,27 @@ def _stats_flat(
     windows=WINDOWS_ALL,
     until: str | None = None,
 ) -> DataFrame:
+    """Cost-based choice between the two bit-identical implementations
+    (tests/test_fast_path.py asserts equality):
+
+    * naive window()-expansion costs ≈ rows × Σ(D/S) shuffled rows;
+    * prefix-sum scale path costs ≈ range_slots × (labels + 2).
+
+    Measured at sf0.1: short windows over the full month favor naive
+    (4.5 s vs 10.6 s), the 6-window set favors prefix sums (2.7 s vs
+    15.2 s) — so pick by the expansion factor Σ(D/S)."""
+    from lab04_spark_streaming_spark.operators.moving_stats_fast import (
+        moving_stats_flat_fast,
+    )
+
+    ev = _events(spark, sf_dir, until)
+    expansion = sum(secs // 10 for _, secs in windows)
+    if expansion >= 100:
+        return moving_stats_flat_fast(
+            ev, "ts", ["event_type"], "value", windows=_spark_windows(windows)
+        )
     return moving_stats_flat(
-        _events(spark, sf_dir, until),
-        "ts",
-        ["event_type"],
-        "value",
-        windows=_spark_windows(windows),
+        ev, "ts", ["event_type"], "value", windows=_spark_windows(windows)
     )
 
 
@@ -147,9 +162,11 @@ def q_zscore_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ticks = ev.withColumn(
         "ts", (F.floor(F.unix_timestamp("ts") / 10) * 10).cast("timestamp")
     )
-    out = zscore_exact_grid(
-        ticks, _stats_flat(spark, sf_dir), "ts", ["event_type"], "value"
-    )
+    # Naive expansion stats on purpose: the prefix-sum path's per-key
+    # window buffers (full-range probe axis) exceed a default-heap
+    # driver session; the expansion plan streams/spills fine.
+    stats = moving_stats_flat(ev, "ts", ["event_type"], "value")
+    out = zscore_exact_grid(ticks, stats, "ts", ["event_type"], "value")
     return out.select("timestamp", "event_type", "window", "zscore_value")
 
 
@@ -170,13 +187,21 @@ JOIN stats s
 
 # --- §7.7a: as-of join (intended semantics) -------------------------------
 def q_zscore_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = zscore_asof(
+    """Served by the prefix-sum implementation (operators/
+    moving_stats_fast.py) — bit-identical to the naive
+    operators/zscore.zscore_asof (asserted in tests/test_fast_path.py)
+    but without the 669-way sliding-window row expansion; the naive
+    plan is 5-6x slower at sf0.1 and widens with scale."""
+    from lab04_spark_streaming_spark.operators.moving_stats_fast import (
+        zscore_asof_fast,
+    )
+
+    out = zscore_asof_fast(
         _events(spark, sf_dir),
-        _stats_flat(spark, sf_dir),
         "ts",
         ["event_type"],
         "value",
-        slide_seconds=10,
+        slide_s=10,
         max_stale_slots=1,
         id_col="event_id",
     )

@@ -1,0 +1,54 @@
+"""The prefix-sum scale path must be BIT-identical to the naive
+sliding-window operators (same exact-decimal arithmetic, different
+plan shape)."""
+
+from __future__ import annotations
+
+from lab04_spark_streaming_spark.operators.moving_stats import moving_stats_flat
+from lab04_spark_streaming_spark.operators.moving_stats_fast import (
+    moving_stats_flat_fast,
+    zscore_asof_fast,
+)
+from lab04_spark_streaming_spark.operators.zscore import zscore_asof
+from lab04_spark_streaming_spark.sources.files import load_table
+
+
+def test_moving_stats_flat_fast_equals_naive(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    slow = moving_stats_flat(ev, "ts", ["event_type"], "value")
+    fast = moving_stats_flat_fast(ev, "ts", ["event_type"], "value")
+    s = {
+        (r.timestamp, r.event_type, r.window): (r.avg_value, r.std_value)
+        for r in slow.collect()
+    }
+    f = {
+        (r.timestamp, r.event_type, r.window): (r.avg_value, r.std_value)
+        for r in fast.collect()
+    }
+    assert s == f
+
+
+def test_zscore_asof_fast_equals_naive(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    slow = zscore_asof(
+        ev,
+        moving_stats_flat(ev, "ts", ["event_type"], "value"),
+        "ts",
+        ["event_type"],
+        "value",
+        slide_seconds=10,
+        max_stale_slots=1,
+        id_col="event_id",
+    )
+    fast = zscore_asof_fast(
+        ev, "ts", ["event_type"], "value", id_col="event_id"
+    )
+    s = {
+        (r.event_id, r.window): (r.timestamp, r.zscore_value)
+        for r in slow.collect()
+    }
+    f = {
+        (r.event_id, r.window): (r.timestamp, r.zscore_value)
+        for r in fast.collect()
+    }
+    assert s == f
