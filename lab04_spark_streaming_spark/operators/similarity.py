@@ -97,6 +97,54 @@ def exact_cosine_topk_vs_id(
     )
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine near-duplicates (a < b, cosine ≥ threshold) via
+    integer-quantized moments — the exact verification stage of the
+    embedding-dedup pipeline. Plan: positional explode → self-join on
+    position (pairs per position, shuffle key = position) → pair-keyed
+    moment aggregation → norm joins.
+
+    This is the O(n²·d) exact stage: at 100 TB you run it only on the
+    candidate pairs emitted by :func:`ann_bucket_pairs` (LSH) — swap
+    the position self-join for a semi-join against the candidate set;
+    kept all-pairs here because the fixture corpus is small and it
+    makes the operator oracle-checkable end to end."""
+    q = 10_000_000.0
+    pos = emb.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "xf"),
+    ).withColumn("x", F.floor(F.col("xf").cast("double") * q + F.lit(0.5)))
+    norms = pos.groupBy(id_col).agg(F.sum(F.col("x") * F.col("x")).alias("n2"))
+    a, b = pos.alias("a"), pos.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("n2").alias("na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("n2").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "cosine", F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def srp_buckets(
     emb: DataFrame,
     planes: int = 8,

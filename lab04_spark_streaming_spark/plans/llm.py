@@ -180,6 +180,36 @@ LIMIT 10
 """
 
 
+# --- embedding cosine near-dup pairs ---------------------------------------
+def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+SQL_EMBEDDING_PAIRS = """
+WITH pos0 AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos, embedding
+  FROM embeddings
+),
+pos AS (
+  SELECT vec_id, pos,
+         CAST(floor(CAST(embedding[pos] AS DOUBLE) * 10000000.0 + 0.5)
+              AS BIGINT) AS x
+  FROM pos0
+),
+norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM pos GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
+  FROM pos a JOIN pos b ON a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4
+"""
+
+
 # --- SRP-LSH ANN buckets ---------------------------------------------------
 def q_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.srp_buckets(_emb(spark, sf_dir), planes=8)
@@ -419,6 +449,7 @@ def specs():
         QuerySpec("dedup_simhash", q_simhash, SQL_SIMHASH),
         QuerySpec("dedup_jaccard_pairs", q_jaccard_pairs, SQL_JACCARD_PAIRS),
         QuerySpec("knn_cosine_topk", q_knn_cosine_topk, SQL_KNN_COSINE_TOPK),
+        QuerySpec("dedup_embedding_pairs", q_embedding_pairs, SQL_EMBEDDING_PAIRS),
         QuerySpec("ann_srp_buckets", q_srp_buckets, SQL_SRP_BUCKETS),
         QuerySpec("text_metrics", q_text_metrics, SQL_TEXT_METRICS),
         QuerySpec("lang_id_heuristic", q_lang_id, SQL_LANG_ID),

@@ -1,0 +1,96 @@
+"""Physical-plan audits: the plans must be the ones we designed for
+scale, not merely correct ones (SURVEY.md §7, 100 TB checklist).
+
+Each assertion pins a property that silently regressing would hurt at
+1000 executors: filter pushdown into parquet, column pruning, broadcast
+joins for dims, TakeOrderedAndProject for global top-k, semi/anti join
+physical operators, and whole-stage codegen presence.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lab04_spark_streaming_spark.plans import analytics, llm
+from lab04_spark_streaming_spark.sources.files import load_table
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(analytics.q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # Projection pruned to the 7 needed columns — no full-row scan.
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_suppkey" not in read
+    assert "l_quantity" in read and "l_tax" in read
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir):
+    plan = plan_of(analytics.q5_local_supplier(spark, sf_dir))
+    # 5 joins total: 4 dims broadcast; only the lineitem⨝orders fact
+    # join may shuffle.
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    assert "LeftSemi" in plan_of(analytics.q_semi_join(spark, sf_dir))
+    assert "LeftAnti" in plan_of(analytics.q_anti_join(spark, sf_dir))
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(analytics.q_sort_limit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_scan_prunes_label(spark, sf_dir):
+    plan = plan_of(llm.q_knn_cosine_topk(spark, sf_dir))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and all("label" not in l for l in read)
+
+
+def test_multimodal_meta_prunes_nothing_extra(spark, sf_dir):
+    # documents scan: lang/source not needed by the media projection.
+    plan = plan_of(llm.q_multimodal_meta(spark, sf_dir))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and all("source" not in l for l in read)
+
+
+def test_dedup_shuffle_carries_hash_not_text(spark, sf_dir):
+    """exact_dedup must project text away before the exchange — the
+    shuffle moves (hash, id), not document bodies."""
+    from lab04_spark_streaming_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(exact_dedup(docs))
+    ex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert ex and all("text" not in l for l in ex)
+
+
+def test_moving_stats_exploded_variant_agrees(spark, sf_dir):
+    """The single-shuffle exploded variant (operators/moving_stats.py)
+    must agree with the unioned variant."""
+    from lab04_spark_streaming_spark.operators.moving_stats import (
+        moving_stats_exploded,
+        moving_stats_flat,
+    )
+
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    a = {
+        (r.timestamp, r.event_type, r.window): (r.avg_value, r.std_value)
+        for r in moving_stats_flat(ev, "ts", ["event_type"], "value").collect()
+    }
+    b = {
+        (r.timestamp, r.event_type, r.window): (r.avg_value, r.std_value)
+        for r in moving_stats_exploded(ev, "ts", ["event_type"], "value").collect()
+    }
+    assert a == b
