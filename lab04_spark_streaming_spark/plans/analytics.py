@@ -558,6 +558,165 @@ GROUP BY user_id, session_id
 """
 
 
+# --- TPC-H Q6: forecast revenue change (pure filter-sum) ------------------
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three predicates push to the parquet scan; the agg is a
+    single partial+final sum — the minimal-shuffle TPC-H query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), 6, "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+  AND l_shipdate < TIMESTAMP '2000-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+# --- GROUPING SETS (distinct from rollup/cube) ----------------------------
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+# --- Array function battery -----------------------------------------------
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.array_sort(words).alias("sorted_words"),
+        # sorted: DuckDB's list_distinct does not preserve input order
+        F.array_sort(F.array_distinct(words)).alias("distinct_words"),
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "red").alias("has_red"),
+        F.slice(words, 1, 1).alias("first_word"),
+        F.reverse(words).alias("rev_words"),
+        F.array_max(F.transform(words, lambda w: F.length(w))).alias(
+            "max_word_len"
+        ),
+    )
+
+
+SQL_ARRAY_FUNCS = """
+SELECT p_partkey,
+       list_sort(string_split(p_name, ' ')) AS sorted_words,
+       list_sort(list_distinct(string_split(p_name, ' '))) AS distinct_words,
+       len(string_split(p_name, ' ')) AS n_words,
+       list_contains(string_split(p_name, ' '), 'red') AS has_red,
+       string_split(p_name, ' ')[1:1] AS first_word,
+       list_reverse(string_split(p_name, ' ')) AS rev_words,
+       list_max(list_transform(string_split(p_name, ' '), w -> length(w)))
+         AS max_word_len
+FROM part
+"""
+
+
+# --- Regexp battery --------------------------------------------------------
+def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), "[a-z]{6,}", 0).alias("first_long_word"),
+        F.regexp_replace(F.col("text"), "[aeiou]", "_").alias("devoweled"),
+        F.col("text").rlike("window.*join").alias("has_window_join"),
+        F.length(F.regexp_replace(F.col("text"), "[^ ]", "")).alias("n_spaces"),
+    )
+
+
+SQL_REGEXP_FUNCS = """
+SELECT doc_id,
+       coalesce(regexp_extract(text, '[a-z]{6,}'), '') AS first_long_word,
+       regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled,
+       regexp_matches(text, 'window.*join') AS has_window_join,
+       length(regexp_replace(text, '[^ ]', '', 'g')) AS n_spaces
+FROM documents
+"""
+
+
+# --- Scalar subquery -------------------------------------------------------
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders within 10% of the global max price. The scalar aggregate
+    is broadcast (one row) — no shuffle of the fact side."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_totalprice").alias("_mx"))
+    return (
+        o.crossJoin(F.broadcast(mx))
+        .filter(F.col("o_totalprice") >= 0.9 * F.col("_mx"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+SQL_SCALAR_SUBQUERY = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice >= 0.9 * (SELECT MAX(o_totalprice) FROM orders)
+"""
+
+
+# --- Tumbling (non-sliding) event-time window -----------------------------
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window() without slide — the degenerate sliding case the engine
+    also serves; no Expand in the plan (1 window per row)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_avg(F.col("value")).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
+SQL_TUMBLING_WINDOW = f"""
+SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000)
+         AS bucket_start,
+       event_type, COUNT(*) AS n,
+       {sql_exact_avg("value")} AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # --- Approximate distinct (no SQL oracle — algorithm-specific) ------------
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approx_count_distinct — algorithm differs from
@@ -592,4 +751,10 @@ def specs():
         QuerySpec("conditional_pivot", q_conditional_pivot, SQL_CONDITIONAL_PIVOT),
         QuerySpec("sessionize_gap30m", q_sessionize, SQL_SESSIONIZE),
         QuerySpec("approx_count_distinct", q_approx_distinct, None),
+        QuerySpec("q6_forecast_revenue", q6_forecast_revenue, SQL_Q6),
+        QuerySpec("grouping_sets", q_grouping_sets, SQL_GROUPING_SETS),
+        QuerySpec("array_funcs", q_array_funcs, SQL_ARRAY_FUNCS),
+        QuerySpec("regexp_funcs", q_regexp_funcs, SQL_REGEXP_FUNCS),
+        QuerySpec("scalar_subquery", q_scalar_subquery, SQL_SCALAR_SUBQUERY),
+        QuerySpec("tumbling_window_1h", q_tumbling_window, SQL_TUMBLING_WINDOW),
     ]

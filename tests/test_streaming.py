@@ -182,6 +182,57 @@ def test_first_crossing_stream_matches_batch(spark, tmp_path):
             assert expected[k] == pytest.approx(v, abs=1e-6)
 
 
+def test_stage3_stream_stream_join(spark, tmp_path):
+    """Stage 3 end-to-end with BOTH sides streaming (T4): ticks stream
+    ⋈ stage-2 stats stream on (grid time, symbol), append mode. Ticks
+    are pre-quantized to the slide grid so the reference's exact-grid
+    key matches (SURVEY.md §3.4)."""
+    from lab04_spark_streaming_spark.operators.moving_stats import (
+        moving_stats_flat,
+    )
+    from lab04_spark_streaming_spark.operators.zscore import zscore_exact_grid
+    from lab04_spark_streaming_spark.streaming.pipeline import stage3_zscore
+
+    rows = _ticks(n=90)
+    tick_path = str(tmp_path / "t3_ticks")
+    spark.createDataFrame(rows, TICK_SCHEMA).coalesce(1).write.parquet(tick_path)
+
+    # Stats side: materialize batch stage-2 output, then re-stream it.
+    batch = spark.createDataFrame(rows, TICK_SCHEMA)
+    stats_flat = moving_stats_flat(batch, "event_time", ["symbol"], "price")
+    stats_path = str(tmp_path / "t3_stats")
+    stats_flat.coalesce(1).write.parquet(stats_path)
+
+    tick_stream = file_stream(spark, tick_path, TICK_SCHEMA).withColumn(
+        "event_time",
+        (F.floor(F.unix_timestamp("event_time") / 10) * 10).cast("timestamp"),
+    )
+    stats_stream = file_stream(spark, stats_path, stats_flat.schema)
+    out = stage3_zscore(
+        tick_stream, stats_stream, "event_time", ["symbol"], "price", nested=False
+    )
+    memory_sink_once(out, "stage3_out", "append")
+    from collections import Counter
+
+    got = Counter(
+        (r.timestamp, r.symbol, r.window, r.zscore_value)
+        for r in spark.table("stage3_out").collect()
+    )
+    assert got, "stream-stream join produced nothing"
+
+    ticks_q = batch.withColumn(
+        "event_time",
+        (F.floor(F.unix_timestamp("event_time") / 10) * 10).cast("timestamp"),
+    )
+    expected = Counter(
+        (r.timestamp, r.symbol, r.window, r.zscore_value)
+        for r in zscore_exact_grid(
+            ticks_q, stats_flat, "event_time", ["symbol"], "price"
+        ).collect()
+    )
+    assert got == expected
+
+
 def test_kafka_builder_plan(spark):
     """Kafka isn't running in this container; assert the source builder
     constructs a valid streaming plan (options accepted, schema known)."""
