@@ -20,14 +20,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: scan-agg, sliding-window agg (short + long), as-of join,
-# nested+JSON encode. Names match registry entries.
+# Headline set: scan-agg, star join, sliding-window agg (short + long),
+# as-of join, nested+JSON encode, sessionization, range join, MinHash
+# LSH dedup, vector top-k. Names match registry entries.
 HEADLINE = [
     "q1_pricing_summary",
+    "q5_local_supplier",
     "moving_stats_flat",
     "moving_stats_long_windows",
     "zscore_asof_join",
     "moving_stats_nested_json",
+    "sessionize_gap30m",
+    "first_crossing_higher",
+    "dedup_minhash_lsh_pairs",
+    "knn_cosine_topk",
 ]
 
 

@@ -37,6 +37,25 @@ from lab04_spark_streaming_spark.operators.textops import (
 MINHASH_K = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
 
+# Universal-hash coefficients for MinHash: h_i(x) = (a_i*x + b_i) mod P.
+# One md5 per shingle (the base hash), k cheap integer mixes — ~10x
+# cheaper than k md5s. a_i ≤ 2^20 keeps a*h ≤ 2^52: no int64 overflow
+# in either engine (DuckDB errors on overflow, Spark silently wraps —
+# staying in range sidesteps the divergence). Fixed LCG-derived
+# constants so Spark and the SQL oracle share them.
+MINHASH_P = 4294967291  # largest prime < 2^32
+def _mh_coeffs(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    x, out = 88172645463325252, []
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x >> 20) % (1 << 20) | 1
+        b = x % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+MINHASH_COEFFS = _mh_coeffs()
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest id per distinct text. The groupBy key is the
@@ -53,26 +72,31 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def minhash_signature_expr(text_col: str = "text", k: int = MINHASH_K) -> F.Column:
-    """array<long> MinHash signature — one Catalyst expression, no
-    shuffle, no UDF: sig[i] = min over 3-word shingles of hash_i."""
-    toks = expr_tokens(text_col)
-    shingles = expr_shingles(toks)
-    mins = ", ".join(
-        f"array_min(transform(_sh, s -> {expr_hash_int('s', seed=i)}))"
-        for i in range(k)
-    )
-    # Wrap the shingle array in a 1-element array + transform so the
-    # (expensive) shingling is evaluated once per row, with the k
-    # minima taken over the bound variable `_sh`.
-    return F.expr(f"transform(array({shingles}), _sh -> array({mins}))[0]")
-
-
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = MINHASH_K
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col), minhash_signature_expr(text_col, k).alias("sig")
+    """array<long> MinHash signature per doc — Catalyst expressions, no
+    shuffle, no UDF: sig[i] = min over 3-word shingles of hash_i.
+
+    Tokens, shingles, and base hashes are materialized as intermediate
+    PROJECT columns on purpose: Catalyst does not common-subexpression-
+    eliminate across lambda bodies, so inlining re-evaluates per element
+    (measured 4x slower); and each shingle is md5-hashed ONCE with the
+    k signature values derived by universal hashing (another ~2x)."""
+    mins = ", ".join(
+        f"array_min(transform(_hs, h -> pmod({a}L * h + {b}L, {MINHASH_P}L)))"
+        for a, b in MINHASH_COEFFS[:k]
+    )
+    return (
+        df.select(
+            F.col(id_col), F.expr(expr_tokens(text_col)).alias("_toks")
+        )
+        .select(F.col(id_col), F.expr(expr_shingles("_toks")).alias("_sh"))
+        .select(
+            F.col(id_col),
+            F.expr(f"transform(_sh, s -> {expr_hash_int('s')})").alias("_hs"),
+        )
+        .select(F.col(id_col), F.expr(f"array({mins})").alias("sig"))
     )
 
 
@@ -116,26 +140,32 @@ def minhash_candidate_pairs(
     )
 
 
-def simhash_expr(text_col: str = "text", bits: int = 32) -> F.Column:
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash over the distinct token set: bit j is the sign of
     Σ_tokens (±1 depending on bit j of the token hash). Pure integer
-    arithmetic → order-independent and cross-engine exact."""
-    toks = f"array_distinct({expr_tokens(text_col)})"
+    arithmetic → order-independent and cross-engine exact. Token hashes
+    are materialized once per row (see minhash_signatures note)."""
     th = expr_hash_int("t")
     bit_sum = (
-        f"aggregate(transform({toks}, t -> "
-        f"CASE WHEN pmod(shiftright({th}, j), 2) = 1 THEN 1 ELSE -1 END), "
-        f"0, (acc, x) -> acc + x)"
+        "aggregate(transform(_th, h -> "
+        "CASE WHEN pmod(shiftright(h, j), 2) = 1 THEN 1 ELSE -1 END), "
+        "0, (acc, x) -> acc + x)"
     )
-    return F.expr(
-        f"aggregate(transform(sequence(0, {bits - 1}), j -> "
+    sim = (
+        f"aggregate(transform(sequence(0, 31), j -> "
         f"CASE WHEN {bit_sum} > 0 THEN shiftleft(cast(1 as bigint), j) "
         f"ELSE cast(0 as bigint) END), cast(0 as bigint), (acc, x) -> acc + x)"
     )
-
-
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    return df.select(F.col(id_col), simhash_expr(text_col).alias("simhash"))
+    return (
+        df.select(
+            F.col(id_col),
+            F.expr(f"array_distinct({expr_tokens(text_col)})").alias("_toks"),
+        )
+        .select(
+            F.col(id_col), F.expr(f"transform(_toks, t -> {th})").alias("_th")
+        )
+        .select(F.col(id_col), F.expr(sim).alias("simhash"))
+    )
 
 
 def jaccard_pairs(
@@ -151,10 +181,13 @@ def jaccard_pairs(
     shared shingles per pair → |A∪B| = |A|+|B|−|A∩B|. At scale,
     stop-shingle removal (drop shingles with df > threshold) bounds
     bucket sizes; here the corpus is synthetic and tame."""
-    toks = expr_tokens(text_col)
     sh = df.select(
+        F.col(id_col), F.expr(expr_tokens(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
-        F.explode(F.array_distinct(F.expr(expr_shingles(toks)))).alias("shingle"),
+        F.explode(
+            F.array_distinct(F.expr(expr_shingles("_toks")))
+        ).alias("shingle"),
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -276,10 +276,10 @@ def zscore_asof_fast(
     for label, dur in windows:
         dslots = _duration_seconds(dur) // slide_s
         for stale in range(max_stale_slots + 1):
-            for kind, off in (("hi", 1 + stale), ("lo", 1 + stale + dslots)):
+            for kind, off in (("h", 1 + stale), ("l", 1 + stale + dslots)):
                 refs.append(
-                    f"struct('{label}' as label, {stale} as stale, "
-                    f"'{kind}' as kind, _end0 - {off} as _slot)"
+                    f"struct('{label}' as label, "
+                    f"'{kind}{stale}' as kind, _end0 - {off} as _slot)"
                 )
     base = ticks.select(
         *out_id,
@@ -295,7 +295,6 @@ def zscore_asof_fast(
         *key_cols,
         "_v",
         F.col("_r.label").alias("_label"),
-        F.col("_r.stale").alias("_stale"),
         F.col("_r.kind").alias("_kind"),
         F.col("_r._slot").alias("_slot"),
     ).join(looked, [*key_cols, "_slot"])
@@ -303,28 +302,36 @@ def zscore_asof_fast(
     def side(agg_col: str, kind: str):
         return F.max(F.when(F.col("_kind") == kind, F.col(agg_col)))
 
-    grouped = joined.groupBy(
-        *out_id, "timestamp", *key_cols, "_v", "_label", "_stale"
-    ).agg(
-        (side("_cn", "hi") - side("_cn", "lo")).alias("_wn"),
-        (side("_cs", "hi") - side("_cs", "lo")).alias("_ws"),
-        (side("_csq", "hi") - side("_csq", "lo")).alias("_wsq"),
+    # Single pivot per (tick, label): all stales in one aggregation, the
+    # freshest non-empty candidate picked with when() — no second
+    # shuffle, no row_number window.
+    per_stale = []
+    grouped = joined.groupBy(*out_id, "timestamp", *key_cols, "_v", "_label").agg(
+        *[
+            (side(c, f"{k}{st}") ).alias(f"_{c[1:]}_{k}{st}")
+            for st in range(max_stale_slots + 1)
+            for k in ("h", "l")
+            for c in ("_cn", "_cs", "_csq")
+        ]
     )
-    avg, std = _stats_from_moment_diff(
-        F.col("_wn"), F.col("_ws"), F.col("_wsq")
-    )
-    pick = Window.partitionBy(
-        *out_id, F.col("timestamp"), *[F.col(k) for k in key_cols], F.col("_label")
-    ).orderBy(F.col("_stale"))
+    for st in range(max_stale_slots + 1):
+        n = F.col(f"_cn_h{st}") - F.col(f"_cn_l{st}")
+        s = F.col(f"_cs_h{st}") - F.col(f"_cs_l{st}")
+        sq = F.col(f"_csq_h{st}") - F.col(f"_csq_l{st}")
+        avg, std = _stats_from_moment_diff(n, s, sq)
+        per_stale.append((n, safe_zscore(F.col("_v"), avg, std)))
+    z = F.lit(None).cast("double")
+    n_any = F.lit(False)
+    for n, zs in reversed(per_stale):
+        z = F.when(n > 0, zs).otherwise(z)
+        n_any = n_any | (n > 0)
     return (
-        grouped.filter(F.col("_wn") > 0)
-        .withColumn("_rn", F.row_number().over(pick))
-        .filter(F.col("_rn") == 1)
+        grouped.filter(n_any)
         .select(
             *out_id,
             "timestamp",
             *key_cols,
             F.col("_label").alias("window"),
-            safe_zscore(F.col("_v"), avg, std).alias("zscore_value"),
+            z.alias("zscore_value"),
         )
     )

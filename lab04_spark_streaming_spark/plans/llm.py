@@ -53,16 +53,19 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_minhash_mins() -> str:
     return ", ".join(
-        f"list_aggregate(list_transform(t.shingles, s -> {sql_hash_int('s', seed=i)}), 'min')"
-        for i in range(dd.MINHASH_K)
+        f"list_aggregate(list_transform(t.hs, "
+        f"h -> ({a} * h + {b}) % {dd.MINHASH_P}), 'min')"
+        for a, b in dd.MINHASH_COEFFS
     )
 
 
 SQL_MINHASH_SIGNATURES = f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-sh AS (SELECT doc_id, {sql_shingles('toks')} AS shingles FROM tok t(doc_id, toks))
+sh AS (SELECT doc_id, {sql_shingles('toks')} AS shingles FROM tok t(doc_id, toks)),
+hs AS (SELECT doc_id, list_transform(t.shingles, s -> {sql_hash_int('s')}) AS hs
+       FROM sh t(doc_id, shingles))
 SELECT doc_id, [{_sql_minhash_mins()}] AS sig
-FROM sh t(doc_id, shingles)
+FROM hs t(doc_id, hs)
 """
 
 
@@ -350,21 +353,25 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two fingerprints per doc: md5 of the sorted distinct token set
     (bag-of-words identity) and the minimum shingle hash (winnowing-
     style content anchor)."""
-    toks = "array_remove(split(lower(text), '[^a-z0-9]+'), '')"
     from lab04_spark_streaming_spark.operators.textops import (
         expr_hash_int,
         expr_shingles,
+        expr_tokens,
     )
 
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.expr(
-            f"md5(concat_ws(' ', array_sort(array_distinct({toks}))))"
-        ).alias("bow_fingerprint"),
-        F.expr(
-            f"array_min(transform({expr_shingles(toks)}, "
-            f"s -> {expr_hash_int('s')}))"
-        ).alias("min_shingle_hash"),
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(expr_tokens("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            F.expr(
+                "md5(concat_ws(' ', array_sort(array_distinct(_toks))))"
+            ).alias("bow_fingerprint"),
+            F.expr(
+                f"array_min(transform({expr_shingles('_toks')}, "
+                f"s -> {expr_hash_int('s')}))"
+            ).alias("min_shingle_hash"),
+        )
     )
 
 
