@@ -168,6 +168,57 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Connected components over near-dup pairs → cluster label = the
+    minimum reachable doc id. The final stage of a dedup pipeline: LSH
+    candidates → verified pairs → clusters → keep one doc per cluster.
+
+    Iterative min-label propagation: each round joins labels across
+    (symmetrized) edges and keeps the per-node minimum; converges in
+    ≤ diameter rounds (driver loop only orchestrates — all data stays
+    distributed; convergence is checked with a count aggregate). At
+    100 TB this is the standard large-graph pattern (alternating
+    small-star/large-star is the production refinement; plain
+    propagation is exact and sufficient at lab diameters)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    )
+    for _ in range(20):  # diameter bound; lab graphs converge in 2-3
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

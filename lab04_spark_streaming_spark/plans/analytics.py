@@ -92,7 +92,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("timestamp").alias("o_orderdate"), "o_orderpriority")
         .agg(_dec_sum(disc_price, 6, "revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -268,7 +268,7 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        orders.withColumn("rn", F.row_number().over(w))
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
@@ -302,7 +302,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("running_total"),
         F.lag("o_orderkey", 1).over(w).alias("prev_order"),
         F.lead("o_orderkey", 1).over(w).alias("next_order"),
-        F.rank().over(w).alias("rnk"),
+        F.rank().over(w).cast("long").alias("rnk"),
     )
 
 
@@ -395,7 +395,7 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.upper("p_name").alias("up"),
         F.lower("p_brand").alias("lo"),
-        F.length("p_name").alias("len"),
+        F.length("p_name").cast("long").alias("len"),
         F.substring("p_name", 1, 5).alias("sub"),
         F.concat_ws("|", "p_brand", "p_type").alias("cat"),
         F.trim(F.lit("  x  ")).alias("trimmed"),
@@ -420,12 +420,12 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-        F.dayofmonth("o_orderdate").alias("dom"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
         F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
         F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
-        .alias("days_to_y2k"),
+        .cast("long").alias("days_to_y2k"),
         F.add_months(F.col("o_orderdate"), 3).cast("date").alias("plus3mo"),
     )
 
@@ -546,8 +546,8 @@ WITH with_gap AS (
 ),
 sess AS (
   SELECT user_id, event_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            AS session_id
   FROM with_gap
 )
@@ -621,11 +621,11 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(words).alias("sorted_words"),
         # sorted: DuckDB's list_distinct does not preserve input order
         F.array_sort(F.array_distinct(words)).alias("distinct_words"),
-        F.size(words).alias("n_words"),
+        F.size(words).cast("long").alias("n_words"),
         F.array_contains(words, "red").alias("has_red"),
         F.slice(words, 1, 1).alias("first_word"),
         F.reverse(words).alias("rev_words"),
-        F.array_max(F.transform(words, lambda w: F.length(w))).alias(
+        F.array_max(F.transform(words, lambda w: F.length(w))).cast("long").alias(
             "max_word_len"
         ),
     )
@@ -653,7 +653,9 @@ def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(F.col("text"), "[a-z]{6,}", 0).alias("first_long_word"),
         F.regexp_replace(F.col("text"), "[aeiou]", "_").alias("devoweled"),
         F.col("text").rlike("window.*join").alias("has_window_join"),
-        F.length(F.regexp_replace(F.col("text"), "[^ ]", "")).alias("n_spaces"),
+        F.length(F.regexp_replace(F.col("text"), "[^ ]", ""))
+        .cast("long")
+        .alias("n_spaces"),
     )
 
 

@@ -16,10 +16,13 @@ from lab04_spark_streaming_spark.operators import dedup as dd
 from lab04_spark_streaming_spark.operators import multimodal as mm
 from lab04_spark_streaming_spark.operators import similarity as sim
 from lab04_spark_streaming_spark.operators.textops import (
+    expr_tokens,
     sql_hash_int,
     sql_shingles,
     sql_tokens,
 )
+
+_SPARK_TOKS = expr_tokens("text")
 from lab04_spark_streaming_spark.sources.files import load_table
 
 _TOKS = sql_tokens("text")
@@ -238,6 +241,102 @@ FROM embeddings
 """
 
 
+# --- near-dup clusters (connected components) ------------------------------
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clusters over the verified Jaccard pairs (threshold 0.4): only
+    docs that participate in ≥1 pair are clustered (singletons are
+    trivially their own cluster — excluded to keep the result focused)."""
+    pairs = dd.jaccard_pairs(_docs(spark, sf_dir)).select("id_a", "id_b")
+    ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    return dd.dedup_clusters(pairs, ids)
+
+
+# DuckDB twin: undirected transitive closure via recursive CTE, label =
+# min reachable id (same semantics as min-label propagation).
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({sql_shingles('toks')})) AS shingle
+  FROM tok t(doc_id, toks)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.4
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id
+FROM reach
+GROUP BY src
+"""
+
+
+# --- document chunking ------------------------------------------------------
+_CHUNK, _STRIDE = 50, 40  # 50-token chunks, 10-token overlap
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (50-token chunks, stride 40) — the
+    standard context-window preparation step. Pure per-row expressions:
+    tokenize once, explode chunk starts, slice. Output size ≈
+    tokens/stride, the expansion a chunker inherently produces."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(_SPARK_TOKS).alias("_toks"))
+        .select(
+            "doc_id",
+            F.col("_toks"),
+            F.posexplode(
+                F.expr(f"sequence(0, greatest(size(_toks) - 1, 0), {_STRIDE})")
+            ).alias("chunk_id", "_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.expr(f"concat_ws(' ', slice(_toks, _start + 1, {_CHUNK}))").alias(
+                "chunk_text"
+            ),
+            F.expr(f"cast(size(slice(_toks, _start + 1, {_CHUNK})) as bigint)").alias("n_tokens"),
+        )
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(len(toks) - 1, 0), {_STRIDE}))
+           AS start
+  FROM tok
+)
+SELECT doc_id, start // {_STRIDE} AS chunk_id,
+       array_to_string(toks[start + 1 : start + {_CHUNK}], ' ') AS chunk_text,
+       len(toks[start + 1 : start + {_CHUNK}]) AS n_tokens
+FROM starts
+"""
+
+
 # --- text metrics / quality ------------------------------------------------
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-model data-quality battery: token counts, length stats,
@@ -246,8 +345,8 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop = "array('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
     return _docs(spark, sf_dir).select(
         "doc_id",
-        F.expr(f"size({toks})").alias("n_tokens"),
-        F.length("text").alias("n_chars_actual"),
+        F.expr(f"cast(size({toks}) as bigint)").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
         F.expr(
             f"CASE WHEN size({toks}) = 0 THEN 0.0 ELSE "
             f"aggregate({toks}, 0, (a, t) -> a + length(t)) / size({toks}) END"
@@ -312,7 +411,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = " + ".join(scores.values())
     return _docs(spark, sf_dir).select(
         "doc_id",
-        F.expr(scores["en"]).alias("score_en"),
+        F.expr(f"cast({scores['en']} as bigint)").alias("score_en"),
         F.expr(f"CASE WHEN {total} = 0 THEN 'und' {whens} ELSE 'und' END").alias(
             "pred_lang"
         ),
@@ -455,6 +554,8 @@ def specs():
         QuerySpec("dedup_minhash_lsh_pairs", q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
         QuerySpec("dedup_simhash", q_simhash, SQL_SIMHASH),
         QuerySpec("dedup_jaccard_pairs", q_jaccard_pairs, SQL_JACCARD_PAIRS),
+        QuerySpec("dedup_clusters", q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+        QuerySpec("doc_chunking", q_doc_chunks, SQL_DOC_CHUNKS),
         QuerySpec("knn_cosine_topk", q_knn_cosine_topk, SQL_KNN_COSINE_TOPK),
         QuerySpec("dedup_embedding_pairs", q_embedding_pairs, SQL_EMBEDDING_PAIRS),
         QuerySpec("ann_srp_buckets", q_srp_buckets, SQL_SRP_BUCKETS),
