@@ -45,8 +45,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _dec_sum(F.col("l_quantity"), 2, "sum_qty"),
             _dec_sum(F.col("l_extendedprice"), 2, "sum_base_price"),
-            _dec_sum(disc_price, 6, "sum_disc_price"),
-            _dec_sum(charge, 6, "sum_charge"),
+            _dec_sum(disc_price, 4, "sum_disc_price"),
+            # charge has 6 true decimals (scale-4 per-row rounding hits
+            # exact .xx50 ties that engines break differently, and so
+            # does rounding the exact sum: Spark HALF_UP vs DuckDB
+            # half-even). Sum the exact scale-6 decimals, TRUNCATE to
+            # cents (floor — tie-free), emit as double (cents < 2^53).
+            (F.floor(F.sum(charge.cast("decimal(30,6)")) * 100).cast("double") / 100.0)
+            .alias("sum_charge"),
             exact_avg(F.col("l_quantity")).alias("avg_qty"),
             exact_avg(F.col("l_extendedprice")).alias("avg_price"),
             exact_avg(F.col("l_discount")).alias("avg_disc"),
@@ -59,10 +65,11 @@ SQL_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6)))
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4)))
             AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
-                     AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+       CAST(floor(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                           AS DECIMAL(30,6))) * 100) AS DOUBLE) / 100.0
+         AS sum_charge,
        {sql_exact_avg("l_quantity")} AS avg_qty,
        {sql_exact_avg("l_extendedprice")} AS avg_price,
        {sql_exact_avg("l_discount")} AS avg_disc,
@@ -93,7 +100,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .groupBy("l_orderkey", F.col("o_orderdate").cast("timestamp").alias("o_orderdate"), "o_orderpriority")
-        .agg(_dec_sum(disc_price, 6, "revenue"))
+        .agg(_dec_sum(disc_price, 4, "revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
@@ -101,7 +108,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_Q3 = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6)))
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4)))
             AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -140,13 +147,13 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1998-01-01"))
         )
         .groupBy("n_name")
-        .agg(_dec_sum(disc_price, 6, "revenue"))
+        .agg(_dec_sum(disc_price, 4, "revenue"))
     )
 
 
 SQL_Q5 = """
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6)))
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4)))
             AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -573,7 +580,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             _dec_sum(
-                F.col("l_extendedprice") * F.col("l_discount"), 6, "revenue"
+                F.col("l_extendedprice") * F.col("l_discount"), 4, "revenue"
             ),
             F.count(F.lit(1)).alias("n_rows"),
         )
@@ -581,7 +588,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_Q6 = """
-SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6)))
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,4)))
             AS DOUBLE) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
@@ -719,6 +726,139 @@ GROUP BY 1, 2
 """
 
 
+# --- Native session windows (F.session_window) ----------------------------
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in gap-based session window (30 min) — the
+    streaming-native twin of q_sessionize; session end = last event +
+    gap by definition."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SQL_SESSION_WINDOW = """
+WITH with_gap AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM with_gap
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+# --- Exact interpolated percentiles ----------------------------------------
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (non-approximate) interpolated percentiles per group —
+    sorting the group exactly, both engines interpolate a+(b−a)·f on
+    identical doubles. For 100 TB you'd reach for approx_percentile
+    (t-digest, no global sort); the exact form is the correctness
+    anchor and fine per-group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.95) AS p95,
+       MIN(l_extendedprice) AS mn,
+       MAX(l_extendedprice) AS mx
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --- Moment aggregates: variance / covariance / correlation ----------------
+def q_moment_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """var_samp/var_pop/stddev_pop/covar_samp/corr derived from exact
+    decimal moments (registry.py discipline): identical doubles in both
+    engines, and the same partial-aggregation shape as the built-ins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    sx = F.sum(F.col("l_quantity").cast("decimal(30,4)")).cast("double")
+    sxx = F.sum(
+        (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(30,2)")
+    ).cast("double")
+    sy = F.sum(F.col("l_extendedprice").cast("decimal(30,4)")).cast("double")
+    # scale 4 (the products' true scale): at ~1e10 magnitude the double
+    # ulp (~2e-6) exceeds a scale-8 quantum and engines round the tail
+    # differently; at scale 4 the quantum dwarfs the ulp -> exact.
+    syy = F.sum(
+        (F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(30,2)")
+    ).cast("double")
+    sxy = F.sum(
+        (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(30,2)")
+    ).cast("double")
+    var_s = (sxx - sx * sx / n) / (n - F.lit(1))
+    var_p = (sxx - sx * sx / n) / n
+    cov_s = (sxy - sx * sy / n) / (n - F.lit(1))
+    corr = (sxy - sx * sy / n) / (
+        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    )
+    return li.groupBy("l_returnflag").agg(
+        var_s.alias("var_samp_qty"),
+        var_p.alias("var_pop_qty"),
+        F.sqrt(var_p).alias("stddev_pop_qty"),
+        cov_s.alias("covar_qty_price"),
+        corr.alias("corr_qty_price"),
+    )
+
+
+def _sql_moments() -> str:
+    sx = "CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)"
+    sxx = "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,2))) AS DOUBLE)"
+    sy = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)"
+    syy = (
+        "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,2)))"
+        " AS DOUBLE)"
+    )
+    sxy = (
+        "CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)"
+    )
+    n = "COUNT(*)"
+    return f"""
+SELECT l_returnflag,
+       ({sxx} - {sx} * {sx} / {n}) / ({n} - 1) AS var_samp_qty,
+       ({sxx} - {sx} * {sx} / {n}) / {n} AS var_pop_qty,
+       sqrt(({sxx} - {sx} * {sx} / {n}) / {n}) AS stddev_pop_qty,
+       ({sxy} - {sx} * {sy} / {n}) / ({n} - 1) AS covar_qty_price,
+       ({sxy} - {sx} * {sy} / {n})
+         / (sqrt({sxx} - {sx} * {sx} / {n}) * sqrt({syy} - {sy} * {sy} / {n}))
+         AS corr_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+SQL_MOMENT_AGGS = _sql_moments()
+
+
 # --- Approximate distinct (no SQL oracle — algorithm-specific) ------------
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approx_count_distinct — algorithm differs from
@@ -759,4 +899,7 @@ def specs():
         QuerySpec("regexp_funcs", q_regexp_funcs, SQL_REGEXP_FUNCS),
         QuerySpec("scalar_subquery", q_scalar_subquery, SQL_SCALAR_SUBQUERY),
         QuerySpec("tumbling_window_1h", q_tumbling_window, SQL_TUMBLING_WINDOW),
+        QuerySpec("session_window_agg", q_session_window, SQL_SESSION_WINDOW),
+        QuerySpec("percentiles_exact", q_percentiles, SQL_PERCENTILES),
+        QuerySpec("moment_aggs", q_moment_aggs, SQL_MOMENT_AGGS),
     ]
