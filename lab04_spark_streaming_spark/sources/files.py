@@ -40,6 +40,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Date/key-partitioned parquet layout: filters on the partition
+    columns become PartitionFilters (directory pruning — the scan never
+    opens non-matching files). The first lever at 100 TB; verify with
+    explain() → ``PartitionFilters``."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: two tables bucketed on the same join key
+    with the same bucket count join WITHOUT a shuffle (both sides are
+    already hash-distributed on disk). This is the pre-shuffle you pay
+    once at write time instead of per query — the biggest repeated-join
+    saving at 100 TB. Requires saveAsTable (bucket metadata lives in
+    the catalog)."""
+    w = df.write.bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.mode(mode).format("parquet").saveAsTable(table)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every star-schema table present in ``sf_dir``."""
     out: dict[str, DataFrame] = {}

@@ -158,6 +158,42 @@ def console_sink(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of the same key arriving
+    within the watermark horizon (``dropDuplicatesWithinWatermark`` —
+    state is evicted once the watermark passes, so memory is bounded by
+    horizon × key rate; plain dropDuplicates on a stream would keep
+    state forever). The streaming twin of operators/dedup.exact_dedup
+    for ingest-time dedup of an LLM data feed."""
+    wm = stream.withWatermark(ts_col, watermark) if stream.isStreaming else stream
+    if stream.isStreaming:
+        return wm.dropDuplicatesWithinWatermark(list(key_cols))
+    return wm.dropDuplicates(list(key_cols))
+
+
+def foreach_batch_parquet(
+    df: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Production sink pattern: each micro-batch lands as parquet via
+    foreachBatch (gives exactly-once via the checkpoint + idempotent
+    overwrite-by-batch-id layout, and lets one batch write fan out to
+    several destinations)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def memory_sink_once(df: DataFrame, name: str, output_mode: str) -> None:
     """Test helper: run the stream to completion (availableNow) into an
     in-memory table ``name`` and block until done."""

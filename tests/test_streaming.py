@@ -233,6 +233,43 @@ def test_stage3_stream_stream_join(spark, tmp_path):
     assert got == expected
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate keys inside the watermark horizon are dropped; the
+    survivor set equals batch dropDuplicates on the same data."""
+    from lab04_spark_streaming_spark.streaming.pipeline import streaming_dedup
+
+    rows = _ticks(n=40)
+    dup = rows + [
+        (s, p + 999, t, seq) for (s, p, t, seq) in rows[:15]
+    ]  # same (symbol, seq) → dups
+    path = str(tmp_path / "dd")
+    spark.createDataFrame(dup, TICK_SCHEMA).coalesce(1).write.parquet(path)
+    stream = file_stream(spark, path, TICK_SCHEMA)
+    out = streaming_dedup(stream, ["symbol", "seq"], "event_time")
+    memory_sink_once(out, "dd_out", "append")
+    got = spark.table("dd_out").collect()
+    assert len(got) == 40
+    assert len({(r.symbol, r.seq) for r in got}) == 40
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    from lab04_spark_streaming_spark.streaming.pipeline import (
+        foreach_batch_parquet,
+    )
+
+    rows = _ticks(n=30)
+    src = str(tmp_path / "fb_src")
+    spark.createDataFrame(rows, TICK_SCHEMA).coalesce(1).write.parquet(src)
+    stream = file_stream(spark, src, TICK_SCHEMA)
+    out_dir = str(tmp_path / "fb_out")
+    q = foreach_batch_parquet(
+        stream, out_dir, str(tmp_path / "fb_ckpt")
+    ).start()
+    q.awaitTermination()
+    landed = spark.read.parquet(f"{out_dir}/batch_id=*")
+    assert landed.count() == 30
+
+
 def test_kafka_builder_plan(spark):
     """Kafka isn't running in this container; assert the source builder
     constructs a valid streaming plan (options accepted, schema known)."""
