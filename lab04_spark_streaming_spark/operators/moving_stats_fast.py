@@ -243,28 +243,22 @@ def zscore_asof_fast(
     buckets = bucket_moments(ticks, ts_col, key_cols, value_col, slide_s)
     cums = cumulative_moments(buckets, key_cols)
 
-    # Probe slots needed: for candidate end e, window D needs cum(e-1)
-    # and cum(e-1-D/S). Candidate ends: slot(t) .. slot(t)-max_stale.
-    tick_slots = ticks.select(
-        *key_cols,
-        F.floor(F.unix_timestamp(F.col(ts_col)) / slide_s).alias("_end"),
-    ).distinct()
-    offsets = sorted(
-        {
-            stale + off
-            for stale in range(max_stale_slots + 1)
-            for dur in [_duration_seconds(d) // slide_s for _, d in windows]
-            for off in (1, 1 + dur)
-        }
+    # Probe axis: every slot a lookup could reference — generated from
+    # each key's [min,max] bucket range (cheap bounds agg, zero extra
+    # shuffles) rather than distinct tick-derived slots (which costs
+    # two distincts over ~rows-sized data; measured slower).
+    dmax = max(_duration_seconds(d) // slide_s for _, d in windows)
+    bounds = buckets.groupBy(*key_cols).agg(
+        F.min("_slot").alias("_lo"), F.max("_slot").alias("_hi")
     )
-    probes = (
-        tick_slots.select(
-            *key_cols,
-            F.explode(
-                F.array(*[(F.col("_end") - o).cast("long") for o in offsets])
-            ).alias("_slot"),
-        )
-        .distinct()
+    probes = bounds.select(
+        *key_cols,
+        F.explode(
+            F.sequence(
+                F.col("_lo") - dmax - max_stale_slots - 1,
+                F.col("_hi") + max_stale_slots,
+            )
+        ).alias("_slot"),
     )
     looked = asof_cum_lookup(cums, probes, key_cols)
 

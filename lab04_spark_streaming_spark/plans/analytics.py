@@ -168,6 +168,104 @@ GROUP BY n_name
 """
 
 
+# --- TPC-H Q4: order priority checking (correlated EXISTS) ----------------
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-correlated subquery → left_semi physical join."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01")
+    )
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '1999-01-01')
+GROUP BY o_orderpriority
+"""
+
+
+# --- TPC-H Q12: shipmode line-priority buckets (conditional agg) ----------
+def q12_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_Q12 = """
+SELECT l_linestatus,
+       COUNT(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         AS high_line_count,
+       COUNT(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+         AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+  AND l_shipdate < TIMESTAMP '2000-01-01'
+GROUP BY l_linestatus
+"""
+
+
+# --- TPC-H Q14: promotion revenue ratio -----------------------------------
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional revenue ratio — both sums exact decimals, the final
+    ratio identical IEEE division."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-06-01"))
+        & (F.col("l_shipdate") < F.lit("1999-07-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(30,4)"
+    )
+    promo = F.col("p_type").startswith("PROMO")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(promo, disc)).cast("double")
+            / F.sum(disc).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+SQL_Q14 = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN
+                        CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))
+                        END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(30,4))) AS DOUBLE)
+         AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1999-06-01'
+  AND l_shipdate < TIMESTAMP '1999-07-01'
+"""
+
+
 # --- Semi / anti joins ----------------------------------------------------
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """left_semi — customers with ≥1 high-value order. Semi joins only
@@ -877,6 +975,9 @@ def specs():
         QuerySpec("q1_pricing_summary", q1_pricing_summary, SQL_Q1),
         QuerySpec("q3_shipping_priority", q3_shipping_priority, SQL_Q3),
         QuerySpec("q5_local_supplier", q5_local_supplier, SQL_Q5),
+        QuerySpec("q4_order_priority", q4_order_priority, SQL_Q4),
+        QuerySpec("q12_priority_buckets", q12_priority_buckets, SQL_Q12),
+        QuerySpec("q14_promo_revenue", q14_promo_revenue, SQL_Q14),
         QuerySpec("semi_join_exists", q_semi_join, SQL_SEMI_JOIN),
         QuerySpec("anti_join_not_exists", q_anti_join, SQL_ANTI_JOIN),
         QuerySpec("outer_join_agg", q_outer_join, SQL_OUTER_JOIN),
