@@ -512,6 +512,59 @@ WHERE tf.tf >= 3
 """
 
 
+# --- quality filter pipeline ------------------------------------------------
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed keep/drop decision — the final stage of a data-quality
+    pipeline: length bounds + stopword floor + digit ceiling, with the
+    per-language keep-rate summarized. Shows operator composition (the
+    metrics query feeding a filter + aggregate) rather than a new
+    primitive."""
+    m = q_text_metrics(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    keep = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("avg_word_len") >= 3.0)
+        & (F.col("stopword_ratio") >= 0.01)
+        & (F.col("digit_ratio") <= 0.2)
+    )
+    return (
+        m.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(keep, 1)).alias("n_keep"),
+            (F.count(F.when(keep, 1)) / F.count(F.lit(1))).alias("keep_rate"),
+        )
+    )
+
+
+SQL_QUALITY_FILTER = f"""
+WITH tok AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, lang, len(toks) AS n_tokens,
+         CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+           list_sum(list_transform(toks, t -> length(t))) / len(toks) END
+           AS avg_word_len,
+         CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+           len(list_filter(toks, t -> list_contains(
+             ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'], t))) / len(toks)
+           END AS stopword_ratio,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))
+           / greatest(length(text), 1) AS digit_ratio
+  FROM tok
+)
+SELECT lang, COUNT(*) AS n_docs,
+       COUNT(*) FILTER (n_tokens >= 10 AND avg_word_len >= 3.0
+                        AND stopword_ratio >= 0.01 AND digit_ratio <= 0.2)
+         AS n_keep,
+       COUNT(*) FILTER (n_tokens >= 10 AND avg_word_len >= 3.0
+                        AND stopword_ratio >= 0.01 AND digit_ratio <= 0.2)
+         / COUNT(*) AS keep_rate
+FROM m
+GROUP BY lang
+"""
+
+
 # --- multimodal ------------------------------------------------------------
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata projection over the media table (binary column
@@ -545,6 +598,27 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_stub(media)
 
 
+def q_multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal chain: Arrow-batched decode (stub) →
+    feature vectors → cosine against one query item via the JVM fold
+    (similarity.cosine_to_query) → top-20. Rows-only check (decode is
+    Python-side by design); demonstrates the decode→embed→search
+    pipeline composition."""
+    from lab04_spark_streaming_spark.operators.similarity import cosine_to_query
+
+    feats = mm.decode_stub(mm.media_from_documents(_docs(spark, sf_dir)))
+    q = feats.filter(F.col("media_id") == 0).select("features").collect()
+    if not q:
+        return feats.limit(0)
+    scored = cosine_to_query(feats, [float(x) for x in q[0][0]], "features")
+    return (
+        scored.filter(F.col("media_id") != 0)
+        .orderBy(F.desc("cosine"), "media_id")
+        .select("media_id", "kind", "cosine")
+        .limit(20)
+    )
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -565,4 +639,6 @@ def specs():
         QuerySpec("tf_df_terms", q_tf_df, SQL_TF_DF),
         QuerySpec("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META),
         QuerySpec("multimodal_decode_stub", q_multimodal_decode, None),
+        QuerySpec("quality_filter_pipeline", q_quality_filter, SQL_QUALITY_FILTER),
+        QuerySpec("multimodal_feature_knn", q_multimodal_feature_knn, None),
     ]
