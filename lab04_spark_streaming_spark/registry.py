@@ -23,7 +23,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from lab04_spark_streaming_spark.plans import analytics, llm, reference_parity
+from lab04_spark_streaming_spark.plans import analytics, llm, reference_parity, tpch_full
 
 
 @dataclass(frozen=True)
@@ -37,6 +37,7 @@ def all_specs() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     specs += reference_parity.specs()
     specs += analytics.specs()
+    specs += tpch_full.specs()
     specs += llm.specs()
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"

@@ -94,3 +94,33 @@ def test_moving_stats_exploded_variant_agrees(spark, sf_dir):
         for r in moving_stats_exploded(ev, "ts", ["event_type"], "value").collect()
     }
     assert a == b
+
+
+def test_tpch_full_dims_broadcast_no_cartesian(spark, sf_dir):
+    """Every query in the full TPC-H suite: dimension joins broadcast,
+    no CartesianProduct/BroadcastNestedLoopJoin sneaks in (the scalar
+    thresholds in Q11/Q15/Q17/Q22 are 1-row broadcasts, which Spark
+    plans as BroadcastNestedLoopJoin — allowed only for those)."""
+    from lab04_spark_streaming_spark.plans import tpch_full
+
+    scalar_thr = {"q11_important_volume", "q15_top_supplier",
+                  "q17_small_qty_revenue", "q22_global_sales"}
+    for s in tpch_full.specs():
+        plan = plan_of(s.fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, s.name
+        if s.name not in scalar_thr:
+            assert "BroadcastNestedLoopJoin" not in plan, s.name
+
+
+def test_tpch_q21_semi_anti_shape(spark, sf_dir):
+    from lab04_spark_streaming_spark.plans import tpch_full
+
+    plan = plan_of(tpch_full.q21_suppliers_waiting(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_tpch_q10_topk_heap(spark, sf_dir):
+    from lab04_spark_streaming_spark.plans import tpch_full
+
+    plan = plan_of(tpch_full.q10_returned_items(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
