@@ -220,6 +220,15 @@ def moving_stats_flat_fast(
     )
 
 
+# Slot-range chunk width for parallel prefix scans. A per-key ordered
+# pass (cumsum / as-of fill) serializes on key cardinality — with few
+# keys and a long time axis most cores idle. Chunking by slot range
+# restores parallelism: each (key, chunk) sorts independently, and a
+# tiny per-chunk summary table (one row per chunk) carries the running
+# state across chunk boundaries. 16384 slots ≈ 1.9 days at 10 s.
+CHUNK_SLOTS = 16384
+
+
 def zscore_asof_fast(
     ticks: DataFrame,
     ts_col: str,
@@ -235,97 +244,167 @@ def zscore_asof_fast(
     against the most recent non-empty window ending ≤ the tick's slot
     (falling back ≤ ``max_stale_slots``).
 
-    Plan shape: 2 shuffles total (bucket agg; key-partitioned window
-    functions + final broadcast-free sort-merge join on (key, slot)) —
-    versus the naive plan's 669-way row expansion feeding a giant
-    hash-agg plus join. Output verified equal to the naive operator
-    (tests) and to the DuckDB oracle."""
+    Every cumulative moment a tick needs lives at a fixed slot offset:
+    for staleness s the window ending at slot e−s covers cum(e−1−s) −
+    cum(e−1−s−D/S). The distinct offsets across all windows × stales
+    (2 + 2·|windows| by default) become one probe row each, and a
+    single as-of fill resolves them all:
+
+      1. bucket    — ONE row-count-proportional shuffle → exact decimal
+                     moments per (key, slot).
+      2. cumsum    — per-key running moments (output bounded by
+                     occupied slots, not rows).
+      3. union-fill — tick probe rows union the sparse cum rows; one
+                     ordered last_value(ignoreNulls) pass gives every
+                     probe its as-of cum. No dense slot axis, no
+                     sort-merge join afterwards.
+      4. pivot     — per-tick hash agg collapses the probe rows back to
+                     one row (3 × |offsets| max-when columns); window
+                     stats are moment differences, freshest non-empty
+                     staleness wins; explode emits (tick, window) rows.
+
+    The fill pass is slot-range chunked (CHUNK_SLOTS): each (key,
+    chunk) fills independently and a per-chunk carry (last bucket cum
+    before the chunk — a tiny summary window) patches probes that
+    precede their chunk's first bucket, so parallelism scales with the
+    time axis instead of the key count. Output verified bit-equal to
+    the naive operator (tests/test_fast_path.py) and to the DuckDB
+    oracle."""
     buckets = bucket_moments(ticks, ts_col, key_cols, value_col, slide_s)
     cums = cumulative_moments(buckets, key_cols)
+    cum_cols = ("_cn", "_cs", "_csq")
+    cum_types = {c: cums.schema[c].dataType for c in cum_cols}
 
-    # Probe axis: every slot a lookup could reference — generated from
-    # each key's [min,max] bucket range (cheap bounds agg, zero extra
-    # shuffles) rather than distinct tick-derived slots (which costs
-    # two distincts over ~rows-sized data; measured slower).
-    dmax = max(_duration_seconds(d) // slide_s for _, d in windows)
-    bounds = buckets.groupBy(*key_cols).agg(
-        F.min("_slot").alias("_lo"), F.max("_slot").alias("_hi")
+    offs = sorted(
+        {1 + st for st in range(max_stale_slots + 1)}
+        | {
+            1 + st + _duration_seconds(dur) // slide_s
+            for st in range(max_stale_slots + 1)
+            for _, dur in windows
+        }
     )
-    probes = bounds.select(
-        *key_cols,
-        F.explode(
-            F.sequence(
-                F.col("_lo") - dmax - max_stale_slots - 1,
-                F.col("_hi") + max_stale_slots,
-            )
-        ).alias("_slot"),
-    )
-    looked = asof_cum_lookup(cums, probes, key_cols)
 
-    # One reference row per (tick, window-label, staleness, hi|lo): the
-    # hi lookup is cum through the candidate end's last covered slot,
-    # the lo lookup is cum through the slot just before the window.
     out_id = [F.col(id_col)] if id_col else []
-    refs = []
-    for label, dur in windows:
-        dslots = _duration_seconds(dur) // slide_s
-        for stale in range(max_stale_slots + 1):
-            for kind, off in (("h", 1 + stale), ("l", 1 + stale + dslots)):
-                refs.append(
-                    f"struct('{label}' as label, "
-                    f"'{kind}{stale}' as kind, _end0 - {off} as _slot)"
-                )
     base = ticks.select(
         *out_id,
         F.col(ts_col).alias("timestamp"),
         *[F.col(k) for k in key_cols],
         F.col(value_col).alias("_v"),
         F.floor(F.unix_timestamp(F.col(ts_col)) / slide_s).alias("_end0"),
-    ).withColumn("_r", F.explode(F.expr(f"array({', '.join(refs)})")))
+    )
+    probes = base.withColumn(
+        "_off", F.explode(F.array(*[F.lit(o) for o in offs]))
+    ).withColumn("_slot", (F.col("_end0") - F.col("_off")).cast("long"))
 
-    joined = base.select(
-        *out_id,
-        "timestamp",
+    # Union schema: moments null on probe rows, tick payload null on
+    # bucket rows; _isb orders buckets before probes at the same slot
+    # (as-of is ≤, so a bucket AT the probe slot counts).
+    pay = [("timestamp", base.schema["timestamp"].dataType), ("_v", "double"), ("_off", "int")]
+    if id_col:
+        pay.insert(0, (id_col, base.schema[id_col].dataType))
+    b_side = cums.select(
         *key_cols,
-        "_v",
-        F.col("_r.label").alias("_label"),
-        F.col("_r.kind").alias("_kind"),
-        F.col("_r._slot").alias("_slot"),
-    ).join(looked, [*key_cols, "_slot"])
+        F.col("_slot").cast("long").alias("_slot"),
+        F.lit(1).alias("_isb"),
+        *cum_cols,
+        *[F.lit(None).cast(t).alias(n) for n, t in pay],
+    )
+    p_side = probes.select(
+        *key_cols,
+        "_slot",
+        F.lit(0).alias("_isb"),
+        *[F.lit(None).cast(cum_types[c]).alias(c) for c in cum_cols],
+        *[F.col(n) for n, _ in pay],
+    )
+    u = b_side.unionByName(p_side).withColumn(
+        "_chunk", F.floor(F.col("_slot") / CHUNK_SLOTS)
+    )
+    w = (
+        Window.partitionBy(*key_cols, "_chunk")
+        .orderBy(F.col("_slot"), F.col("_isb").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        *key_cols,
+        "_chunk",
+        "_isb",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in cum_cols],
+        *[n for n, _ in pay],
+    ).filter(F.col("_isb") == 0)
 
-    def side(agg_col: str, kind: str):
-        return F.max(F.when(F.col("_kind") == kind, F.col(agg_col)))
-
-    # Single pivot per (tick, label): all stales in one aggregation, the
-    # freshest non-empty candidate picked with when() — no second
-    # shuffle, no row_number window.
-    per_stale = []
-    grouped = joined.groupBy(*out_id, "timestamp", *key_cols, "_v", "_label").agg(
+    # Carry: the last bucket cum from any EARLIER chunk, for probes
+    # that precede their own chunk's first bucket. One summary row per
+    # (key, chunk) → the running window here is over a tiny relation.
+    summ = (
+        cums.withColumn("_chunk", F.floor(F.col("_slot") / CHUNK_SLOTS))
+        .groupBy(*key_cols, "_chunk")
+        .agg(F.max(F.struct("_slot", *cum_cols)).alias("_m"))
+    )
+    chunk_domain = u.select(*key_cols, "_chunk").distinct()
+    cw = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        chunk_domain.join(summ, [*key_cols, "_chunk"], "left_outer")
+        .select(
+            *key_cols,
+            "_chunk",
+            F.last("_m", ignorenulls=True).over(cw).alias("_carry"),
+        )
+    )
+    zero = {c: F.lit(0).cast(cum_types[c]) for c in cum_cols}
+    resolved = filled.join(F.broadcast(carry), [*key_cols, "_chunk"]).select(
+        *[n for n, _ in pay],
+        *key_cols,
         *[
-            (side(c, f"{k}{st}") ).alias(f"_{c[1:]}_{k}{st}")
-            for st in range(max_stale_slots + 1)
-            for k in ("h", "l")
-            for c in ("_cn", "_cs", "_csq")
+            F.coalesce(F.col(c), F.col(f"_carry.{c}"), zero[c]).alias(c)
+            for c in cum_cols
+        ],
+    )
+
+    group_keys = ([id_col] if id_col else []) + ["timestamp", *key_cols, "_v"]
+    grouped = resolved.groupBy(*group_keys).agg(
+        *[
+            F.max(F.when(F.col("_off") == o, F.col(c))).alias(f"{c}_{o}")
+            for o in offs
+            for c in cum_cols
         ]
     )
-    for st in range(max_stale_slots + 1):
-        n = F.col(f"_cn_h{st}") - F.col(f"_cn_l{st}")
-        s = F.col(f"_cs_h{st}") - F.col(f"_cs_l{st}")
-        sq = F.col(f"_csq_h{st}") - F.col(f"_csq_l{st}")
-        avg, std = _stats_from_moment_diff(n, s, sq)
-        per_stale.append((n, safe_zscore(F.col("_v"), avg, std)))
-    z = F.lit(None).cast("double")
-    n_any = F.lit(False)
-    for n, zs in reversed(per_stale):
-        z = F.when(n > 0, zs).otherwise(z)
-        n_any = n_any | (n > 0)
-    return (
-        grouped.filter(n_any)
-        .select(
-            *out_id,
-            "timestamp",
-            *key_cols,
-            F.col("_label").alias("window"),
-            z.alias("zscore_value"),
+
+    entries = []
+    for label, dur in windows:
+        dslots = _duration_seconds(dur) // slide_s
+        picks = []
+        for st in range(max_stale_slots + 1):
+            h, lo = 1 + st, 1 + st + dslots
+            n = F.col(f"_cn_{h}") - F.col(f"_cn_{lo}")
+            s = F.col(f"_cs_{h}") - F.col(f"_cs_{lo}")
+            sq = F.col(f"_csq_{h}") - F.col(f"_csq_{lo}")
+            picks.append((n, *_stats_from_moment_diff(n, s, sq)))
+        n_any = F.lit(False)
+        avg_pick = F.lit(None).cast("double")
+        std_pick = F.lit(None).cast("double")
+        for n, avg, std in reversed(picks):
+            avg_pick = F.when(n > 0, avg).otherwise(avg_pick)
+            std_pick = F.when(n > 0, std).otherwise(std_pick)
+            n_any = n_any | (n > 0)
+        entries.append(
+            F.struct(
+                F.lit(label).alias("window"),
+                n_any.alias("ok"),
+                avg_pick.alias("avg"),
+                std_pick.alias("std"),
+            )
         )
+    ex = F.explode(F.filter(F.array(*entries), lambda e: e["ok"])).alias("_e")
+    return grouped.select(*group_keys, ex).select(
+        *([F.col(id_col)] if id_col else []),
+        "timestamp",
+        *key_cols,
+        F.col("_e.window").alias("window"),
+        safe_zscore(F.col("_v"), F.col("_e.avg"), F.col("_e.std")).alias(
+            "zscore_value"
+        ),
     )
