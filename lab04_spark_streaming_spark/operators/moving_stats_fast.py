@@ -37,6 +37,15 @@ from lab04_spark_streaming_spark.operators.moving_stats import (
 )
 
 
+# Slot-range chunk width for parallel prefix scans. A per-key ordered
+# pass (cumsum / as-of fill) serializes on key cardinality — with few
+# keys and a long time axis most cores idle. Chunking by slot range
+# restores parallelism: each (key, chunk) sorts independently, and a
+# tiny per-chunk summary table (one row per chunk) carries the running
+# state across chunk boundaries. 16384 slots ≈ 1.9 days at 10 s.
+CHUNK_SLOTS = 16384
+
+
 def bucket_moments(
     df: DataFrame,
     ts_col: str,
@@ -59,20 +68,77 @@ def bucket_moments(
 
 
 def cumulative_moments(
-    buckets: DataFrame, key_cols: Sequence[str]
+    buckets: DataFrame,
+    key_cols: Sequence[str],
+    chunk_slots: int | None = None,
 ) -> DataFrame:
-    """Stage 2: per-key running moments (decimal sums stay exact)."""
-    w = (
-        Window.partitionBy(*key_cols)
+    """Stage 2: per-key running moments (decimal sums stay exact).
+
+    ``chunk_slots=None`` (default): one ordered window per key — the
+    cheapest plan when the slot axis is short, but it serializes on key
+    cardinality (5 keys → 5 busy cores no matter the cluster).
+
+    ``chunk_slots=N`` — chunk-parallel two-level prefix sum: each
+    (key, N-slot chunk) cumsums independently, and an exclusive running
+    total over the tiny per-chunk summary relation (one row per chunk)
+    is broadcast back as the chunk's carry-in, so parallelism follows
+    the time axis. Costs ~3 extra small stages — callers pick by their
+    known time span (see plans/reference_parity._stats_flat for the
+    same cost-based-picker pattern)."""
+    if chunk_slots is None:
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy("_slot")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return buckets.select(
+            *key_cols,
+            "_slot",
+            F.sum("_n").over(w).alias("_cn"),
+            F.sum("_s").over(w).alias("_cs"),
+            F.sum("_sq").over(w).alias("_csq"),
+        )
+    b = buckets.withColumn("_chunk", F.floor(F.col("_slot") / chunk_slots))
+    win = (
+        Window.partitionBy(*key_cols, "_chunk")
         .orderBy("_slot")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return buckets.select(
+    part = b.select(
+        *key_cols,
+        "_chunk",
+        "_slot",
+        F.sum("_n").over(win).alias("_cn"),
+        F.sum("_s").over(win).alias("_cs"),
+        F.sum("_sq").over(win).alias("_csq"),
+    )
+    totals = b.groupBy(*key_cols, "_chunk").agg(
+        F.sum("_n").alias("_tn"),
+        F.sum("_s").alias("_ts"),
+        F.sum("_sq").alias("_tsq"),
+    )
+    cw = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = totals.select(
+        *key_cols,
+        "_chunk",
+        F.coalesce(F.sum("_tn").over(cw), F.lit(0)).alias("_kn"),
+        F.coalesce(
+            F.sum("_ts").over(cw), F.lit(0).cast(totals.schema["_ts"].dataType)
+        ).alias("_ks"),
+        F.coalesce(
+            F.sum("_tsq").over(cw), F.lit(0).cast(totals.schema["_tsq"].dataType)
+        ).alias("_ksq"),
+    )
+    return part.join(F.broadcast(carry), [*key_cols, "_chunk"]).select(
         *key_cols,
         "_slot",
-        F.sum("_n").over(w).alias("_cn"),
-        F.sum("_s").over(w).alias("_cs"),
-        F.sum("_sq").over(w).alias("_csq"),
+        (F.col("_cn") + F.col("_kn")).alias("_cn"),
+        (F.col("_cs") + F.col("_ks")).alias("_cs"),
+        (F.col("_csq") + F.col("_ksq")).alias("_csq"),
     )
 
 
@@ -80,48 +146,111 @@ def asof_cum_lookup(
     cums: DataFrame,
     probes: DataFrame,
     key_cols: Sequence[str],
+    chunk_slots: int | None = None,
 ) -> DataFrame:
     """For each probe (key, slot) return the cumulative moments through
-    that slot (zeros when no bucket precedes it). Union + ordered
-    last_value(ignoreNulls): one shuffle by key, no expansion."""
-    b = cums.select(
+    that slot (zeros when no bucket precedes it), preserving any extra
+    payload columns the probe rows carry. Union + ordered
+    last_value(ignoreNulls) — no expansion.
+
+    ``chunk_slots=None``: one fill pass per key (serializes on key
+    cardinality — fine for short slot axes). ``chunk_slots=N``: each
+    (key, N-slot chunk) fills independently in parallel; probes that
+    precede their chunk's first bucket are patched from a per-chunk
+    carry (the last bucket cum of any earlier chunk — an exclusive
+    running window over the tiny one-row-per-chunk summary relation,
+    broadcast back), so parallelism follows the time axis."""
+    cum_cols = ("_cn", "_cs", "_csq")
+    cum_types = {c: cums.schema[c].dataType for c in cum_cols}
+    pay = [
+        (f.name, f.dataType)
+        for f in probes.schema.fields
+        if f.name not in (*key_cols, "_slot")
+    ]
+
+    b_side = cums.select(
         *key_cols,
-        "_slot",
+        F.col("_slot").cast("long").alias("_slot"),
         F.lit(1).alias("_isb"),
-        "_cn",
-        "_cs",
-        "_csq",
+        *cum_cols,
+        *[F.lit(None).cast(t).alias(n) for n, t in pay],
     )
-    p = probes.select(
+    p_side = probes.select(
         *key_cols,
-        "_slot",
+        F.col("_slot").cast("long").alias("_slot"),
         F.lit(0).alias("_isb"),
-        F.lit(None).cast(b.schema["_cn"].dataType).alias("_cn"),
-        F.lit(None).cast(b.schema["_cs"].dataType).alias("_cs"),
-        F.lit(None).cast(b.schema["_csq"].dataType).alias("_csq"),
+        *[F.lit(None).cast(cum_types[c]).alias(c) for c in cum_cols],
+        *[F.col(n) for n, _ in pay],
     )
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.col("_slot"), F.col("_isb").desc()
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    filled = b.unionByName(p).select(
+    zero = {c: F.lit(0).cast(cum_types[c]) for c in cum_cols}
+
+    if chunk_slots is None:
+        # _isb desc orders a bucket BEFORE probes at the same slot: the
+        # as-of is ≤, so a bucket at the probe slot counts.
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(F.col("_slot"), F.col("_isb").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            b_side.unionByName(p_side)
+            .select(
+                *key_cols,
+                "_slot",
+                "_isb",
+                *[
+                    F.coalesce(
+                        F.last(c, ignorenulls=True).over(w), zero[c]
+                    ).alias(c)
+                    for c in cum_cols
+                ],
+                *[n for n, _ in pay],
+            )
+            .filter(F.col("_isb") == 0)
+            .drop("_isb")
+        )
+
+    u = b_side.unionByName(p_side).withColumn(
+        "_chunk", F.floor(F.col("_slot") / chunk_slots)
+    )
+    w = (
+        Window.partitionBy(*key_cols, "_chunk")
+        .orderBy(F.col("_slot"), F.col("_isb").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
         *key_cols,
         "_slot",
+        "_chunk",
         "_isb",
-        F.last("_cn", ignorenulls=True).over(w).alias("_cn"),
-        F.last("_cs", ignorenulls=True).over(w).alias("_cs"),
-        F.last("_csq", ignorenulls=True).over(w).alias("_csq"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in cum_cols],
+        *[n for n, _ in pay],
+    ).filter(F.col("_isb") == 0)
+
+    summ = (
+        cums.withColumn("_chunk", F.floor(F.col("_slot") / chunk_slots))
+        .groupBy(*key_cols, "_chunk")
+        .agg(F.max(F.struct("_slot", *cum_cols)).alias("_m"))
     )
-    return (
-        filled.filter(F.col("_isb") == 0)
-        .drop("_isb")
-        .withColumn("_cn", F.coalesce(F.col("_cn"), F.lit(0)))
-        .withColumn(
-            "_cs", F.coalesce(F.col("_cs"), F.lit(0).cast(b.schema["_cs"].dataType))
-        )
-        .withColumn(
-            "_csq",
-            F.coalesce(F.col("_csq"), F.lit(0).cast(b.schema["_csq"].dataType)),
-        )
+    chunk_domain = u.select(*key_cols, "_chunk").distinct()
+    cw = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = chunk_domain.join(summ, [*key_cols, "_chunk"], "left_outer").select(
+        *key_cols,
+        "_chunk",
+        F.last("_m", ignorenulls=True).over(cw).alias("_carry"),
+    )
+    return filled.join(F.broadcast(carry), [*key_cols, "_chunk"]).select(
+        *key_cols,
+        "_slot",
+        *[
+            F.coalesce(F.col(c), F.col(f"_carry.{c}"), zero[c]).alias(c)
+            for c in cum_cols
+        ],
+        *[n for n, _ in pay],
     )
 
 
@@ -143,6 +272,7 @@ def moving_stats_flat_fast(
     value_col: str,
     windows: Sequence[tuple[str, str]] = REFERENCE_WINDOWS,
     slide_s: int = 10,
+    chunk_slots: int | None = None,
 ) -> DataFrame:
     """Prefix-sum equivalent of operators/moving_stats.moving_stats_flat
     (bit-identical output, asserted in tests). Instead of expanding
@@ -150,12 +280,11 @@ def moving_stats_flat_fast(
     enumerated from each key's [min_slot, max_slot] range — work bounded
     by time-range/slide × keys × windows, independent of row count.
 
-    Parallelism note: the per-key cumulative sort limits parallelism to
-    the key cardinality; with few keys and a long time axis, salt the
-    cumsum by slot-range chunks (carry chunk offsets in a second pass) —
-    not needed at this fixture's scale, noted for 100 TB."""
+    Both ordered passes (cumsum, as-of fill) are slot-range chunked
+    (CHUNK_SLOTS two-level scans), so parallelism follows the time axis
+    rather than the key cardinality."""
     buckets = bucket_moments(df, ts_col, key_cols, value_col, slide_s)
-    cums = cumulative_moments(buckets, key_cols)
+    cums = cumulative_moments(buckets, key_cols, chunk_slots=chunk_slots)
     dmax = max(_duration_seconds(d) // slide_s for _, d in windows)
 
     bounds = buckets.groupBy(*key_cols).agg(
@@ -167,7 +296,7 @@ def moving_stats_flat_fast(
             F.sequence(F.col("_lo") - dmax, F.col("_hi") + dmax - 1)
         ).alias("_slot"),
     )
-    looked = asof_cum_lookup(cums, probes, key_cols)
+    looked = asof_cum_lookup(cums, probes, key_cols, chunk_slots=chunk_slots)
 
     wspec = ", ".join(
         f"struct('{label}' as label, {_duration_seconds(dur) // slide_s} as dslots)"
@@ -238,6 +367,7 @@ def zscore_asof_fast(
     slide_s: int = 10,
     max_stale_slots: int = 1,
     id_col: str | None = None,
+    chunk_slots: int | None = CHUNK_SLOTS,
 ) -> DataFrame:
     """Prefix-sum equivalent of operators/zscore.zscore_asof over
     moving_stats_flat: for each tick × window label, the z-score
@@ -271,9 +401,8 @@ def zscore_asof_fast(
     the naive operator (tests/test_fast_path.py) and to the DuckDB
     oracle."""
     buckets = bucket_moments(ticks, ts_col, key_cols, value_col, slide_s)
-    cums = cumulative_moments(buckets, key_cols)
+    cums = cumulative_moments(buckets, key_cols, chunk_slots=chunk_slots)
     cum_cols = ("_cn", "_cs", "_csq")
-    cum_types = {c: cums.schema[c].dataType for c in cum_cols}
 
     offs = sorted(
         {1 + st for st in range(max_stale_slots + 1)}
@@ -292,77 +421,12 @@ def zscore_asof_fast(
         F.col(value_col).alias("_v"),
         F.floor(F.unix_timestamp(F.col(ts_col)) / slide_s).alias("_end0"),
     )
-    probes = base.withColumn(
-        "_off", F.explode(F.array(*[F.lit(o) for o in offs]))
-    ).withColumn("_slot", (F.col("_end0") - F.col("_off")).cast("long"))
-
-    # Union schema: moments null on probe rows, tick payload null on
-    # bucket rows; _isb orders buckets before probes at the same slot
-    # (as-of is ≤, so a bucket AT the probe slot counts).
-    pay = [("timestamp", base.schema["timestamp"].dataType), ("_v", "double"), ("_off", "int")]
-    if id_col:
-        pay.insert(0, (id_col, base.schema[id_col].dataType))
-    b_side = cums.select(
-        *key_cols,
-        F.col("_slot").cast("long").alias("_slot"),
-        F.lit(1).alias("_isb"),
-        *cum_cols,
-        *[F.lit(None).cast(t).alias(n) for n, t in pay],
+    probes = (
+        base.withColumn("_off", F.explode(F.array(*[F.lit(o) for o in offs])))
+        .withColumn("_slot", (F.col("_end0") - F.col("_off")).cast("long"))
+        .drop("_end0")
     )
-    p_side = probes.select(
-        *key_cols,
-        "_slot",
-        F.lit(0).alias("_isb"),
-        *[F.lit(None).cast(cum_types[c]).alias(c) for c in cum_cols],
-        *[F.col(n) for n, _ in pay],
-    )
-    u = b_side.unionByName(p_side).withColumn(
-        "_chunk", F.floor(F.col("_slot") / CHUNK_SLOTS)
-    )
-    w = (
-        Window.partitionBy(*key_cols, "_chunk")
-        .orderBy(F.col("_slot"), F.col("_isb").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = u.select(
-        *key_cols,
-        "_chunk",
-        "_isb",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in cum_cols],
-        *[n for n, _ in pay],
-    ).filter(F.col("_isb") == 0)
-
-    # Carry: the last bucket cum from any EARLIER chunk, for probes
-    # that precede their own chunk's first bucket. One summary row per
-    # (key, chunk) → the running window here is over a tiny relation.
-    summ = (
-        cums.withColumn("_chunk", F.floor(F.col("_slot") / CHUNK_SLOTS))
-        .groupBy(*key_cols, "_chunk")
-        .agg(F.max(F.struct("_slot", *cum_cols)).alias("_m"))
-    )
-    chunk_domain = u.select(*key_cols, "_chunk").distinct()
-    cw = (
-        Window.partitionBy(*key_cols)
-        .orderBy("_chunk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    carry = (
-        chunk_domain.join(summ, [*key_cols, "_chunk"], "left_outer")
-        .select(
-            *key_cols,
-            "_chunk",
-            F.last("_m", ignorenulls=True).over(cw).alias("_carry"),
-        )
-    )
-    zero = {c: F.lit(0).cast(cum_types[c]) for c in cum_cols}
-    resolved = filled.join(F.broadcast(carry), [*key_cols, "_chunk"]).select(
-        *[n for n, _ in pay],
-        *key_cols,
-        *[
-            F.coalesce(F.col(c), F.col(f"_carry.{c}"), zero[c]).alias(c)
-            for c in cum_cols
-        ],
-    )
+    resolved = asof_cum_lookup(cums, probes, key_cols, chunk_slots=chunk_slots)
 
     group_keys = ([id_col] if id_col else []) + ["timestamp", *key_cols, "_v"]
     grouped = resolved.groupBy(*group_keys).agg(

@@ -114,11 +114,23 @@ def _stats_flat(
         moving_stats_flat_fast,
     )
 
+    from lab04_spark_streaming_spark.operators.moving_stats_fast import (
+        CHUNK_SLOTS,
+    )
+
     ev = _events(spark, sf_dir, until)
     expansion = sum(secs // 10 for _, secs in windows)
     if expansion >= 100:
+        # Chunk the prefix scans only when the slot axis is long enough
+        # to amortize the extra two-level-scan stages: an `until`-bounded
+        # slice spans ≤ a couple of chunks, so per-key passes are cheaper.
         return moving_stats_flat_fast(
-            ev, "ts", ["event_type"], "value", windows=_spark_windows(windows)
+            ev,
+            "ts",
+            ["event_type"],
+            "value",
+            windows=_spark_windows(windows),
+            chunk_slots=None if until else CHUNK_SLOTS,
         )
     return moving_stats_flat(
         ev, "ts", ["event_type"], "value", windows=_spark_windows(windows)
