@@ -189,3 +189,145 @@ def ann_bucket_pairs(
             F.col("a.bucket").alias("bucket"),
         )
     )
+
+
+def _quantized_pos(
+    emb: DataFrame, id_col: str, vec_col: str, q: float = 10_000_000.0
+) -> DataFrame:
+    """Positional explode with 1e-7 integer quantization — the exact
+    cross-engine arithmetic base shared by the similarity operators."""
+    return emb.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "xf"),
+    ).withColumn("x", F.floor(F.col("xf").cast("double") * q + F.lit(0.5)))
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid
+    by cosine (ties → smaller centroid id). Centroids are the vectors
+    with ``id < n_cells`` — a deterministic seeding stand-in for a
+    k-means codebook (the assignment/search plumbing is identical; swap
+    the centroid relation for trained centroids in production).
+
+    Scale shape: centroids broadcast (a codebook is ≪ memory), so
+    assignment is a map-side join + per-(vector, centroid) moment agg —
+    n·K·d work, no vector-side shuffle until the small (id, cell)
+    output. Returns (id, cell, cell_cosine)."""
+    pos = _quantized_pos(emb, id_col, vec_col)
+    cpos = pos.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("_cid"), F.col("pos"), F.col("x").alias("cx")
+    )
+    norms = pos.groupBy(id_col).agg(F.sum(F.col("x") * F.col("x")).alias("n2"))
+    cnorms = norms.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("_cid"), F.col("n2").alias("c2")
+    )
+    dots = (
+        pos.join(F.broadcast(cpos), "pos")
+        .groupBy(id_col, "_cid")
+        .agg(F.sum(F.col("x") * F.col("cx")).alias("dot"))
+    )
+    cos = (
+        dots.join(norms, id_col)
+        .join(F.broadcast(cnorms), "_cid")
+        .withColumn(
+            "cell_cosine",
+            F.col("dot") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("c2"))),
+        )
+    )
+    from pyspark.sql import Window
+
+    pick = Window.partitionBy(id_col).orderBy(
+        F.desc("cell_cosine"), F.col("_cid")
+    )
+    return (
+        cos.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("_cid").alias("cell"), "cell_cosine")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe the ``n_probe`` cells whose centroids are
+    nearest the query, exact-rank only their members. The scale path of
+    similarity search — work drops from n·d to (n·n_probe/n_cells)·d
+    after the index is built, at the cost of recall (vectors assigned
+    elsewhere are invisible; the brute-force baseline
+    :func:`exact_cosine_topk_vs_id` is the recall oracle).
+
+    All arithmetic is integer-quantized → oracle-checkable end to end,
+    including the cell assignment itself. Returns (vec_id, cell,
+    cosine) — the top-k among probed cells."""
+    assign = ivf_assign(emb, n_cells, id_col, vec_col)
+    pos = _quantized_pos(emb, id_col, vec_col)
+    norms = pos.groupBy(id_col).agg(F.sum(F.col("x") * F.col("x")).alias("n2"))
+
+    # Probe list: the n_probe centroids nearest the query vector —
+    # reuse the per-(vector, centroid) cosines of the assignment by
+    # recomputing just the query row (tiny: K rows).
+    cpos = pos.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("_cid"), F.col("pos"), F.col("x").alias("cx")
+    )
+    qpos = pos.filter(F.col(id_col) == query_id).select(
+        "pos", F.col("x").alias("qx")
+    )
+    cnorms = norms.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("_cid"), F.col("n2").alias("c2")
+    )
+    qn2 = norms.filter(F.col(id_col) == query_id).select(
+        F.col("n2").alias("qn2")
+    )
+    qc = (
+        cpos.join(F.broadcast(qpos), "pos")
+        .groupBy("_cid")
+        .agg(F.sum(F.col("cx") * F.col("qx")).alias("qdot"))
+        .join(F.broadcast(cnorms), "_cid")
+        .crossJoin(F.broadcast(qn2))
+        .select(
+            "_cid",
+            (F.col("qdot") / (F.sqrt(F.col("c2")) * F.sqrt(F.col("qn2")))).alias(
+                "qc_cos"
+            ),
+        )
+        .orderBy(F.desc("qc_cos"), "_cid")
+        .limit(n_probe)
+        .select(F.col("_cid").alias("cell"))
+    )
+
+    cands = (
+        assign.join(F.broadcast(qc), "cell", "left_semi")
+        .filter(F.col(id_col) != query_id)
+        .select(id_col, "cell")
+    )
+    cdots = (
+        pos.join(F.broadcast(cands.select(id_col)), id_col, "left_semi")
+        .join(F.broadcast(qpos), "pos")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("x") * F.col("qx")).alias("dot"))
+    )
+    return (
+        cdots.join(norms, id_col)
+        .crossJoin(F.broadcast(qn2))
+        .join(cands, id_col)
+        .select(
+            id_col,
+            "cell",
+            (F.col("dot") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2")))).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )

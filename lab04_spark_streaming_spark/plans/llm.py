@@ -619,6 +619,72 @@ def q_multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF approximate nearest neighbor --------------------------------------
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search, oracle-checked end to end (including the coarse
+    quantizer): assign every vector to its nearest of 16 deterministic
+    centroids, probe the 4 cells nearest the query, exact-rank their
+    members. The scale path next to the brute-force recall oracle
+    `knn_cosine_topk` (operators/similarity.ivf_topk for plan notes)."""
+    return sim.ivf_topk(
+        _emb(spark, sf_dir), query_id=0, k=10, n_cells=16, n_probe=4
+    )
+
+
+SQL_ANN_IVF_TOPK = """
+WITH pos0 AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos, embedding
+  FROM embeddings
+),
+pos AS (
+  SELECT vec_id, pos,
+         CAST(floor(CAST(embedding[pos] AS DOUBLE) * 10000000.0 + 0.5)
+              AS BIGINT) AS x
+  FROM pos0
+),
+norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM pos GROUP BY vec_id),
+cpos AS (SELECT vec_id AS cid, pos, x AS cx FROM pos WHERE vec_id < 16),
+cnorms AS (SELECT vec_id AS cid, n2 AS c2 FROM norms WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id, cid AS cell
+  FROM (
+    SELECT p.vec_id, c.cid,
+           SUM(p.x * c.cx) / (sqrt(n.n2) * sqrt(cn.c2)) AS cell_cosine
+    FROM pos p
+    JOIN cpos c ON p.pos = c.pos
+    JOIN norms n ON p.vec_id = n.vec_id
+    JOIN cnorms cn ON c.cid = cn.cid
+    GROUP BY p.vec_id, c.cid, n.n2, cn.c2)
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY cell_cosine DESC, cid) = 1
+),
+qpos AS (SELECT pos, x AS qx FROM pos WHERE vec_id = 0),
+qn AS (SELECT n2 AS qn2 FROM norms WHERE vec_id = 0),
+probe AS (
+  SELECT c.cid AS cell
+  FROM cpos c
+  JOIN qpos q ON c.pos = q.pos
+  JOIN cnorms cn ON c.cid = cn.cid, qn
+  GROUP BY c.cid, cn.c2, qn.qn2
+  ORDER BY SUM(c.cx * q.qx) / (sqrt(cn.c2) * sqrt(qn.qn2)) DESC, c.cid
+  LIMIT 4
+),
+cands AS (
+  SELECT vec_id, cell FROM assign
+  WHERE cell IN (SELECT cell FROM probe) AND vec_id <> 0
+)
+SELECT p.vec_id, cd.cell,
+       SUM(p.x * q.qx) / (sqrt(n.n2) * sqrt(qn.qn2)) AS cosine
+FROM pos p
+JOIN cands cd ON p.vec_id = cd.vec_id
+JOIN qpos q ON p.pos = q.pos
+JOIN norms n ON p.vec_id = n.vec_id, qn
+GROUP BY p.vec_id, cd.cell, n.n2, qn.qn2
+ORDER BY cosine DESC, p.vec_id
+LIMIT 10
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -633,6 +699,7 @@ def specs():
         QuerySpec("knn_cosine_topk", q_knn_cosine_topk, SQL_KNN_COSINE_TOPK),
         QuerySpec("dedup_embedding_pairs", q_embedding_pairs, SQL_EMBEDDING_PAIRS),
         QuerySpec("ann_srp_buckets", q_srp_buckets, SQL_SRP_BUCKETS),
+        QuerySpec("ann_ivf_topk", q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
         QuerySpec("text_metrics", q_text_metrics, SQL_TEXT_METRICS),
         QuerySpec("lang_id_heuristic", q_lang_id, SQL_LANG_ID),
         QuerySpec("doc_fingerprint", q_fingerprint, SQL_FINGERPRINT),

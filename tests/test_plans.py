@@ -124,3 +124,14 @@ def test_tpch_q10_topk_heap(spark, sf_dir):
 
     plan = plan_of(tpch_full.q10_returned_items(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_centroids_broadcast(spark, sf_dir):
+    """IVF assignment must broadcast the codebook — the vector side
+    never shuffles before the (id, cell) reduction."""
+    from lab04_spark_streaming_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(ivf_topk(emb, query_id=0, k=10))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
