@@ -105,3 +105,89 @@ def decode_stub(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_bytes_out", LongType()),
+    ]
+)
+
+
+def resize_stub(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Image-resize stage plumbing: Arrow-batched ``mapInPandas`` over
+    image rows only (the kind filter happens in Catalyst BEFORE the
+    Python boundary — never ship non-image payload bytes to a worker
+    that drops them). The deterministic fake emits a width×height
+    payload size; a real implementation decodes/resamples with its
+    codec and raises NotImplementedError without one (see
+    ``_fake_decode``). Output sizes are pure functions of the input →
+    the whole Python stage is DuckDB-oracle-checkable."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": [width] * n,
+                    "height": [height] * n,
+                    # Fake resample: output byte count is exactly w×h
+                    # (one channel); real decoders produce w×h×channels.
+                    "n_bytes_out": [width * height] * n,
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        resize_batches, RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_ts_ms", LongType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def frame_sample_stub(media: DataFrame, every_ms: int = 40) -> DataFrame:
+    """Video frame-sampling plumbing: the one multimodal stage whose
+    OUTPUT CARDINALITY differs from its input (one row per sampled
+    frame) — the Arrow batch must be rebuilt, not mapped 1:1. Fake
+    duration rule (documented): duration_ms := payload byte count;
+    frames at t = 0, every_ms, … < duration. Row expansion happens
+    inside the Python worker exactly as a real ffmpeg-backed sampler
+    would emit frames; counts are arithmetic on the input → DuckDB-
+    oracle-checkable."""
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, totals = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                duration_ms = len(payload)
+                n_frames = max(0, (duration_ms + every_ms - 1) // every_ms)
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    totals.append(n_frames)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "n_frames": pd.Series(totals, dtype="int64"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        sample_batches, FRAMES_SCHEMA
+    )

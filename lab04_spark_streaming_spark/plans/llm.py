@@ -619,6 +619,61 @@ def q_multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multimodal resize / frame-sample stages --------------------------------
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize mapInPandas stage over the synthetic media table.
+    The fake resampler's outputs are pure functions of the input, so
+    the Arrow round-trip + kind pushdown are oracle-checked (unlike the
+    rows-only decode stub)."""
+    from lab04_spark_streaming_spark.operators.multimodal import (
+        media_from_documents,
+        resize_stub,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_stub(media_from_documents(docs), width=32, height=32)
+
+
+SQL_MULTIMODAL_RESIZE = """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+       CAST(1024 AS BIGINT) AS n_bytes_out
+FROM documents
+WHERE doc_id % 3 = 0
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling mapInPandas stage — the row-EXPANDING
+    Python stage (one output row per sampled frame). The fake duration
+    rule (duration_ms := payload bytes) makes the expansion arithmetic,
+    so the oracle checks the Python-side batch rebuild exactly."""
+    from lab04_spark_streaming_spark.operators.multimodal import (
+        frame_sample_stub,
+        media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample_stub(media_from_documents(docs), every_ms=40)
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH vids AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS dur,
+         CAST(ceil(octet_length(encode(text)) / 40.0) AS BIGINT) AS nf
+  FROM documents
+  WHERE doc_id % 3 = 2
+)
+SELECT media_id,
+       unnest(generate_series(0, nf - 1)) AS frame_idx,
+       unnest(generate_series(0, nf - 1)) * CAST(40 AS BIGINT) AS frame_ts_ms,
+       nf AS n_frames
+FROM vids
+WHERE nf > 0
+"""
+
+
 # --- IVF approximate nearest neighbor --------------------------------------
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search, oracle-checked end to end (including the coarse
@@ -706,6 +761,8 @@ def specs():
         QuerySpec("tf_df_terms", q_tf_df, SQL_TF_DF),
         QuerySpec("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META),
         QuerySpec("multimodal_decode_stub", q_multimodal_decode, None),
+        QuerySpec("multimodal_resize", q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+        QuerySpec("multimodal_frame_sample", q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
         QuerySpec("quality_filter_pipeline", q_quality_filter, SQL_QUALITY_FILTER),
         QuerySpec("multimodal_feature_knn", q_multimodal_feature_knn, None),
     ]
