@@ -205,3 +205,20 @@ def memory_sink_once(df: DataFrame, name: str, output_mode: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    how: str = "left_outer",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    streaming fact. Spark re-plans the static side each micro-batch, so
+    the dimension may be a view over slowly-refreshing storage; with a
+    broadcastable dim this stays a stateless map-side join — no
+    watermark, no join state, unlike stream-stream joins
+    (stage3_zscore). The canonical ingest-pipeline step for tagging an
+    LLM data feed with source/tenant/license metadata before
+    dedup/quality filtering."""
+    return stream.join(F.broadcast(dim), list(on), how)

@@ -281,3 +281,30 @@ def test_kafka_builder_plan(spark):
         pytest.skip(f"kafka source unavailable: {e}")
     assert df.isStreaming
     assert "value" in df.columns
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: streaming facts pick up dim attributes with
+    no watermark/state; rows without a dim match survive (left outer)."""
+    from lab04_spark_streaming_spark.streaming.pipeline import (
+        enrich_stream,
+        memory_sink_once,
+    )
+
+    rows = _ticks(n=20)
+    src = str(tmp_path / "en_src")
+    spark.createDataFrame(rows, TICK_SCHEMA).coalesce(1).write.parquet(src)
+    stream = file_stream(spark, src, TICK_SCHEMA)
+    dim = spark.createDataFrame(
+        [("BTCUSDT", "crypto", "binance")],
+        "symbol string, asset_class string, venue string",
+    )
+    out = enrich_stream(stream, dim, ["symbol"])
+    memory_sink_once(out, "en_out", "append")
+    got = spark.table("en_out").collect()
+    assert len(got) == 20
+    matched = [r for r in got if r.asset_class is not None]
+    unmatched = [r for r in got if r.asset_class is None]
+    assert all(r.symbol == "BTCUSDT" for r in matched)
+    assert all(r.symbol != "BTCUSDT" for r in unmatched)
+    assert matched, "expected at least one enriched row"
