@@ -619,6 +619,63 @@ def q_multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- tf-idf top terms per document ------------------------------------------
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most characteristic tokens per document — the per-group
+    top-k ranking stage of a tf-idf pipeline. The relevance score is
+    the rational idf surrogate tf·(N−df)/df instead of tf·ln(N/df):
+    ln is libm-dependent (last-ulp drift across engines flips ranks at
+    ties), while integer products + one double division are
+    bit-identical — same determinism stance as q_tf_df. Rank ties
+    break on token, so the window is fully deterministic."""
+    from pyspark.sql import Window
+
+    toks = "array_remove(split(lower(text), '[^a-z0-9]+'), '')"
+    tf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(toks)).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * (F.col("n_docs") - F.col("df"))).cast("double")
+            / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "df", "rank", "score")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         CAST(tf.tf * (n.n_docs - dfreq.df) AS DOUBLE) / dfreq.df AS score
+  FROM tf JOIN dfreq ON tf.token = dfreq.token, n)
+SELECT doc_id, token, tf, df,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, token) AS rank,
+       score
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
 # --- multimodal resize / frame-sample stages --------------------------------
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize mapInPandas stage over the synthetic media table.
@@ -759,6 +816,7 @@ def specs():
         QuerySpec("lang_id_heuristic", q_lang_id, SQL_LANG_ID),
         QuerySpec("doc_fingerprint", q_fingerprint, SQL_FINGERPRINT),
         QuerySpec("tf_df_terms", q_tf_df, SQL_TF_DF),
+        QuerySpec("tfidf_top_terms", q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
         QuerySpec("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META),
         QuerySpec("multimodal_decode_stub", q_multimodal_decode, None),
         QuerySpec("multimodal_resize", q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
