@@ -135,3 +135,24 @@ def test_ivf_centroids_broadcast(spark, sf_dir):
     plan = plan_of(ivf_topk(emb, query_id=0, k=10))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_cosines_agree_with_exact_baseline(spark, sf_dir):
+    """Every (vec_id, cosine) the IVF search returns must carry exactly
+    the cosine the brute-force baseline computes for that id — IVF may
+    MISS neighbors (recall tradeoff) but must never mis-score one."""
+    from lab04_spark_streaming_spark.operators.similarity import (
+        exact_cosine_topk_vs_id,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    exact = {
+        r.vec_id: r.cosine
+        for r in exact_cosine_topk_vs_id(emb, query_id=0, k=n).collect()
+    }
+    got = ivf_topk(emb, query_id=0, k=10).collect()
+    assert got, "IVF returned no rows"
+    for r in got:
+        assert exact[r.vec_id] == r.cosine, (r.vec_id, exact[r.vec_id], r.cosine)
