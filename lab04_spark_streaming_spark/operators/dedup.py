@@ -122,8 +122,16 @@ def minhash_candidate_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (a < b) sharing ≥1 LSH band.
-    One shuffle on (band, band_hash); bucket self-join."""
-    bands = lsh_bands(minhash_signatures(df, text_col, id_col), id_col)
+    One shuffle on (band, band_hash); bucket self-join.
+
+    Docs with an empty shingle set (<3 tokens) have all-NULL signatures;
+    concat_ws would collapse them to one shared md5('') band bucket and
+    emit spurious pairs among every short doc — filter them out (the
+    oracle twin filters sig[1] IS NOT NULL identically)."""
+    sigs = minhash_signatures(df, text_col, id_col).filter(
+        F.expr("element_at(sig, 1) IS NOT NULL")
+    )
+    bands = lsh_bands(sigs, id_col)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -224,14 +232,26 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.4,
+    max_df: int = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
 
     Plan: explode distinct (id, shingle) → self-join on shingle
     (inverted index — the shuffle key is the shingle hash) → count
-    shared shingles per pair → |A∪B| = |A|+|B|−|A∩B|. At scale,
-    stop-shingle removal (drop shingles with df > threshold) bounds
-    bucket sizes; here the corpus is synthetic and tame."""
+    shared shingles per pair → |A∪B| = |A|+|B|−|A∩B|.
+
+    ``max_df`` is the stop-shingle cap: shingles appearing in more than
+    ``max_df`` documents are dropped from the shingle sets BEFORE the
+    self-join, bounding every inverted-index bucket to ≤ max_df²/2
+    pairs — without it one hot shingle (boilerplate, a license header)
+    makes a quadratic bucket at 100 TB. Doc sizes are recounted after
+    the cap so the Jaccard stays internally consistent over the capped
+    sets. The df relation shares the self-join's shuffle key (shingle),
+    so the cap costs one co-partitioned aggregation + semi-join, no
+    extra exchange of the data. Default 1000 never triggers on the
+    fixture corpus (max observed df: 25 at sf0.1) — output there is
+    bit-identical to the uncapped form (tests/test_skew.py exercises
+    the cap with a synthetic hot shingle)."""
     sh = df.select(
         F.col(id_col), F.expr(expr_tokens(text_col)).alias("_toks")
     ).select(
@@ -240,6 +260,14 @@ def jaccard_pairs(
             F.array_distinct(F.expr(expr_shingles("_toks")))
         ).alias("shingle"),
     )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -349,15 +349,6 @@ def moving_stats_flat_fast(
     )
 
 
-# Slot-range chunk width for parallel prefix scans. A per-key ordered
-# pass (cumsum / as-of fill) serializes on key cardinality — with few
-# keys and a long time axis most cores idle. Chunking by slot range
-# restores parallelism: each (key, chunk) sorts independently, and a
-# tiny per-chunk summary table (one row per chunk) carries the running
-# state across chunk boundaries. 16384 slots ≈ 1.9 days at 10 s.
-CHUNK_SLOTS = 16384
-
-
 def zscore_asof_fast(
     ticks: DataFrame,
     ts_col: str,

@@ -36,11 +36,18 @@ def expr_tokens(col: str = "text") -> str:
 
 # --- word shingles ---------------------------------------------------------
 def expr_shingles(toks_expr: str, n: int = 3) -> str:
-    """Spark SQL: n-word shingles from a token array (0-based indexing)."""
+    """Spark SQL: n-word shingles from a token array (0-based indexing).
+
+    Guarded for short docs: when size(toks) < n, sequence(0, size-n)
+    would produce a DESCENDING sequence and the toks[i+j] subscripts
+    would throw INVALID_ARRAY_INDEX — instead return the empty shingle
+    set, which is also what the DuckDB twin's generate_series yields."""
     parts = ", ".join(f"{toks_expr}[i+{j}]" for j in range(n))
     return (
-        f"transform(sequence(0, size({toks_expr}) - {n}), "
-        f"i -> concat_ws(' ', {parts}))"
+        f"CASE WHEN size({toks_expr}) < {n} "
+        f"THEN cast(array() as array<string>) "
+        f"ELSE transform(sequence(0, size({toks_expr}) - {n}), "
+        f"i -> concat_ws(' ', {parts})) END"
     )
 
 

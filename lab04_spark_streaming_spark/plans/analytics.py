@@ -506,7 +506,9 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.lit("  x  ")).alias("trimmed"),
         F.replace(F.col("p_type"), F.lit("SMALL"), F.lit("S")).alias("repl"),
         F.col("p_name").contains("red").alias("has_red"),
-        F.split(F.col("p_name"), " ").alias("words"),
+        # array_join: the driver's canonicalizer hashes pandas cells, and
+        # list-typed cells are unhashable — serialize arrays in BOTH engines.
+        F.array_join(F.split(F.col("p_name"), " "), ",").alias("words"),
     )
 
 
@@ -516,7 +518,7 @@ SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
        concat_ws('|', p_brand, p_type) AS cat, trim('  x  ') AS trimmed,
        replace(p_type, 'SMALL', 'S') AS repl,
        contains(p_name, 'red') AS has_red,
-       string_split(p_name, ' ') AS words
+       array_to_string(string_split(p_name, ' '), ',') AS words
 FROM part
 """
 
@@ -721,15 +723,19 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     words = F.split(F.col("p_name"), " ")
+    # All list-typed outputs are array_join'd (and array_to_string'd on the
+    # DuckDB side): the driver canonicalizer can't hash list cells.
     return p.select(
         "p_partkey",
-        F.array_sort(words).alias("sorted_words"),
+        F.array_join(F.array_sort(words), ",").alias("sorted_words"),
         # sorted: DuckDB's list_distinct does not preserve input order
-        F.array_sort(F.array_distinct(words)).alias("distinct_words"),
+        F.array_join(F.array_sort(F.array_distinct(words)), ",").alias(
+            "distinct_words"
+        ),
         F.size(words).cast("long").alias("n_words"),
         F.array_contains(words, "red").alias("has_red"),
-        F.slice(words, 1, 1).alias("first_word"),
-        F.reverse(words).alias("rev_words"),
+        F.array_join(F.slice(words, 1, 1), ",").alias("first_word"),
+        F.array_join(F.reverse(words), ",").alias("rev_words"),
         F.array_max(F.transform(words, lambda w: F.length(w))).cast("long").alias(
             "max_word_len"
         ),
@@ -738,12 +744,15 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ARRAY_FUNCS = """
 SELECT p_partkey,
-       list_sort(string_split(p_name, ' ')) AS sorted_words,
-       list_sort(list_distinct(string_split(p_name, ' '))) AS distinct_words,
+       array_to_string(list_sort(string_split(p_name, ' ')), ',')
+         AS sorted_words,
+       array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ',')
+         AS distinct_words,
        len(string_split(p_name, ' ')) AS n_words,
        list_contains(string_split(p_name, ' '), 'red') AS has_red,
-       string_split(p_name, ' ')[1:1] AS first_word,
-       list_reverse(string_split(p_name, ' ')) AS rev_words,
+       array_to_string(string_split(p_name, ' ')[1:1], ',') AS first_word,
+       array_to_string(list_reverse(string_split(p_name, ' ')), ',')
+         AS rev_words,
        list_max(list_transform(string_split(p_name, ' '), w -> length(w)))
          AS max_word_len
 FROM part

@@ -51,7 +51,17 @@ GROUP BY md5(text)
 
 # --- MinHash signatures ----------------------------------------------------
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.minhash_signatures(_docs(spark, sf_dir))
+    """Registered form serializes the array<long> signature to a CSV
+    string: the driver's pandas canonicalizer can't hash list cells.
+    Null slots (docs with <3 tokens have an empty shingle set, so every
+    array_min is NULL) print as 'null' in both engines."""
+    sigs = dd.minhash_signatures(_docs(spark, sf_dir))
+    return sigs.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(sig, x -> coalesce(cast(x as string), 'null')), ',')"
+        ).alias("sig"),
+    )
 
 
 def _sql_minhash_mins() -> str:
@@ -62,13 +72,24 @@ def _sql_minhash_mins() -> str:
     )
 
 
-SQL_MINHASH_SIGNATURES = f"""
+# List-typed signature CTE — reused by the LSH-pairs oracle (which
+# subscripts sig[i] for banding); the registered signatures oracle
+# below serializes it for the canonicalizer.
+_SQL_MINHASH_SIG_LIST = f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, {sql_shingles('toks')} AS shingles FROM tok t(doc_id, toks)),
 hs AS (SELECT doc_id, list_transform(t.shingles, s -> {sql_hash_int('s')}) AS hs
        FROM sh t(doc_id, shingles))
 SELECT doc_id, [{_sql_minhash_mins()}] AS sig
 FROM hs t(doc_id, hs)
+"""
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH sigs AS ({_SQL_MINHASH_SIG_LIST.strip()})
+SELECT doc_id,
+       array_to_string(list_transform(sig,
+         x -> coalesce(CAST(x AS VARCHAR), 'null')), ',') AS sig
+FROM sigs
 """
 
 
@@ -90,10 +111,11 @@ def _sql_bands() -> str:
 
 
 SQL_MINHASH_LSH_PAIRS = f"""
-WITH sigs AS ({SQL_MINHASH_SIGNATURES.strip()}),
+WITH sigs AS ({_SQL_MINHASH_SIG_LIST.strip()}),
 bands AS (
   SELECT doc_id, bd.band AS band, bd.band_hash AS band_hash
   FROM sigs, unnest({_sql_bands()}) u(bd)
+  WHERE sig[1] IS NOT NULL
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a
@@ -132,11 +154,18 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(_docs(spark, sf_dir))
 
 
+# max_df mirrors dedup.jaccard_pairs' stop-shingle cap (default 1000):
+# shingles in more docs are dropped before the self-join in BOTH engines.
 SQL_JACCARD_PAIRS = f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-sh AS (
+sh0 AS (
   SELECT doc_id, unnest(list_distinct({sql_shingles('toks')})) AS shingle
   FROM tok t(doc_id, toks)
+),
+sh AS (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle IN (
+    SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 1000)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
@@ -188,25 +217,71 @@ LIMIT 10
 
 # --- embedding cosine near-dup pairs ---------------------------------------
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sim.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+    """Scale-safe pipeline: banded-SRP-LSH candidates → exact verify on
+    candidates only (never all-pairs). The all-pairs form
+    (sim.embedding_near_dup_pairs) survives as the test-only recall
+    oracle; on the fixture corpus the two emit identical output
+    (deterministic 100% recall, asserted in tests/test_similarity.py)."""
+    return sim.embedding_near_dup_pairs_lsh(_emb(spark, sf_dir), threshold=0.4)
 
 
-SQL_EMBEDDING_PAIRS = """
-WITH pos0 AS (
-  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos, embedding
+def _sql_banded_srp(planes_per_band: int = 3, bands: int = 24, dim: int = 64):
+    """DuckDB twin of similarity.srp_banded_buckets: same md5-seeded ±1
+    literals, same int64 arithmetic → identical band keys."""
+
+    def key(t: int) -> str:
+        bits = []
+        for p in range(planes_per_band):
+            signs = sim.srp_plane_signs(t, p, dim)
+            lit = "[" + ", ".join(str(s) for s in signs) + "]"
+            dot = (
+                f"CAST(list_sum(list_transform(generate_series(1, {dim}), "
+                f"i -> qv[i] * ({lit})[i])) AS BIGINT)"
+            )
+            bits.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+        return "CAST(" + " + ".join(bits) + " AS INTEGER)"
+
+    return ", ".join(
+        f"struct_pack(band := {t}, band_key := {key(t)})" for t in range(bands)
+    )
+
+
+SQL_EMBEDDING_PAIRS = f"""
+WITH quant AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 10000000.0 + 0.5) AS BIGINT)) AS qv
   FROM embeddings
 ),
-pos AS (
-  SELECT vec_id, pos,
-         CAST(floor(CAST(embedding[pos] AS DOUBLE) * 10000000.0 + 0.5)
-              AS BIGINT) AS x
-  FROM pos0
+norms AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM quant
 ),
-norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM pos GROUP BY vec_id),
+keys AS (
+  SELECT vec_id, [{_sql_banded_srp()}] AS bds FROM quant
+),
+bands AS (
+  SELECT vec_id, bd.band AS band, bd.band_key AS band_key
+  FROM keys, unnest(bds) u(bd)
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.vec_id < b.vec_id
+),
+pairvecs AS (
+  SELECT id_a, id_b, qa.qv AS va, qb.qv AS vb
+  FROM cands
+  JOIN quant qa ON qa.vec_id = id_a
+  JOIN quant qb ON qb.vec_id = id_b
+),
 dots AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
-  FROM pos a JOIN pos b ON a.pos = b.pos AND a.vec_id < b.vec_id
-  GROUP BY 1, 2
+  SELECT id_a, id_b,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+           i -> va[i] * vb[i])) AS BIGINT) AS dot
+  FROM pairvecs
 )
 SELECT id_a, id_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
 FROM dots
@@ -331,7 +406,8 @@ starts AS (
   FROM tok
 )
 SELECT doc_id, start // {_STRIDE} AS chunk_id,
-       array_to_string(toks[start + 1 : start + {_CHUNK}], ' ') AS chunk_text,
+       coalesce(array_to_string(toks[start + 1 : start + {_CHUNK}], ' '), '')
+         AS chunk_text,
        len(toks[start + 1 : start + {_CHUNK}]) AS n_tokens
 FROM starts
 """
@@ -477,7 +553,8 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FINGERPRINT = f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
 SELECT doc_id,
-       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bow_fingerprint,
+       md5(coalesce(array_to_string(list_sort(list_distinct(toks)), ' '), ''))
+         AS bow_fingerprint,
        list_aggregate(list_transform({sql_shingles('toks')},
          s -> {sql_hash_int('s')}), 'min') AS min_shingle_hash
 FROM tok t(doc_id, toks)
@@ -600,19 +677,32 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal chain: Arrow-batched decode (stub) →
-    feature vectors → cosine against one query item via the JVM fold
-    (similarity.cosine_to_query) → top-20. Rows-only check (decode is
-    Python-side by design); demonstrates the decode→embed→search
-    pipeline composition."""
-    from lab04_spark_streaming_spark.operators.similarity import cosine_to_query
-
+    feature vectors → cosine against one query item → top-20. The 1-row
+    query relation is broadcast-cross-joined and the cosine computed by
+    a zip_with/aggregate fold on COLUMNS — no driver .collect(), so the
+    whole chain is one job. Rows-only check (decode is Python-side by
+    design); demonstrates the decode→embed→search composition."""
     feats = mm.decode_stub(mm.media_from_documents(_docs(spark, sf_dir)))
-    q = feats.filter(F.col("media_id") == 0).select("features").collect()
-    if not q:
-        return feats.limit(0)
-    scored = cosine_to_query(feats, [float(x) for x in q[0][0]], "features")
+    qf = feats.filter(F.col("media_id") == 0).select(
+        F.col("features").alias("_qf")
+    )
+    dot = (
+        "aggregate(zip_with(features, _qf, "
+        "(x, y) -> cast(x as double) * cast(y as double)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+    n1 = (
+        "aggregate(features, 0D, "
+        "(acc, x) -> acc + cast(x as double) * cast(x as double))"
+    )
+    n2 = (
+        "aggregate(_qf, 0D, "
+        "(acc, x) -> acc + cast(x as double) * cast(x as double))"
+    )
     return (
-        scored.filter(F.col("media_id") != 0)
+        feats.crossJoin(F.broadcast(qf))
+        .withColumn("cosine", F.expr(f"{dot} / (sqrt({n1}) * sqrt({n2}))"))
+        .filter(F.col("media_id") != 0)
         .orderBy(F.desc("cosine"), "media_id")
         .select("media_id", "kind", "cosine")
         .limit(20)

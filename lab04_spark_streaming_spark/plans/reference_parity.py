@@ -287,19 +287,50 @@ GROUP BY 1, 2
 
 
 # --- T1/T5: watermark late-row drop, batch equivalent ---------------------
+_WM_CHUNK = 4096  # event_id range per chunk of the two-level scan
+
+
 def q_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch model of the 10 s watermark (moving_statistic.py:47): keep
     rows within 10 s of the max event time seen so far in arrival order
-    (arrival order = event_id order in the fixture)."""
-    ev = _events(spark, sf_dir)
-    w = (
-        F.max("ts")
-        .over(Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0))
-        .alias("max_ts")
+    (arrival order = event_id order in the fixture).
+
+    An arrival-order running max is inherently sequential, but a bare
+    ``Window.orderBy(event_id)`` funnels the whole table through ONE
+    task. Same cure as moving_stats_fast.cumulative_moments: chunk the
+    id axis — each event_id-range chunk computes its local running max
+    in parallel, a tiny per-chunk summary relation (one row per chunk)
+    carries the exclusive prefix max across chunk boundaries, and
+    ``greatest(local, carry)`` reassembles the exact global running
+    max. The only single-partition window left is over the n/4096-row
+    summary, not the data."""
+    ev = _events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    b = ev.withColumn("_chunk", F.floor(F.col("event_id") / _WM_CHUNK))
+    local_w = (
+        Window.partitionBy("_chunk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    flagged = ev.select("event_id", "ts", "event_type", "value", w)
+    local = b.withColumn("_local_max", F.max("ts").over(local_w))
+    carry_w = Window.orderBy("_chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = (
+        b.groupBy("_chunk")
+        .agg(F.max("ts").alias("_chunk_max"))
+        .select(
+            "_chunk", F.max("_chunk_max").over(carry_w).alias("_carry")
+        )
+    )
     return (
-        flagged.filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 10 SECONDS"))
+        local.join(F.broadcast(carry), "_chunk")
+        .withColumn(
+            "max_ts",
+            F.greatest(
+                F.col("_local_max"), F.coalesce(F.col("_carry"), F.col("_local_max"))
+            ),
+        )
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 10 SECONDS"))
         .select("event_id", "ts", "event_type", "value")
     )
 

@@ -71,10 +71,13 @@ def write_bucketed(
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load every star-schema table present in ``sf_dir``."""
+    """Load every star-schema table present in ``sf_dir``. Routed
+    through :func:`load_table` so the nanos-timestamp handling (and the
+    legacy conf it depends on) is shared — the two loaders must yield
+    identical schemas for the same table."""
     out: dict[str, DataFrame] = {}
     for name in STAR_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = load_table(spark, sf_dir, name)
     return out

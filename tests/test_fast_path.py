@@ -1,8 +1,15 @@
 """The prefix-sum scale path must be BIT-identical to the naive
 sliding-window operators (same exact-decimal arithmetic, different
-plan shape)."""
+plan shape).
+
+Comparisons are Counter multisets over full rows (not dicts keyed on
+the natural key): a fast-path regression that emitted duplicate rows
+for a key would be silently collapsed by a dict and pass.
+"""
 
 from __future__ import annotations
+
+from collections import Counter
 
 from lab04_spark_streaming_spark.operators.moving_stats import moving_stats_flat
 from lab04_spark_streaming_spark.operators.moving_stats_fast import (
@@ -17,14 +24,14 @@ def test_moving_stats_flat_fast_equals_naive(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     slow = moving_stats_flat(ev, "ts", ["event_type"], "value")
     fast = moving_stats_flat_fast(ev, "ts", ["event_type"], "value")
-    s = {
-        (r.timestamp, r.event_type, r.window): (r.avg_value, r.std_value)
+    s = Counter(
+        (r.timestamp, r.event_type, r.window, r.avg_value, r.std_value)
         for r in slow.collect()
-    }
-    f = {
-        (r.timestamp, r.event_type, r.window): (r.avg_value, r.std_value)
+    )
+    f = Counter(
+        (r.timestamp, r.event_type, r.window, r.avg_value, r.std_value)
         for r in fast.collect()
-    }
+    )
     assert s == f
 
 
@@ -43,12 +50,12 @@ def test_zscore_asof_fast_equals_naive(spark, sf_dir):
     fast = zscore_asof_fast(
         ev, "ts", ["event_type"], "value", id_col="event_id"
     )
-    s = {
-        (r.event_id, r.window): (r.timestamp, r.zscore_value)
+    s = Counter(
+        (r.event_id, r.window, r.timestamp, r.zscore_value)
         for r in slow.collect()
-    }
-    f = {
-        (r.event_id, r.window): (r.timestamp, r.zscore_value)
+    )
+    f = Counter(
+        (r.event_id, r.window, r.timestamp, r.zscore_value)
         for r in fast.collect()
-    }
+    )
     assert s == f

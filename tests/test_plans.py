@@ -156,3 +156,48 @@ def test_ivf_cosines_agree_with_exact_baseline(spark, sf_dir):
     assert got, "IVF returned no rows"
     for r in got:
         assert exact[r.vec_id] == r.cosine, (r.vec_id, exact[r.vec_id], r.cosine)
+
+
+def test_embedding_pairs_lsh_shape_and_recall(spark, sf_dir):
+    """The REGISTERED dedup_embedding_pairs query must be the scale-safe
+    banded-SRP pipeline: candidates from a (band, band_key) bucket join,
+    verify on candidates only — never the O(n²·d) position self-join.
+    And on the fixture its output must equal the all-pairs recall
+    oracle exactly (recall is deterministic: md5-seeded literal signs)."""
+    from collections import Counter
+
+    from lab04_spark_streaming_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh = embedding_near_dup_pairs_lsh(emb, threshold=0.4)
+    plan = plan_of(lsh)
+    assert "band_key" in plan, "candidate bucket join missing from plan"
+    assert "CartesianProduct" not in plan
+    # verify stage must fold full arrays, not explode positions
+    assert "posexplode" not in plan
+
+    allp = Counter(
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    )
+    got = Counter((r.id_a, r.id_b, r.cosine) for r in lsh.collect())
+    assert got == allp
+
+
+def test_watermark_drop_no_global_window_over_data(spark, sf_dir):
+    """The arrival-order running max must be chunk-partitioned: the
+    window that scans the events table orders by event_id WITHIN a
+    _chunk partition; the only unpartitioned window is over the tiny
+    per-chunk summary relation (grouped: one row per 4096 ids)."""
+    import re
+
+    from lab04_spark_streaming_spark.plans import reference_parity as rp
+
+    plan = plan_of(rp.q_watermark_drop(spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "no window in plan"
+    data_specs = [s for s in specs if "event_id" in s]
+    assert data_specs and all(s.startswith("_chunk") for s in data_specs)
