@@ -48,11 +48,20 @@ def main() -> None:
     # Warm the JVM/codegen once (not measured): a trivial scan-agg.
     q["q1_pricing_summary"](spark, SF_DIR).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        q[name](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
+    # Median of 3 runs per query: run-to-run noise at sf0.1 is ±15%
+    # (codegen/GC), so a single run can't distinguish a regression from
+    # jitter across rounds.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(runs):
+        for name in HEADLINE:
+            t0 = time.time()
+            q[name](spark, SF_DIR).count()
+            samples[name].append(time.time() - t0)
+
+    timings = {
+        name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -61,6 +70,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "runs_per_query": runs,
+        "aggregation": "median",
     }
     print(json.dumps(out))
 

@@ -176,6 +176,106 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, via band-rotation:
+    the 32-bit simhash splits into 4 disjoint 8-bit bands; by
+    pigeonhole, any pair with hamming ≤ 3 is IDENTICAL in ≥1 band, so
+    the (band, band_val) bucket join has **exact** recall for
+    max_hamming ≤ 3 (unlike probabilistic MinHash banding) while never
+    going all-pairs. Verify = bit_count(xor) on the candidate pairs.
+
+    Docs with an empty token set all carry simhash 0 and pair with each
+    other at hamming 0 — deterministic and engine-identical (empty docs
+    ARE trivial duplicates). Returns (id_a, id_b, hamming)."""
+    sh = simhash(df, text_col, id_col)
+    bands = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.expr(
+            "inline(transform(sequence(0, 3), b -> "
+            "named_struct('band', b, "
+            "'band_val', cast(shiftright(simhash, b * 8) % 256 as int))))"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.expr("bit_count(_sa ^ _sb)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    n: int = 5,
+    min_shared: int = 3,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Train/test decontamination primitive: pairs of documents from
+    DIFFERENT groups (sources/splits) sharing ≥ ``min_shared`` distinct
+    word n-grams — the standard exact-substring contamination check
+    (n=5 here; 13 is the common LLM eval setting, same plan). Inverted
+    index on the n-gram with the same stop-shingle df cap as
+    jaccard_pairs; the cross-group predicate prunes within-source pairs
+    before the pair aggregation. Returns (id_a, id_b, n_shared)."""
+    sh = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("_grp"),
+        F.expr(expr_tokens(text_col)).alias("_toks"),
+    ).select(
+        F.col(id_col),
+        "_grp",
+        F.explode(
+            F.array_distinct(F.expr(expr_shingles("_toks", n)))
+        ).alias("shingle"),
+    )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a._grp") != F.col("b._grp")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -887,6 +887,170 @@ LIMIT 10
 """
 
 
+# --- SimHash hamming near-dup pairs ----------------------------------------
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH tok AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+sh AS (SELECT doc_id, CAST({_sql_simhash()} AS BIGINT) AS simhash FROM tok),
+bands AS (
+  SELECT doc_id, simhash, b AS band,
+         CAST((simhash >> (b * 8)) % 256 AS INTEGER) AS band_val
+  FROM sh, unnest([0, 1, 2, 3]) u(b)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cands
+WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+# --- cross-source decontamination ------------------------------------------
+def q_decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.cross_source_overlap(
+        _docs(spark, sf_dir), group_col="source", n=5, min_shared=3
+    )
+
+
+SQL_DECONTAMINATION_PAIRS = f"""
+WITH tok AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+sh0 AS (
+  SELECT doc_id, source,
+         unnest(list_distinct({sql_shingles('toks', 5)})) AS shingle
+  FROM tok t(doc_id, source, toks)
+),
+sh AS (
+  SELECT doc_id, source, shingle FROM sh0
+  WHERE shingle IN (
+    SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 1000)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM sh a
+JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         AND a.source <> b.source
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+"""
+
+
+# --- PII scrub --------------------------------------------------------------
+# Conservative patterns that parse identically under Java regex (Spark)
+# and RE2 (DuckDB): URLs first (an email inside a URL is the URL's),
+# then emails, then phone-shaped digit runs.
+_PII_URL = r"https?://[^ \t\n]+"
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact URLs / emails / phone-shaped spans and count what was
+    removed — the standard pre-training scrub pass. Pure JVM regex
+    per row; at 100 TB this pipelines into the scan with zero shuffle."""
+    d = _docs(spark, sf_dir)
+    n = lambda p: F.size(F.regexp_extract_all(F.col("text"), F.lit(p), F.lit(0)))  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", _PII_URL, "<URL>"),
+                _PII_EMAIL,
+                "<EMAIL>",
+            ),
+            _PII_PHONE,
+            "<PHONE>",
+        ).alias("clean_text"),
+        n(_PII_URL).cast("int").alias("n_urls"),
+        n(_PII_EMAIL).cast("int").alias("n_emails"),
+        n(_PII_PHONE).cast("int").alias("n_phones"),
+    )
+
+
+def _duck_re(p: str) -> str:
+    return p.replace("'", "''")
+
+
+SQL_PII_SCRUB = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{_duck_re(_PII_URL)}', '<URL>', 'g'),
+         '{_duck_re(_PII_EMAIL)}', '<EMAIL>', 'g'),
+         '{_duck_re(_PII_PHONE)}', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{_duck_re(_PII_URL)}')) AS INTEGER)
+         AS n_urls,
+       CAST(len(regexp_extract_all(text, '{_duck_re(_PII_EMAIL)}')) AS INTEGER)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_duck_re(_PII_PHONE)}')) AS INTEGER)
+         AS n_phones
+FROM documents
+"""
+
+
+# --- BPE-ish token counting --------------------------------------------------
+# GPT-2-style pre-tokenizer shape: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs. Same match semantics in
+# Java regex and RE2 (verified on mixed text).
+_BPE_PAT = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PAT), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.expr(f"cast(size({_SPARK_TOKS}) as bigint)").alias("n_ws_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT_BPE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{_duck_re(_BPE_PAT)}'))
+         AS n_bpe_tokens,
+       len({_TOKS}) AS n_ws_tokens
+FROM documents
+"""
+
+
+# --- stratified deterministic sampling --------------------------------------
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic sampling — the mixture-weighting
+    primitive of a training-data pipeline. The keep decision is a pure
+    row hash (md5 of 'source|doc_id' mod 100 < per-source rate), so the
+    sample is reproducible, engine-independent, and needs no shuffle or
+    driver coordination; the per-source rate (20–79%) is itself derived
+    from the source name, standing in for a mixture-weights table that
+    would be broadcast in production."""
+    from lab04_spark_streaming_spark.operators.textops import expr_hash_int
+
+    row_key = "concat(source, '|', cast(doc_id as string))"
+    rate = f"20 + pmod({expr_hash_int('source')}, 60)"
+    keep = f"pmod({expr_hash_int(row_key)}, 100)"
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.expr(f"{keep} < {rate}"))
+        .select("doc_id", "source")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, source
+FROM documents
+WHERE {sql_hash_int("source || '|' || CAST(doc_id AS VARCHAR)")} % 100
+      < 20 + ({sql_hash_int('source')} % 60)
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -913,4 +1077,13 @@ def specs():
         QuerySpec("multimodal_frame_sample", q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
         QuerySpec("quality_filter_pipeline", q_quality_filter, SQL_QUALITY_FILTER),
         QuerySpec("multimodal_feature_knn", q_multimodal_feature_knn, None),
+        QuerySpec("dedup_simhash_pairs", q_simhash_pairs, SQL_SIMHASH_PAIRS),
+        QuerySpec(
+            "decontamination_pairs",
+            q_decontamination_pairs,
+            SQL_DECONTAMINATION_PAIRS,
+        ),
+        QuerySpec("pii_scrub", q_pii_scrub, SQL_PII_SCRUB),
+        QuerySpec("token_count_bpe", q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
+        QuerySpec("stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     ]

@@ -404,6 +404,28 @@ GROUP BY a.event_type, a.ts, a.value
 """
 
 
+def q_first_lower(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The btc-price-lower half of the reference's declared topic pair
+    (setup_transform.py:129-130): comparison flipped, same plan."""
+    from lab04_spark_streaming_spark.streaming.state import first_crossing_batch
+
+    return first_crossing_batch(
+        _events(spark, sf_dir), "ts", ["event_type"], "value", 60, "lower"
+    )
+
+
+SQL_FIRST_LOWER = """
+SELECT a.event_type, a.ts, a.value,
+       epoch(MIN(b.ts)) - epoch(a.ts) AS seconds_until
+FROM events a
+LEFT JOIN events b
+  ON b.event_type = a.event_type
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 SECOND
+ AND b.value < a.value
+GROUP BY a.event_type, a.ts, a.value
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -421,4 +443,5 @@ def specs():
         QuerySpec("json_decode_project", q_json_decode, SQL_JSON_DECODE),
         QuerySpec("json_encode_struct", q_json_encode, SQL_JSON_ENCODE),
         QuerySpec("first_crossing_higher", q_first_higher, SQL_FIRST_HIGHER),
+        QuerySpec("first_crossing_lower", q_first_lower, SQL_FIRST_LOWER),
     ]

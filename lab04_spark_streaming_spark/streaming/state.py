@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -116,10 +117,23 @@ def first_crossing_stream(
     watermark: str = "10 seconds",
 ) -> DataFrame:
     """Streaming twin via applyInPandasWithState (T-state, SURVEY.md
-    §7.7b). Each group's state holds unresolved ticks; a tick resolves
-    when a strictly later tick crosses it, or emits null when the
-    event-time watermark passes its horizon."""
+    §7.7b). Each group's state holds the recent tick tail; a tick's
+    answer is EMITTED only once the event-time watermark makes it
+    final, so out-of-order arrivals admissible under the watermark can
+    never contradict an already-emitted row — batch ≡ stream exactly:
+
+    * a tick with its first known crossing at t2 is final when
+      wm ≥ t2 — any still-admissible arrival has event time > wm ≥ t2,
+      so no EARLIER crossing can appear;
+    * a tick with no known crossing is final (emits null) when
+      wm > t + horizon — later arrivals are all out of horizon.
+
+    Already-emitted rows stay in state while they can still serve as
+    the crossing for an older pending tick (t_r within any pending
+    tick's horizon); state is pruned past that, so its size stays
+    bounded by horizon × tick rate per key."""
     higher = direction == "higher"
+    hor_us = horizon_s * 1_000_000
 
     def fn(
         key: tuple[Any, ...],
@@ -127,51 +141,66 @@ def first_crossing_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            ts_us, vals = state.get
-            pend = [(int(t), float(v)) for t, v in zip(ts_us, vals)]
+            ts_us, vals, emitted = state.get
+            rows = {
+                int(t): (float(v), bool(e))
+                for t, v, e in zip(ts_us, vals, emitted)
+            }
         else:
-            pend = []
+            rows = {}
 
-        new_rows = []
         for pdf in batches:
             for t, v in zip(pdf["_ts_us"], pdf["_value"]):
-                new_rows.append((int(t), float(v)))
+                t = int(t)
+                if t not in rows:  # dup ticks: first one wins
+                    rows[t] = (float(v), False)
 
-        all_rows = sorted(pend + new_rows)
-        resolved: list[tuple[int, float, float]] = []  # ts, value, seconds
-        still = []
-        for i, (t, v) in enumerate(all_rows):
-            hit = None
-            for t2, v2 in all_rows[i + 1 :]:
-                if t2 - t > horizon_s * 1_000_000:
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        all_rows = sorted((t, v, e) for t, (v, e) in rows.items())
+        out: list[tuple[int, float, float | None]] = []
+        pending_final_us: list[int] = []  # when each pending row finalizes
+        for i, (t, v, emitted_flag) in enumerate(all_rows):
+            if emitted_flag:
+                continue
+            hit_us = None
+            for t2, v2, _ in all_rows[i + 1 :]:
+                if t2 - t > hor_us:
                     break
                 if (v2 > v) if higher else (v2 < v):
-                    hit = (t2 - t) / 1e6
+                    hit_us = t2
                     break
-            if hit is not None:
-                resolved.append((t, v, hit))
+            if hit_us is not None and hit_us <= wm_us:
+                out.append((t, v, (hit_us - t) / 1e6))
+                rows[t] = (v, True)
+            elif hit_us is None and t + hor_us < wm_us:
+                out.append((t, v, None))
+                rows[t] = (v, True)
             else:
-                still.append((t, v))
+                pending_final_us.append(
+                    hit_us if hit_us is not None else t + hor_us
+                )
 
-        # Expire pending ticks whose horizon is past the watermark.
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        expired = [
-            (t, v, None) for t, v in still if t + horizon_s * 1_000_000 < wm_us
-        ]
-        still = [(t, v) for t, v in still if t + horizon_s * 1_000_000 >= wm_us]
-
-        if still:
+        # Prune: keep pending rows, plus emitted rows still inside some
+        # pending tick's horizon (they may be that tick's crossing).
+        pending_ts = [t for t, (v, e) in rows.items() if not e]
+        if pending_ts:
+            oldest = min(pending_ts)
+            keep = sorted(
+                (t, v, e) for t, (v, e) in rows.items() if e is False or t > oldest
+            )
             state.update((
-                [t for t, _ in still],
-                [v for _, v in still],
+                [t for t, _, _ in keep],
+                [v for _, v, _ in keep],
+                [e for _, _, e in keep],
             ))
+            # Wake when the earliest pending answer becomes final
+            # (strictly above the current watermark, per the API).
             state.setTimeoutTimestamp(
-                max(t for t, _ in still) // 1000 + horizon_s * 1000
+                max(min(pending_final_us) // 1000, wm_us // 1000 + 1)
             )
         elif state.exists:
             state.remove()
 
-        out = resolved + expired
         if out:
             yield pd.DataFrame(
                 {
@@ -196,6 +225,7 @@ def first_crossing_stream(
             [
                 StructField("ts_us", _array_of(LongType())),
                 StructField("value", _array_of(DoubleType())),
+                StructField("emitted", _array_of(BooleanType())),
             ]
         ),
         outputMode="append",

@@ -308,3 +308,54 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     assert all(r.symbol == "BTCUSDT" for r in matched)
     assert all(r.symbol != "BTCUSDT" for r in unmatched)
     assert matched, "expected at least one enriched row"
+
+
+def test_first_crossing_out_of_order_tick_corrects_answer(spark, tmp_path):
+    """Regression: a tick admissible under the 10s watermark arrives in
+    a LATER micro-batch with an EARLIER crossing time. Eager resolution
+    emitted the in-order answer (10s) in batch 1 and could never take
+    it back; watermark-deferred resolution holds the row until no
+    earlier crossing can still arrive and emits the true 3s."""
+    import time
+
+    base = T0
+    mk = lambda t, v: ("BTCUSDT", v, base + dt.timedelta(seconds=t), t)  # noqa: E731
+    batches = [
+        # batch 1: t=10 v=100 sees an in-order crossing at t=20 v=104
+        [mk(10, 100.0), mk(12, 90.0), mk(14, 95.0), mk(20, 104.0)],
+        # batch 2 (wm=10): late t=13 v=105 — admissible, crosses earlier
+        [mk(13, 105.0), mk(30, 101.0), mk(32, 98.0)],
+        # batch 3: pushes the watermark past every horizon of interest
+        [mk(50, 1.0)],
+    ]
+    path = str(tmp_path / "fc_ooo")
+    for rows in batches:
+        spark.createDataFrame(rows, TICK_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        time.sleep(1.1)  # distinct mtimes -> stable file (= batch) order
+
+    stream = file_stream(spark, path, TICK_SCHEMA, max_files_per_trigger=1)
+    out = first_crossing_stream(
+        stream, "event_time", "symbol", "price", horizon_s=20, direction="higher"
+    )
+    memory_sink_once(out, "fc_ooo_out", "append")
+    streamed = {
+        r.ts: r.seconds_until for r in spark.table("fc_ooo_out").collect()
+    }
+
+    t10 = base + dt.timedelta(seconds=10)
+    assert t10 in streamed, f"t=10 never resolved; emitted: {sorted(streamed)}"
+    assert streamed[t10] == pytest.approx(3.0)
+
+    allrows = [r for b in batches for r in b]
+    batch = first_crossing_batch(
+        spark.createDataFrame(allrows, TICK_SCHEMA),
+        "event_time", ["symbol"], "price", horizon_s=20, direction="higher",
+    )
+    expected = {r.ts: r.seconds_until for r in batch.collect()}
+    for ts, v in streamed.items():
+        if v is None:
+            assert expected[ts] is None
+        else:
+            assert expected[ts] == pytest.approx(v, abs=1e-6)
