@@ -124,14 +124,20 @@ def minhash_candidate_pairs(
     """Distinct candidate near-dup pairs (a < b) sharing ≥1 LSH band.
     One shuffle on (band, band_hash); bucket self-join.
 
-    Docs with an empty shingle set (<3 tokens) have all-NULL signatures;
-    concat_ws would collapse them to one shared md5('') band bucket and
-    emit spurious pairs among every short doc — filter them out (the
-    oracle twin filters sig[1] IS NOT NULL identically)."""
-    sigs = minhash_signatures(df, text_col, id_col).filter(
-        F.expr("element_at(sig, 1) IS NOT NULL")
-    )
-    bands = lsh_bands(sigs, id_col)
+    Docs with an empty shingle set (<3 tokens) would get all-NULL
+    signatures; concat_ws would collapse them to one shared md5('')
+    band bucket and emit spurious pairs among every short doc — so
+    short docs are excluded BEFORE the signature pipeline with a
+    token-count predicate (one extra split at the scan, pushed down).
+    Do NOT express this as a filter on sig: a predicate over the
+    signature column gets predicate-pushed below the projections,
+    substituting the whole minhash expression tree (tokenize → shingle
+    → k hashes) into one interpreted per-row filter that re-splits the
+    text per shingle element — measured ~100x slower. The oracle twin
+    filters sig[1] IS NOT NULL, which is equivalent (sig[1] is NULL iff
+    the shingle set is empty iff the doc has <3 tokens)."""
+    docs = df.filter(F.expr(f"size({expr_tokens(text_col)}) >= 3"))
+    bands = lsh_bands(minhash_signatures(docs, text_col, id_col), id_col)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
