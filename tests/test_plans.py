@@ -201,3 +201,35 @@ def test_watermark_drop_no_global_window_over_data(spark, sf_dir):
     assert specs, "no window in plan"
     data_specs = [s for s in specs if "event_id" in s]
     assert data_specs and all(s.startswith("_chunk") for s in data_specs)
+
+
+def test_simhash_pairs_band_join_no_cartesian(spark, sf_dir):
+    """Candidate generation must be the (band, band_val) bucket join —
+    never a cross product of signatures."""
+    from lab04_spark_streaming_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(simhash_pairs(docs))
+    assert "band_val" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontamination_prunes_same_source_in_join(spark, sf_dir):
+    """The cross-group predicate must sit in the shingle join, not in a
+    post-join filter over the aggregated pairs (same-source pairs never
+    reach the pair aggregation)."""
+    from lab04_spark_streaming_spark.plans import llm
+
+    plan = plan_of(llm.q_decontamination_pairs(spark, sf_dir))
+    cond_lines = [l for l in plan.splitlines() if "Join condition" in l]
+    assert any("_grp" in l for l in cond_lines), cond_lines
+
+
+def test_stratified_sample_filter_reaches_scan(spark, sf_dir):
+    """The hash-keep predicate is a pure row expression: it must be
+    evaluated at the scan (no shuffle, no join in the plan at all)."""
+    from lab04_spark_streaming_spark.plans import llm
+
+    plan = plan_of(llm.q_stratified_sample(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "ReadSchema" in plan

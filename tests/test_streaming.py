@@ -150,18 +150,19 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert all(t > cutoff for t in stamps)
 
 
-def test_first_crossing_stream_matches_batch(spark, tmp_path):
+@pytest.mark.parametrize("direction", ["higher", "lower"])
+def test_first_crossing_stream_matches_batch(spark, tmp_path, direction):
     rows = _ticks(n=100, step_s=2.0)
     path = str(tmp_path / "fc")
     spark.createDataFrame(rows, TICK_SCHEMA).coalesce(1).write.parquet(path)
 
     stream = file_stream(spark, path, TICK_SCHEMA)
     out = first_crossing_stream(
-        stream, "event_time", "symbol", "price", horizon_s=20, direction="higher"
+        stream, "event_time", "symbol", "price", horizon_s=20, direction=direction
     )
-    memory_sink_once(out, "fc_out", "append")
+    memory_sink_once(out, f"fc_out_{direction}", "append")
     streamed = {
-        (r.key, r.ts): r.seconds_until for r in spark.table("fc_out").collect()
+        (r.key, r.ts): r.seconds_until for r in spark.table(f"fc_out_{direction}").collect()
     }
     assert streamed, "stateful op emitted nothing"
 
@@ -171,7 +172,7 @@ def test_first_crossing_stream_matches_batch(spark, tmp_path):
         ["symbol"],
         "price",
         horizon_s=20,
-        direction="higher",
+        direction=direction,
     )
     expected = {(r.symbol, r.ts): r.seconds_until for r in batch.collect()}
     for k, v in streamed.items():
@@ -359,3 +360,40 @@ def test_first_crossing_out_of_order_tick_corrects_answer(spark, tmp_path):
             assert expected[ts] is None
         else:
             assert expected[ts] == pytest.approx(v, abs=1e-6)
+
+
+def test_topic_admin_matches_reference_layout():
+    """Topic admin parity (reference setup_transform.py:83-131): same
+    five topics, partitions=3, replication=1; CLI builder is pure."""
+    from lab04_spark_streaming_spark.streaming.admin import (
+        PIPELINE_TOPICS,
+        ensure_topics,
+        topic_commands,
+    )
+
+    names = [t.name for t in PIPELINE_TOPICS]
+    assert names == [
+        "btc-price",
+        "btc-price-moving",
+        "btc-price-zscore",
+        "btc-price-higher",
+        "btc-price-lower",
+    ]
+    assert all(t.partitions == 3 and t.replication_factor == 1 for t in PIPELINE_TOPICS)
+
+    cmds = topic_commands(bootstrap="broker:9092")
+    assert len(cmds) == 5
+    for cmd, t in zip(cmds, PIPELINE_TOPICS):
+        assert cmd[:3] == ["kafka-topics", "--bootstrap-server", "broker:9092"]
+        assert "--if-not-exists" in cmd and t.name in cmd
+        assert cmd[cmd.index("--partitions") + 1] == "3"
+
+    # Without kafka-python the programmatic path must fail loudly and
+    # point at the CLI alternative, not import-error at module load.
+    try:
+        import kafka  # noqa: F401
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="topic_commands"):
+            ensure_topics()
