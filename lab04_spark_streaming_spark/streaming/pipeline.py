@@ -176,6 +176,51 @@ def streaming_dedup(
     return wm.dropDuplicates(list(key_cols))
 
 
+def ingest_text_pipeline(
+    stream: DataFrame,
+    ts_col: str = "ingest_ts",
+    text_col: str = "text",
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Streaming ingest pipeline for an LLM document feed, composed
+    ENTIRELY from the batch operators (design rule 1: one operator
+    body, two modes): PII scrub (plans/llm regex set) → quality gates
+    (token floor, word-length floor, digit ceiling — same thresholds as
+    q_quality_filter) → exact dedup on the scrubbed content hash within
+    the watermark horizon. Every stage is a stateless per-row
+    projection except the final dedup, whose state Spark bounds by the
+    watermark; output is append-able to any sink."""
+    from lab04_spark_streaming_spark.operators.textops import expr_tokens
+    from lab04_spark_streaming_spark.plans.llm import (
+        _PII_EMAIL,
+        _PII_PHONE,
+        _PII_URL,
+    )
+
+    toks = expr_tokens("clean_text")
+    scrubbed = stream.withColumn(
+        "clean_text",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(text_col, _PII_URL, "<URL>"),
+                _PII_EMAIL,
+                "<EMAIL>",
+            ),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+    )
+    gated = scrubbed.filter(
+        F.expr(
+            f"size({toks}) >= 10 AND "
+            f"aggregate({toks}, 0, (a, t) -> a + length(t)) / size({toks}) >= 3.0 "
+            "AND length(regexp_replace(clean_text, '[^0-9]', '')) "
+            "/ greatest(length(clean_text), 1) <= 0.2"
+        )
+    ).withColumn("content_hash", F.md5(F.col("clean_text")))
+    return streaming_dedup(gated, ["content_hash"], ts_col, watermark)
+
+
 def foreach_batch_parquet(
     df: DataFrame, out_dir: str, checkpoint_dir: str
 ):

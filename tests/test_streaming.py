@@ -397,3 +397,42 @@ def test_topic_admin_matches_reference_layout():
 
         with _pytest.raises(RuntimeError, match="topic_commands"):
             ensure_topics()
+
+
+def test_ingest_text_pipeline_stream_equals_batch(spark, tmp_path):
+    """The composed ingest pipeline (scrub -> quality gates -> dedup
+    within watermark) must produce the same kept set streaming as in
+    batch mode on identical data."""
+    from lab04_spark_streaming_spark.streaming.pipeline import (
+        ingest_text_pipeline,
+        memory_sink_once,
+    )
+
+    long_tail = " ".join(f"token{i} interesting words here" for i in range(6))
+    rows = [
+        (0, f"contact alice@example.com about the corpus {long_tail}", T0),
+        (1, f"contact alice@example.com about the corpus {long_tail}", T0 + dt.timedelta(seconds=1)),  # dup after scrub
+        (2, "short doc", T0 + dt.timedelta(seconds=2)),  # fails token floor
+        (3, f"clean document body with plenty of ordinary prose {long_tail}", T0 + dt.timedelta(seconds=3)),
+        (4, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20 21", T0 + dt.timedelta(seconds=4)),  # digit ceiling
+    ]
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    path = str(tmp_path / "ingest")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    stream = file_stream(spark, path, _parse_datatype_string(schema))
+    out = ingest_text_pipeline(stream)
+    memory_sink_once(out, "ingest_out", "append")
+    streamed = {r.doc_id for r in spark.table("ingest_out").collect()}
+
+    batch = ingest_text_pipeline(spark.createDataFrame(rows, schema))
+    kept = {r.doc_id for r in batch.collect()}
+    assert streamed == kept
+    assert 2 not in kept and 4 not in kept  # gates fired
+    assert len({0, 1} & kept) == 1  # scrub-identical pair deduped
+    got3 = [r for r in spark.table("ingest_out").collect() if r.doc_id == 3]
+    assert got3 and "<EMAIL>" not in got3[0].clean_text
+    got01 = [r for r in spark.table("ingest_out").collect() if r.doc_id in (0, 1)]
+    assert got01 and "<EMAIL>" in got01[0].clean_text
