@@ -977,6 +977,45 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- JSON + map functions ---------------------------------------------------
+def q_json_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction + map construction/lookup over events.props
+    (reference decodes this payload at sources.py S5; here the full
+    scalar surface). Map-typed intermediates are exercised Spark-side
+    but never OUTPUT as map cells — lookups and sorted key lists only,
+    so the driver canonicalizer sees scalars/strings. The DuckDB twin
+    computes the equivalent VALUES directly (json_extract + arithmetic)
+    — the oracle contract is output equality, not plan mimicry."""
+    ev = load_table(spark, sf_dir, "events")
+    m = (
+        "map('k', cast(get_json_object(props, '$.k') as int), "
+        "'mod', cast(pmod(event_id, 5) as int))"
+    )
+    return ev.select(
+        "event_id",
+        F.expr("get_json_object(props, '$.k')").alias("k_str"),
+        F.expr("array_join(json_object_keys(props), ',')").alias("props_keys"),
+        F.expr("cast(get_json_object(props, '$.k') as int) + 1").alias("k_next"),
+        F.expr(f"array_join(array_sort(map_keys({m})), ',')").alias("m_keys"),
+        F.expr(f"element_at({m}, 'k')").alias("m_k"),
+        F.expr(f"element_at({m}, 'mod')").alias("m_mod"),
+        F.expr(f"cast(size(map_concat({m}, map('x', 1))) as int)").alias("m_size"),
+    )
+
+
+SQL_JSON_MAP_FUNCS = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       array_to_string(json_keys(props), ',') AS props_keys,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) + 1 AS k_next,
+       'k,mod' AS m_keys,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS m_k,
+       CAST(event_id % 5 AS INTEGER) AS m_mod,
+       3 AS m_size
+FROM events
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -1012,4 +1051,5 @@ def specs():
         QuerySpec("session_window_agg", q_session_window, SQL_SESSION_WINDOW),
         QuerySpec("percentiles_exact", q_percentiles, SQL_PERCENTILES),
         QuerySpec("moment_aggs", q_moment_aggs, SQL_MOMENT_AGGS),
+        QuerySpec("json_map_funcs", q_json_map_funcs, SQL_JSON_MAP_FUNCS),
     ]

@@ -404,6 +404,45 @@ GROUP BY a.event_type, a.ts, a.value
 """
 
 
+def q_asof_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic as-of join (operators/asof.py — the reusable form of the
+    §3.4 intended semantics, reference zscore_calculator.py:50-73): for
+    every event, the most recent 'spike' (value ≥ 250) in its
+    event_type, if within the last hour. Right side pre-aggregated to
+    one row per (key, ts); DuckDB twin is a native ASOF LEFT JOIN."""
+    from lab04_spark_streaming_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    spikes = (
+        ev.filter(F.col("value") >= 250)
+        .groupBy("event_type", "ts")
+        .agg(F.max("value").alias("spike_value"))
+    )
+    return asof_join(
+        ev.select("event_id", "ts", "event_type", "value"),
+        spikes,
+        ts_col="ts",
+        by=["event_type"],
+        value_cols=["spike_value"],
+        tolerance_s=3600,
+    )
+
+
+SQL_ASOF_GENERIC = """
+WITH spikes AS (
+  SELECT event_type, ts, max(value) AS spike_value
+  FROM events WHERE value >= 250 GROUP BY 1, 2
+)
+SELECT e.event_id, e.ts, e.event_type, e.value,
+       CASE WHEN s.ts >= e.ts - INTERVAL 3600 SECOND THEN s.ts END AS ts_asof,
+       CASE WHEN s.ts >= e.ts - INTERVAL 3600 SECOND THEN s.spike_value END
+         AS spike_value_asof
+FROM events e
+ASOF LEFT JOIN spikes s
+  ON e.event_type = s.event_type AND e.ts >= s.ts
+"""
+
+
 def q_first_lower(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The btc-price-lower half of the reference's declared topic pair
     (setup_transform.py:129-130): comparison flipped, same plan."""
@@ -444,4 +483,5 @@ def specs():
         QuerySpec("json_encode_struct", q_json_encode, SQL_JSON_ENCODE),
         QuerySpec("first_crossing_higher", q_first_higher, SQL_FIRST_HIGHER),
         QuerySpec("first_crossing_lower", q_first_lower, SQL_FIRST_LOWER),
+        QuerySpec("asof_join_generic", q_asof_generic, SQL_ASOF_GENERIC),
     ]

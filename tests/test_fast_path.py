@@ -59,3 +59,44 @@ def test_zscore_asof_fast_equals_naive(spark, sf_dir):
         for r in fast.collect()
     )
     assert s == f
+
+
+def test_asof_join_carry_crosses_empty_chunks(spark):
+    """A right payload must carry across chunks that contain no right
+    rows at all (regression: the carry relation once only had rows for
+    chunks with right rows, so left-only chunks lost the fill)."""
+    import datetime as dt
+
+    from lab04_spark_streaming_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [
+            (1, t0, "k"),
+            # three chunk-widths later (chunk_s=100): chunks 1-2 empty
+            (2, t0 + dt.timedelta(seconds=350), "k"),
+        ],
+        "event_id long, ts timestamp, key string",
+    )
+    right = spark.createDataFrame(
+        [(t0 - dt.timedelta(seconds=5), "k", 9.0)],
+        "ts timestamp, key string, v double",
+    )
+    got = {
+        r.event_id: (r.ts_asof, r.v_asof)
+        for r in asof_join(
+            left, right, "ts", ["key"], ["v"], chunk_s=100
+        ).collect()
+    }
+    assert got[1] == (t0 - dt.timedelta(seconds=5), 9.0)
+    assert got[2] == (t0 - dt.timedelta(seconds=5), 9.0)
+
+    # and the tolerance converts a stale match to NULLs, not a drop
+    tol = {
+        r.event_id: (r.ts_asof, r.v_asof)
+        for r in asof_join(
+            left, right, "ts", ["key"], ["v"], tolerance_s=60, chunk_s=100
+        ).collect()
+    }
+    assert tol[1] == (t0 - dt.timedelta(seconds=5), 9.0)
+    assert tol[2] == (None, None)

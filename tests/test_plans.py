@@ -233,3 +233,16 @@ def test_stratified_sample_filter_reaches_scan(spark, sf_dir):
     plan = plan_of(llm.q_stratified_sample(spark, sf_dir))
     assert "Exchange" not in plan
     assert "ReadSchema" in plan
+
+
+def test_asof_generic_no_global_window_over_data(spark, sf_dir):
+    """asof_join's ordered fill must be (key, chunk)-partitioned; only
+    the per-chunk summary relation may use a key-only window."""
+    import re
+
+    from lab04_spark_streaming_spark.plans import reference_parity as rp
+
+    plan = plan_of(rp.q_asof_generic(spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    data_specs = [s for s in specs if "_is_left" in s]  # the fill scan
+    assert data_specs and all("_chunk" in s for s in data_specs)
