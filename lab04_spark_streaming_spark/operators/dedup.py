@@ -195,10 +195,15 @@ def simhash_pairs(
     max_hamming ≤ 3 (unlike probabilistic MinHash banding) while never
     going all-pairs. Verify = bit_count(xor) on the candidate pairs.
 
-    Docs with an empty token set all carry simhash 0 and pair with each
-    other at hamming 0 — deterministic and engine-identical (empty docs
-    ARE trivial duplicates). Returns (id_a, id_b, hamming)."""
-    sh = simhash(df, text_col, id_col)
+    Docs with an empty token set are EXCLUDED before banding: they all
+    carry simhash 0, so on a web corpus full of empty/whitespace docs
+    they would form one quadratic (band, band_val) bucket. Route empty
+    docs through exact_duplicates (they are byte-trivial dups) instead
+    of a similarity join. Returns (id_a, id_b, hamming)."""
+    nonempty = df.filter(
+        F.expr(f"size(array_distinct({expr_tokens(text_col)})) > 0")
+    )
+    sh = simhash(nonempty, text_col, id_col)
     bands = sh.select(
         F.col(id_col),
         F.col("simhash"),

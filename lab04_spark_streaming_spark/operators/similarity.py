@@ -248,7 +248,12 @@ def srp_banded_buckets(
     per plane. Unrolled, the 72-fold tree took Catalyst ~7s of
     driver-side analysis per query (measured); the compact form is
     ~5x faster end-to-end with identical output. Per-row expressions,
-    zero shuffle until the bucket join."""
+    zero shuffle until the bucket join.
+
+    Vectors whose length differs from ``dim`` raise at execution time:
+    zip_with would null-pad, the dot would fold to NULL, and CASE
+    NULL > 0 would silently key every plane bit as 0 — silent recall
+    loss. A loud error beats a wrong bucket."""
     signs: list[int] = []
     for t in range(bands):
         for p in range(planes_per_band):
@@ -264,10 +269,13 @@ def srp_banded_buckets(
             cast(0 as bigint), (a2, v) -> a2 + v) > 0
           THEN cast(shiftleft(1, p) as int) ELSE 0 END) as int))))
     """
+    guarded = (
+        f"if(size({vec_col}) = {dim}, {_expr_quantize(vec_col)}, "
+        f"raise_error(concat('srp_banded_buckets: vector length ', "
+        f"size({vec_col}), ' != dim {dim}')))"
+    )
     return (
-        emb.select(
-            F.col(id_col), F.expr(_expr_quantize(vec_col)).alias("qv")
-        )
+        emb.select(F.col(id_col), F.expr(guarded).alias("qv"))
         .select(F.col(id_col), F.expr(keys))
     )
 

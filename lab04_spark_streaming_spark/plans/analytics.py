@@ -983,23 +983,35 @@ def q_json_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference decodes this payload at sources.py S5; here the full
     scalar surface). Map-typed intermediates are exercised Spark-side
     but never OUTPUT as map cells — lookups and sorted key lists only,
-    so the driver canonicalizer sees scalars/strings. The DuckDB twin
-    computes the equivalent VALUES directly (json_extract + arithmetic)
-    — the oracle contract is output equality, not plan mimicry."""
+    so the driver canonicalizer sees scalars/strings.
+
+    The map is built FROM THE DATA (``map_from_arrays`` over the
+    payload's own ``json_object_keys``), so every oracle cell —
+    m_keys, m_k, m_mod, m_size — is derived from ``props`` in BOTH
+    engines; a regression in Spark's map_keys/map_concat/size/
+    element_at shows up as a value mismatch, not a pass-by-constant.
+    map_concat runs under Spark's default duplicate-key EXCEPTION
+    policy: a fixture whose props ever contains the appended keys
+    fails loudly instead of silently deduping."""
     ev = load_table(spark, sf_dir, "events")
+    # map from the JSON's own keys: {k -> string value of $.k, ...}
     m = (
-        "map('k', cast(get_json_object(props, '$.k') as int), "
-        "'mod', cast(pmod(event_id, 5) as int))"
+        "map_from_arrays(json_object_keys(props), "
+        "transform(json_object_keys(props), "
+        "kk -> get_json_object(props, concat('$.', kk))))"
     )
+    m2 = f"map_concat({m}, map('mod', cast(pmod(event_id, 5) as string)))"
     return ev.select(
         "event_id",
         F.expr("get_json_object(props, '$.k')").alias("k_str"),
         F.expr("array_join(json_object_keys(props), ',')").alias("props_keys"),
         F.expr("cast(get_json_object(props, '$.k') as int) + 1").alias("k_next"),
-        F.expr(f"array_join(array_sort(map_keys({m})), ',')").alias("m_keys"),
-        F.expr(f"element_at({m}, 'k')").alias("m_k"),
-        F.expr(f"element_at({m}, 'mod')").alias("m_mod"),
-        F.expr(f"cast(size(map_concat({m}, map('x', 1))) as int)").alias("m_size"),
+        F.expr(f"array_join(array_sort(map_keys({m2})), ',')").alias("m_keys"),
+        F.expr(f"cast(element_at({m2}, 'k') as int)").alias("m_k"),
+        F.expr(f"cast(element_at({m2}, 'mod') as int)").alias("m_mod"),
+        F.expr(
+            f"cast(size(map_concat({m2}, map('x', '1'))) as int)"
+        ).alias("m_size"),
     )
 
 
@@ -1008,10 +1020,11 @@ SELECT event_id,
        json_extract_string(props, '$.k') AS k_str,
        array_to_string(json_keys(props), ',') AS props_keys,
        CAST(json_extract_string(props, '$.k') AS INTEGER) + 1 AS k_next,
-       'k,mod' AS m_keys,
+       array_to_string(list_sort(list_append(json_keys(props), 'mod')), ',')
+         AS m_keys,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS m_k,
        CAST(event_id % 5 AS INTEGER) AS m_mod,
-       3 AS m_size
+       CAST(len(json_keys(props)) + 2 AS INTEGER) AS m_size
 FROM events
 """
 

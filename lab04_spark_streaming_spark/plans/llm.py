@@ -893,7 +893,8 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SIMHASH_PAIRS = f"""
-WITH tok AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+WITH tok AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+             WHERE len(list_distinct({_TOKS})) > 0),
 sh AS (SELECT doc_id, CAST({_sql_simhash()} AS BIGINT) AS simhash FROM tok),
 bands AS (
   SELECT doc_id, simhash, b AS band,

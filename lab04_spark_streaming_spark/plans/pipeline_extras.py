@@ -1,0 +1,347 @@
+"""Training-data-pipeline extras (round 3): the sampling / packing /
+quality-signal operators a 100 TB curation run needs around the core
+dedup + similarity stack in plans/llm.py.
+
+Every query is DuckDB-oracle-paired via the md5 cross-engine hash
+(operators/textops.py) and exact integer arithmetic — no float folds
+whose summation order could differ between engines.
+
+Scale shapes (audited per query in the docstrings):
+  * zero-shuffle per-row expressions where possible (split, repetition,
+    normalize);
+  * one bounded shuffle where grouping is inherent (quota = shuffle on
+    source; packing = window cumsum per source);
+  * the cluster-representative query composes the existing bucketed
+    dedup pipeline — no new join shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lab04_spark_streaming_spark.operators.similarity import _expr_quantize
+from lab04_spark_streaming_spark.operators.textops import (
+    expr_hash_int,
+    expr_shingles,
+    expr_tokens,
+    sql_hash_int,
+    sql_shingles,
+    sql_tokens,
+)
+from lab04_spark_streaming_spark.sources.files import load_table
+
+_SPARK_TOKS = expr_tokens("text")
+_TOKS = sql_tokens("text")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- deterministic train/valid/test split ----------------------------------
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split by md5 hash bucket of doc_id — the standard
+    deterministic split (stable under re-runs, insensitive to row
+    order or partitioning, no state to persist). Pure per-row
+    expression: zero shuffle, scales embarrassingly."""
+    h = expr_hash_int("cast(doc_id as string)", seed="split")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"cast(pmod({h}, 100) as int)").alias("bucket"),
+        F.expr(
+            f"CASE WHEN pmod({h}, 100) < 80 THEN 'train' "
+            f"WHEN pmod({h}, 100) < 90 THEN 'valid' ELSE 'test' END"
+        ).alias("split"),
+    )
+
+
+_SQL_SPLIT_H = sql_hash_int("CAST(doc_id AS VARCHAR)", seed="split")
+SQL_TRAIN_TEST_SPLIT = f"""
+SELECT doc_id,
+       CAST({_SQL_SPLIT_H} % 100 AS INTEGER) AS bucket,
+       CASE WHEN {_SQL_SPLIT_H} % 100 < 80 THEN 'train'
+            WHEN {_SQL_SPLIT_H} % 100 < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+# --- per-domain quota sampling ---------------------------------------------
+def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source/domain at k=10 documents, chosen by
+    deterministic hash order (md5(doc_id), tie-broken by doc_id) — the
+    domain-rebalancing step of a curation pipeline, as a uniform random
+    (but reproducible) draw per domain.
+
+    Scale: one shuffle on source + a per-group top-k sort. At 100 TB a
+    hot domain's sort is bounded by pre-filtering on the hash (keep
+    only hashes under an approximate per-domain threshold from a
+    count-sketch) before the exact window — same output, and the
+    window then sees ~k rows per domain instead of all of them."""
+    h = expr_hash_int("cast(doc_id as string)", seed="quota")
+    w = Window.partitionBy("source").orderBy(F.expr(h), F.col("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+_SQL_QUOTA_H = sql_hash_int("CAST(doc_id AS VARCHAR)", seed="quota")
+SQL_DOMAIN_QUOTA_SAMPLE = f"""
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {_SQL_QUOTA_H}, doc_id) AS rk
+  FROM documents
+) WHERE rk <= 10
+"""
+
+
+# --- sequence packing -------------------------------------------------------
+_PACK_BUDGET = 512
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget training sequences
+    (budget 512): contiguous fill in doc_id order per source — each doc
+    lands in bin floor(tokens_before / budget). This is the
+    deterministic, relational variant of first-fit packing (docs may
+    straddle a boundary; the trainer splits them — the common
+    concat-then-chunk regime for LLM pretraining).
+
+    Exact integer arithmetic end-to-end (token counts, cumulative sum),
+    so the oracle matches bit-for-bit. Scale: one shuffle on source +
+    a per-source ordered cumsum. At 100 TB the cumsum is the same
+    two-level chunked scan used in moving_stats_fast.cumulative_moments
+    (chunk by doc_id range, per-chunk totals, tiny carry relation), so
+    parallelism follows corpus position, not the source count."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.expr(f"size({_SPARK_TOKS})").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(before / _PACK_BUDGET).alias("seq_bin"),
+        (before % _PACK_BUDGET).alias("bin_offset"),
+    )
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH t AS (
+  SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(before / {_PACK_BUDGET}) AS BIGINT) AS seq_bin,
+       CAST(before % {_PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM c
+"""
+
+
+# --- n-gram repetition (quality signal) ------------------------------------
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate 2-gram
+    and 3-gram fractions plus the max single-3-gram count. Pure per-row
+    array expressions — zero shuffle; work is O(len²) in the worst case
+    for the max-count scan, bounded in practice by the doc-length cap
+    applied upstream (quality_filter_pipeline).
+
+    The duplicate fraction is a single double division of exact ints —
+    bit-identical cross-engine; no rounding needed."""
+    sh2 = expr_shingles("_toks", 2)
+    sh3 = expr_shingles("_toks", 3)
+    dup = (
+        lambda n, u: F.when(
+            F.col(n) > 0,
+            (F.col(n) - F.col(u)) / F.col(n),
+        ).otherwise(F.lit(None).cast("double"))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(_SPARK_TOKS).alias("_toks"))
+        .select(
+            "doc_id",
+            F.expr(f"size({sh2})").alias("n2"),
+            F.expr(f"size(array_distinct({sh2}))").alias("u2"),
+            F.expr(f"size({sh3})").alias("n3"),
+            F.expr(f"size(array_distinct({sh3}))").alias("u3"),
+            F.expr(
+                f"CASE WHEN size({sh3}) = 0 THEN NULL ELSE "
+                f"array_max(transform(array_distinct({sh3}), "
+                f"g -> size(filter({sh3}, y -> y = g)))) END"
+            ).alias("max_rep3"),
+        )
+        .select(
+            "doc_id",
+            "n2",
+            "u2",
+            "n3",
+            "u3",
+            "max_rep3",
+            dup("n2", "u2").alias("dup2_frac"),
+            dup("n3", "u3").alias("dup3_frac"),
+        )
+    )
+
+
+_D2 = sql_shingles("toks", 2)
+_D3 = sql_shingles("toks", 3)
+SQL_NGRAM_REPETITION = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 2 THEN [] ELSE {_D2} END AS s2,
+         CASE WHEN len(toks) < 3 THEN [] ELSE {_D3} END AS s3
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(s2) AS INTEGER) AS n2,
+       CAST(len(list_distinct(s2)) AS INTEGER) AS u2,
+       CAST(len(s3) AS INTEGER) AS n3,
+       CAST(len(list_distinct(s3)) AS INTEGER) AS u3,
+       CASE WHEN len(s3) = 0 THEN NULL ELSE CAST(
+         list_max(list_transform(list_distinct(s3),
+                  g -> len(list_filter(s3, y -> y = g)))) AS INTEGER)
+       END AS max_rep3,
+       CASE WHEN len(s2) > 0
+            THEN (len(s2) - len(list_distinct(s2))) / CAST(len(s2) AS DOUBLE)
+       END AS dup2_frac,
+       CASE WHEN len(s3) > 0
+            THEN (len(s3) - len(list_distinct(s3))) / CAST(len(s3) AS DOUBLE)
+       END AS dup3_frac
+FROM s
+"""
+
+
+# --- embedding L2-normalize -------------------------------------------------
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize embeddings; emit the first 8 normalized components
+    in EXPLODED form (vec_id, i, comp) — array cells can't be hashed by
+    the driver canonicalizer, and the exploded relation is the shape a
+    downstream column-store write wants anyway.
+
+    Determinism: the squared norm is an exact int64 fold over 1e-7
+    quantized components (summation-order-free, like the SRP keys);
+    the final comp = q_i / sqrt(norm2) is one double divide + sqrt per
+    cell — identical IEEE in both engines. Zero-vector guard emits 0.0
+    instead of inf. Zero shuffle, pure per-row."""
+    qv = _expr_quantize("embedding")
+    norm2 = "aggregate(qv, cast(0 as bigint), (acc, x) -> acc + x * x)"
+    comp = (
+        "transform(slice(qv, 1, 8), x -> "
+        "CASE WHEN _n2 = 0 THEN 0.0D "
+        "ELSE cast(x as double) / sqrt(cast(_n2 as double)) END)"
+    )
+    return (
+        _emb(spark, sf_dir)
+        .select(F.col("vec_id"), F.expr(qv).alias("qv"))
+        .select("vec_id", "qv", F.expr(norm2).alias("_n2"))
+        .select(
+            "vec_id",
+            F.col("_n2").alias("norm2_q"),
+            F.posexplode(F.expr(comp)).alias("i", "comp"),
+        )
+    )
+
+
+SQL_EMBEDDING_NORMALIZE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 10000000.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS norm2
+  FROM q
+)
+SELECT vec_id, norm2 AS norm2_q, CAST(i - 1 AS INTEGER) AS i,
+       CASE WHEN norm2 = 0 THEN 0.0
+            ELSE CAST(qv[i] AS DOUBLE) / sqrt(CAST(norm2 AS DOUBLE))
+       END AS comp
+FROM n, generate_series(1, 8) g(i)
+"""
+
+
+# --- dedup cluster representative selection --------------------------------
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup pipeline: candidates → verify → connected
+    components → pick ONE representative per cluster (longest document
+    by n_chars, tie-broken by smallest doc_id — 'keep best' in C4/
+    RefinedWeb terms). Composes the bucketed jaccard pipeline and the
+    min-label clusters; the selection itself is one window over the
+    (tiny relative to corpus) clustered subset."""
+    from lab04_spark_streaming_spark.plans.llm import q_dedup_clusters
+
+    clusters = q_dedup_clusters(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    joined = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.select(
+            "cluster_id",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("_rk"),
+            F.count("*").over(Window.partitionBy("cluster_id")).alias("n_members"),
+        )
+        .filter(F.col("_rk") == 1)
+        .select("cluster_id", "doc_id", "n_chars", "n_members")
+    )
+
+
+def _sql_keep_best() -> str:
+    from lab04_spark_streaming_spark.plans.llm import SQL_DEDUP_CLUSTERS
+
+    return f"""
+WITH c AS ({SQL_DEDUP_CLUSTERS}),
+j AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id, n_chars, n_members FROM j WHERE rk = 1
+"""
+
+
+def specs():
+    from lab04_spark_streaming_spark.registry import QuerySpec
+
+    return [
+        QuerySpec("train_test_split", q_train_test_split, SQL_TRAIN_TEST_SPLIT),
+        QuerySpec(
+            "domain_quota_sample", q_domain_quota_sample, SQL_DOMAIN_QUOTA_SAMPLE
+        ),
+        QuerySpec("sequence_packing", q_sequence_packing, SQL_SEQUENCE_PACKING),
+        QuerySpec("ngram_repetition", q_ngram_repetition, SQL_NGRAM_REPETITION),
+        QuerySpec(
+            "embedding_normalize", q_embedding_normalize, SQL_EMBEDDING_NORMALIZE
+        ),
+        QuerySpec("dedup_keep_best", q_dedup_keep_best, _sql_keep_best()),
+    ]

@@ -393,10 +393,14 @@ def q_first_higher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_FIRST_HIGHER = """
+WITH t AS (
+  SELECT event_type, ts, max(value) AS value
+  FROM events GROUP BY 1, 2
+)
 SELECT a.event_type, a.ts, a.value,
        epoch(MIN(b.ts)) - epoch(a.ts) AS seconds_until
-FROM events a
-LEFT JOIN events b
+FROM t a
+LEFT JOIN t b
   ON b.event_type = a.event_type
  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 SECOND
  AND b.value > a.value
@@ -454,10 +458,14 @@ def q_first_lower(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_FIRST_LOWER = """
+WITH t AS (
+  SELECT event_type, ts, max(value) AS value
+  FROM events GROUP BY 1, 2
+)
 SELECT a.event_type, a.ts, a.value,
        epoch(MIN(b.ts)) - epoch(a.ts) AS seconds_until
-FROM events a
-LEFT JOIN events b
+FROM t a
+LEFT JOIN t b
   ON b.event_type = a.event_type
  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 SECOND
  AND b.value < a.value

@@ -57,24 +57,32 @@ def first_crossing_batch(
     """Seconds until the first strictly higher/lower value within
     ``horizon_s``, per key. Bucketed range join: rows in horizon-sized
     bucket k can only be crossed by rows in buckets {k, k+1}, so the
-    join key is (key, candidate_bucket) — a plain shuffled equi-join."""
+    join key is (key, candidate_bucket) — a plain shuffled equi-join.
+
+    Duplicate-timestamp ticks collapse to ONE row per (key, ts) with
+    the max value — the deterministic tie rule shared with
+    :func:`first_crossing_stream`, so stream ≡ batch holds even when
+    the input carries same-(key, ts) ticks with different values."""
     cmp_ok = (
         (F.col("b.value") > F.col("a.value"))
         if direction == "higher"
         else (F.col("b.value") < F.col("a.value"))
     )
     bucket = lambda c: F.floor(F.unix_timestamp(F.col(c)) / horizon_s)  # noqa: E731
-    left = df.select(
+    base = df.groupBy(
+        *key_cols, F.col(ts_col).alias("ts")
+    ).agg(F.max(F.col(value_col)).alias("value"))
+    left = base.select(
         *key_cols,
-        F.col(ts_col).alias("ts"),
-        F.col(value_col).alias("value"),
-        F.explode(F.array(bucket(ts_col), bucket(ts_col) + 1)).alias("cand_bucket"),
+        "ts",
+        "value",
+        F.explode(F.array(bucket("ts"), bucket("ts") + 1)).alias("cand_bucket"),
     )
-    right = df.select(
+    right = base.select(
         *key_cols,
-        F.col(ts_col).alias("ts"),
-        F.col(value_col).alias("value"),
-        bucket(ts_col).alias("cand_bucket"),
+        "ts",
+        "value",
+        bucket("ts").alias("cand_bucket"),
     )
     cond = F.col("a.cand_bucket") == F.col("b.cand_bucket")
     for k in key_cols:
@@ -152,8 +160,16 @@ def first_crossing_stream(
         for pdf in batches:
             for t, v in zip(pdf["_ts_us"], pdf["_value"]):
                 t = int(t)
-                if t not in rows:  # dup ticks: first one wins
-                    rows[t] = (float(v), False)
+                v = float(v)
+                if t not in rows:
+                    rows[t] = (v, False)
+                elif not rows[t][1] and v > rows[t][0]:
+                    # Deterministic tie rule (shared with the batch twin):
+                    # duplicate-(key, ts) ticks collapse to the MAX value,
+                    # independent of micro-batch/partition arrival order.
+                    # Dups of already-emitted ticks are by definition past
+                    # the watermark (the tick was final) — dropped as late.
+                    rows[t] = (v, False)
 
         wm_us = state.getCurrentWatermarkMs() * 1000
         all_rows = sorted((t, v, e) for t, (v, e) in rows.items())
