@@ -5,7 +5,9 @@ operator a reference user would reach for directly).
 
 ``asof_join(left, right, ...)`` attaches, to every left row, the most
 recent right row with ``right.ts <= left.ts`` within the same key
-group (and optionally within a tolerance). Implemented as a union-fill
+group (and optionally within a tolerance); ``direction="forward"``
+flips the scan to the EARLIEST right row with ``right.ts >= left.ts``
+(the "next event after" lookup — e.g. next quote after a trade). Implemented as a union-fill
 scan, NOT a range join: left and right rows are unioned, sorted by
 (ts, side) per key, and the right row's payload is carried forward
 with ``last_value(ignoreNulls)`` — one ordered scan, no row-pair
@@ -44,13 +46,21 @@ def asof_join(
     tolerance_s: int | None = None,
     suffix: str = "_asof",
     chunk_s: int | None = _CHUNK_S,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, the latest right row with right.ts <= left.ts
-    in the same ``by`` group. Right rows must be unique per (by, ts) —
-    pre-aggregate if not (ambiguous payloads have no deterministic
-    as-of answer). Appends ``<ts_col><suffix>`` and
-    ``<c><suffix>`` for each value column; all NULL when no right row
-    qualifies (or the match is older than ``tolerance_s``)."""
+    (``direction="backward"``, default) or the earliest right row with
+    right.ts >= left.ts (``"forward"``) in the same ``by`` group. Right
+    rows must be unique per (by, ts) — pre-aggregate if not (ambiguous
+    payloads have no deterministic as-of answer). Appends
+    ``<ts_col><suffix>`` and ``<c><suffix>`` for each value column; all
+    NULL when no right row qualifies (or the match is further than
+    ``tolerance_s``). Both directions share the chunked union-fill
+    scan — forward just reverses the scan order and the chunk-carry
+    direction."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    fwd = direction == "forward"
     by = list(by)
     value_cols = list(value_cols)
 
@@ -69,12 +79,16 @@ def asof_join(
     )
 
     def carried(df: DataFrame, extra_part: list[str]) -> Column:
+        # right rows (0) sort before left rows (1) at equal ts, so a
+        # same-timestamp right row IS visible to the left row — the
+        # standard as-of tie rule (DuckDB ASOF JOIN matches <= / >=).
+        # Forward direction = the same carry scan over reversed ts
+        # order (the earliest following right row is the last one seen
+        # walking backward from the end).
+        ts_ord = F.col(ts_col).desc() if fwd else F.col(ts_col).asc()
         w = (
             Window.partitionBy(*by, *extra_part)
-            # right rows (0) sort before left rows (1) at equal ts, so a
-            # same-timestamp right row IS visible to the left row — the
-            # standard as-of tie rule (DuckDB ASOF JOIN matches <=).
-            .orderBy(ts_col, "_is_left")
+            .orderBy(ts_ord, "_is_left")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         return F.last("_p", ignorenulls=True).over(w)
@@ -89,10 +103,14 @@ def asof_join(
         # One row per (key, chunk) FOR EVERY chunk present (left-only
         # chunks included — they still need a carry-in), holding the
         # chunk's final right payload if the chunk has one.
+        # Backward keeps each chunk's LATEST right payload and carries
+        # it to later chunks; forward keeps the EARLIEST and carries it
+        # to earlier chunks.
+        pick = F.min if fwd else F.max
         per_chunk = (
             b.groupBy(*by, "_chunk")
             .agg(
-                F.max(
+                pick(
                     F.when(
                         F.col("_is_left") == 0,
                         F.struct(F.col(ts_col).alias("_ats"), "_p"),
@@ -103,7 +121,7 @@ def asof_join(
         )
         cw = (
             Window.partitionBy(*by)
-            .orderBy("_chunk")
+            .orderBy(F.col("_chunk").desc() if fwd else F.col("_chunk").asc())
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         carry = per_chunk.select(
@@ -117,14 +135,13 @@ def asof_join(
 
     out = filled.filter(F.col("_is_left") == 1)
     if tolerance_s is not None:
-        out = out.withColumn(
-            "_fill",
-            F.when(
-                F.col("_fill._ats")
-                >= F.col(ts_col) - F.expr(f"INTERVAL {tolerance_s} SECONDS"),
-                F.col("_fill"),
-            ),
+        tol = F.expr(f"INTERVAL {tolerance_s} SECONDS")
+        in_tol = (
+            F.col("_fill._ats") <= F.col(ts_col) + tol
+            if fwd
+            else F.col("_fill._ats") >= F.col(ts_col) - tol
         )
+        out = out.withColumn("_fill", F.when(in_tol, F.col("_fill")))
     return out.select(
         *[c for c in left.columns],
         F.col("_fill._ats").alias(f"{ts_col}{suffix}"),

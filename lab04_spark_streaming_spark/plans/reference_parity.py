@@ -447,6 +447,99 @@ ASOF LEFT JOIN spikes s
 """
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/asof.py direction="forward"): for
+    every event, the NEXT 'spike' (value ≥ 250) in its event_type, if
+    within the following hour — the "next event after" lookup that
+    pairs with q_asof_generic's backward form. Same chunked union-fill
+    scan, reversed order; DuckDB twin is a native forward ASOF JOIN
+    (e.ts <= s.ts)."""
+    from lab04_spark_streaming_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    spikes = (
+        ev.filter(F.col("value") >= 250)
+        .groupBy("event_type", "ts")
+        .agg(F.max("value").alias("spike_value"))
+    )
+    return asof_join(
+        ev.select("event_id", "ts", "event_type", "value"),
+        spikes,
+        ts_col="ts",
+        by=["event_type"],
+        value_cols=["spike_value"],
+        tolerance_s=3600,
+        suffix="_next",
+        direction="forward",
+    )
+
+
+SQL_ASOF_FORWARD = """
+WITH spikes AS (
+  SELECT event_type, ts, max(value) AS spike_value
+  FROM events WHERE value >= 250 GROUP BY 1, 2
+)
+SELECT e.event_id, e.ts, e.event_type, e.value,
+       CASE WHEN s.ts <= e.ts + INTERVAL 3600 SECOND THEN s.ts END AS ts_next,
+       CASE WHEN s.ts <= e.ts + INTERVAL 3600 SECOND THEN s.spike_value END
+         AS spike_value_next
+FROM events e
+ASOF LEFT JOIN spikes s
+  ON e.event_type = s.event_type AND e.ts <= s.ts
+"""
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic point-in-interval join (operators/ranges.py): spike
+    events (value ≥ 250) open a 30-minute interval; every dip (value ≤
+    150) of the same event_type inside an interval pairs with it.
+    Bucketed into a shuffled equi-join on (event_type, bucket) — no
+    BroadcastNestedLoopJoin (asserted in tests/test_plans.py), unlike
+    what Spark plans for a raw BETWEEN predicate."""
+    from lab04_spark_streaming_spark.operators.ranges import interval_join
+
+    ev = _events(spark, sf_dir)
+    intervals = ev.filter(F.col("value") >= 250).select(
+        F.col("event_id").alias("spike_id"),
+        "event_type",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1800 SECONDS")).alias("end_ts"),
+    )
+    points = ev.filter(F.col("value") <= 150).select(
+        F.col("event_id").alias("dip_id"), "event_type", "ts"
+    )
+    pairs = interval_join(
+        points,
+        intervals,
+        by=["event_type"],
+        point_ts="ts",
+        start_col="start_ts",
+        end_col="end_ts",
+        bucket_s=1800,
+    )
+    return pairs.select(
+        "spike_id",
+        "dip_id",
+        "event_type",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp("start_ts")
+        ).alias("secs_after"),
+    )
+
+
+SQL_INTERVAL_JOIN = """
+SELECT a.event_id AS spike_id, b.event_id AS dip_id, a.event_type,
+       -- floor each epoch BEFORE subtracting (Spark unix_timestamp
+       -- truncates per-timestamp; DuckDB's double->int cast ROUNDS)
+       CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS secs_after
+FROM events a
+JOIN events b
+  ON b.event_type = a.event_type
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1800 SECOND
+WHERE a.value >= 250 AND b.value <= 150
+"""
+
+
 def q_first_lower(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The btc-price-lower half of the reference's declared topic pair
     (setup_transform.py:129-130): comparison flipped, same plan."""
@@ -492,4 +585,6 @@ def specs():
         QuerySpec("first_crossing_higher", q_first_higher, SQL_FIRST_HIGHER),
         QuerySpec("first_crossing_lower", q_first_lower, SQL_FIRST_LOWER),
         QuerySpec("asof_join_generic", q_asof_generic, SQL_ASOF_GENERIC),
+        QuerySpec("asof_join_forward", q_asof_forward, SQL_ASOF_FORWARD),
+        QuerySpec("interval_join_spikes", q_interval_join, SQL_INTERVAL_JOIN),
     ]

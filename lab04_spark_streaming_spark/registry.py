@@ -91,6 +91,8 @@ _STAMP_FIRST: list[str] = [
     "ngram_repetition",
     "embedding_normalize",
     "dedup_keep_best",
+    "asof_join_forward",
+    "interval_join_spikes",
     # -- oracle SQL changed in round 3 → re-stamp --
     "first_crossing_higher",
     "first_crossing_lower",

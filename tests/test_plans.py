@@ -246,3 +246,42 @@ def test_asof_generic_no_global_window_over_data(spark, sf_dir):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     data_specs = [s for s in specs if "_is_left" in s]  # the fill scan
     assert data_specs and all("_chunk" in s for s in data_specs)
+
+
+def test_train_test_split_zero_shuffle(spark, sf_dir):
+    """Hash split is a pure per-row expression — no Exchange at all."""
+    from lab04_spark_streaming_spark.plans import pipeline_extras as px
+
+    plan = plan_of(px.q_train_test_split(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_ngram_repetition_zero_shuffle_and_pruned(spark, sf_dir):
+    """Repetition signals are per-row HOF expressions; the scan must
+    read only (doc_id, text)."""
+    from lab04_spark_streaming_spark.plans import pipeline_extras as px
+
+    plan = plan_of(px.q_ngram_repetition(spark, sf_dir))
+    assert "Exchange" not in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and all("n_chars" not in l and "lang" not in l for l in read)
+
+
+def test_embedding_normalize_zero_shuffle(spark, sf_dir):
+    from lab04_spark_streaming_spark.plans import pipeline_extras as px
+
+    plan = plan_of(px.q_embedding_normalize(spark, sf_dir))
+    assert "Exchange" not in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and all("label" not in l for l in read)
+
+
+def test_quota_and_packing_single_source_shuffle(spark, sf_dir):
+    """Both group-by-source ops shuffle exactly once, on source, and
+    the exchange carries ids/counts — never document text."""
+    from lab04_spark_streaming_spark.plans import pipeline_extras as px
+
+    for q in (px.q_domain_quota_sample, px.q_sequence_packing):
+        plan = plan_of(q(spark, sf_dir))
+        ex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+        assert ex and all("text" not in l for l in ex), q.__name__
