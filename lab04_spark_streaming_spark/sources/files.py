@@ -15,28 +15,37 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, TimestampType
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 from lab04_spark_streaming_spark.schemas import STAR_TABLES
 
-# Parquet columns written as TIMESTAMP(NANOS) — Spark has no nanos
-# timestamp type, so we read them as long (legacy conf) and convert to
-# microsecond timestamps, matching DuckDB's own nanos→µs truncation.
-_NANOS_TS_COLS = {"events": ["ts"]}
+# Timestamp columns whose physical parquet encoding has drifted across
+# testdata generations: TIMESTAMP(NANOS) (read as long via legacy conf),
+# timestamp[us] isAdjustedToUTC=true (plain TimestampType), and
+# timestamp[us] isAdjustedToUTC=false (TimestampNTZ unless inference is
+# disabled). Normalise every variant to microsecond TimestampType so
+# downstream operators and the DuckDB oracles see one stable type.
+_TS_COLS = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from ``{sf_dir}/{name}.parquet``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ inference off: timestamp[us] isAdjustedToUTC=false then reads
+    # as plain TimestampType (session tz is UTC), bit-identical values.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in _NANOS_TS_COLS.get(name, []):
+    for c in _TS_COLS.get(name, []):
         field = df.schema[c]
         if isinstance(field.dataType, LongType):
             # Integer division — ns epochs exceed 2^53, double division
             # would be off by up to ~128 ns (observed as ±1 µs).
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-        elif not isinstance(field.dataType, TimestampType):
-            raise TypeError(f"{name}.{c}: unexpected type {field.dataType}")
+        elif isinstance(field.dataType, TimestampNTZType):
+            # Belt-and-braces if inference is re-enabled elsewhere.
+            df = df.withColumn(c, F.col(c).cast(TimestampType()))
+        # TimestampType passes through; any future drift degrades to the
+        # cast above or the raw type instead of crashing 18 queries.
     return df
 
 
