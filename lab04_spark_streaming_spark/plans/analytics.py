@@ -966,15 +966,34 @@ GROUP BY l_returnflag
 SQL_MOMENT_AGGS = _sql_moments()
 
 
-# --- Approximate distinct (no SQL oracle — algorithm-specific) ------------
+# --- Approximate distinct --------------------------------------------------
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approx_count_distinct — algorithm differs from
-    DuckDB's approx_count_distinct, so this is a rows-only check; the
-    exact twin (q_distinct_agg) carries the value oracle."""
+    """HyperLogLog++ approx_count_distinct. The sketch estimate itself
+    is algorithm-specific (Spark's HLL++ ≠ DuckDB's), so the oracle
+    contract is the HLL++ error bound instead of the raw estimate:
+    emit the exact count plus a within_5pct flag (rsd=0.01 → 5% is a
+    5-sigma envelope, deterministic in practice) and let the oracle
+    assert the flag is TRUE with the same exact count."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_linestatus").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.01)
+                - F.count_distinct("l_partkey")
+            )
+            <= 0.05 * F.count_distinct("l_partkey")
+        ).alias("within_5pct"),
     )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT l_linestatus,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS within_5pct
+FROM lineitem
+GROUP BY l_linestatus
+"""
 
 
 # --- JSON + map functions ---------------------------------------------------
@@ -1054,7 +1073,7 @@ def specs():
         QuerySpec("math_case_funcs", q_math_case_funcs, SQL_MATH_CASE_FUNCS),
         QuerySpec("conditional_pivot", q_conditional_pivot, SQL_CONDITIONAL_PIVOT),
         QuerySpec("sessionize_gap30m", q_sessionize, SQL_SESSIONIZE),
-        QuerySpec("approx_count_distinct", q_approx_distinct, None),
+        QuerySpec("approx_count_distinct", q_approx_distinct, SQL_APPROX_DISTINCT),
         QuerySpec("q6_forecast_revenue", q6_forecast_revenue, SQL_Q6),
         QuerySpec("grouping_sets", q_grouping_sets, SQL_GROUPING_SETS),
         QuerySpec("array_funcs", q_array_funcs, SQL_ARRAY_FUNCS),

@@ -668,11 +668,46 @@ FROM documents
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode stub (mapInPandas) — rows-only check: the
-    fake features are deterministic but the decode path is Python-side
-    by design (real codecs live there)."""
+    """Arrow-batched decode stub (mapInPandas) → scalar feature columns.
+    The fake features (payload length / mean byte / first / last byte)
+    are pure byte arithmetic over the UTF-8 payload, so the whole
+    Python stage is DuckDB-oracle-checkable once the ``array<double>``
+    is unpacked into scalars (raw arrays crash the driver's
+    canonicalizer). The mean is an exact integer byte-sum followed by
+    one double division — bit-identical across engines."""
     media = mm.media_from_documents(_docs(spark, sf_dir))
-    return mm.decode_stub(media)
+    feats = mm.decode_stub(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.element_at("features", 1).alias("f_len"),
+        F.element_at("features", 2).alias("f_mean"),
+        F.element_at("features", 3).alias("f_first"),
+        F.element_at("features", 4).alias("f_last"),
+    )
+
+
+# documents.text is ASCII in this testdata (asserted by
+# tests/test_oracle_parity.py driving this very oracle), so DuckDB can
+# recover the UTF-8 payload bytes with ascii() per character — the same
+# byte stream the Python decoder sees.
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE) END AS f_len,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(list_sum(list_transform(string_split_regex(text, ''),
+                                              c -> ascii(c))) AS DOUBLE)
+                 / length(text) END AS f_mean,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(ascii(text[1]) AS DOUBLE) END AS f_first,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(ascii(text[-1]) AS DOUBLE) END AS f_last
+FROM documents
+"""
 
 
 def q_multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -682,31 +717,58 @@ def q_multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     a zip_with/aggregate fold on COLUMNS — no driver .collect(), so the
     whole chain is one job. Rows-only check (decode is Python-side by
     design); demonstrates the decode→embed→search composition."""
-    feats = mm.decode_stub(mm.media_from_documents(_docs(spark, sf_dir)))
+    feats = mm.decode_stub(mm.media_from_documents(_docs(spark, sf_dir))).filter(
+        F.col("n_bytes") > 0  # zero-vectors have no cosine (oracle mirrors)
+    )
     qf = feats.filter(F.col("media_id") == 0).select(
         F.col("features").alias("_qf")
     )
-    dot = (
-        "aggregate(zip_with(features, _qf, "
-        "(x, y) -> cast(x as double) * cast(y as double)), "
-        "0D, (acc, v) -> acc + v)"
+    # Fixed-order scalar expansion of the 4-feature dot/norms (instead
+    # of an aggregate() fold) so the float evaluation order is written
+    # down once and reproduced verbatim in the DuckDB oracle — every
+    # op (mul, left-assoc add, sqrt, div) is IEEE bit-identical.
+    dot = " + ".join(
+        f"features[{i}] * _qf[{i}]" for i in range(4)
     )
-    n1 = (
-        "aggregate(features, 0D, "
-        "(acc, x) -> acc + cast(x as double) * cast(x as double))"
-    )
-    n2 = (
-        "aggregate(_qf, 0D, "
-        "(acc, x) -> acc + cast(x as double) * cast(x as double))"
-    )
+    n1 = " + ".join(f"features[{i}] * features[{i}]" for i in range(4))
+    n2 = " + ".join(f"_qf[{i}] * _qf[{i}]" for i in range(4))
     return (
         feats.crossJoin(F.broadcast(qf))
-        .withColumn("cosine", F.expr(f"{dot} / (sqrt({n1}) * sqrt({n2}))"))
+        .withColumn("cosine", F.expr(f"({dot}) / (sqrt({n1}) * sqrt({n2}))"))
         .filter(F.col("media_id") != 0)
         .orderBy(F.desc("cosine"), "media_id")
         .select("media_id", "kind", "cosine")
         .limit(20)
     )
+
+
+def _sql_feature_knn() -> str:
+    feat = """
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+       [CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE),
+        CAST(list_sum(list_transform(string_split_regex(text, ''),
+                                     c -> ascii(c))) AS DOUBLE) / length(text),
+        CAST(ascii(text[1]) AS DOUBLE),
+        CAST(ascii(text[-1]) AS DOUBLE)] AS f
+FROM documents WHERE length(text) > 0
+"""
+    dot = " + ".join(f"a.f[{i}] * q.f[{i}]" for i in range(1, 5))
+    n1 = " + ".join(f"a.f[{i}] * a.f[{i}]" for i in range(1, 5))
+    n2 = " + ".join(f"q.f[{i}] * q.f[{i}]" for i in range(1, 5))
+    return f"""
+WITH feat AS ({feat}),
+q AS (SELECT f FROM feat WHERE media_id = 0)
+SELECT a.media_id, a.kind,
+       ({dot}) / (sqrt({n1}) * sqrt({n2})) AS cosine
+FROM feat a, q
+WHERE a.media_id <> 0
+ORDER BY cosine DESC, a.media_id
+LIMIT 20
+"""
+
+
+SQL_MULTIMODAL_FEATURE_KNN = _sql_feature_knn()
 
 
 # --- tf-idf top terms per document ------------------------------------------
@@ -1073,11 +1135,11 @@ def specs():
         QuerySpec("tf_df_terms", q_tf_df, SQL_TF_DF),
         QuerySpec("tfidf_top_terms", q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
         QuerySpec("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META),
-        QuerySpec("multimodal_decode_stub", q_multimodal_decode, None),
+        QuerySpec("multimodal_decode_stub", q_multimodal_decode, SQL_MULTIMODAL_DECODE),
         QuerySpec("multimodal_resize", q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
         QuerySpec("multimodal_frame_sample", q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
         QuerySpec("quality_filter_pipeline", q_quality_filter, SQL_QUALITY_FILTER),
-        QuerySpec("multimodal_feature_knn", q_multimodal_feature_knn, None),
+        QuerySpec("multimodal_feature_knn", q_multimodal_feature_knn, SQL_MULTIMODAL_FEATURE_KNN),
         QuerySpec("dedup_simhash_pairs", q_simhash_pairs, SQL_SIMHASH_PAIRS),
         QuerySpec(
             "decontamination_pairs",

@@ -46,57 +46,61 @@ class QuerySpec:
 # and r02 go last.  Every query is still covered every round by the local
 # harness (tests/test_oracle_parity.py) regardless of position.
 _STAMP_FIRST: list[str] = [
-    # -- never driver-stamped: LLM/training-data pipeline (plans/llm.py) --
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_jaccard_pairs",
-    "dedup_clusters",
-    "dedup_embedding_pairs",
-    "doc_chunking",
-    "knn_cosine_topk",
-    "ann_srp_buckets",
-    "ann_ivf_topk",
-    "text_metrics",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "tf_df_terms",
-    "tfidf_top_terms",
-    "multimodal_meta",
-    "multimodal_decode_stub",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "quality_filter_pipeline",
-    "multimodal_feature_knn",
-    "decontamination_pairs",
-    "pii_scrub",
-    "token_count_bpe",
-    "stratified_sample",
-    # -- never driver-stamped: TPC-H tail --
-    "q18_large_volume",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q21_suppliers_waiting",
-    "q22_global_sales",
-    # -- stamped in r01 only (dropped out of r02's first-50 window) --
-    "q15_top_supplier",
-    "q16_supplier_part_types",
-    "q17_small_qty_revenue",
-    # -- new in round 3 (plans/pipeline_extras.py) --
-    "train_test_split",
-    "domain_quota_sample",
-    "sequence_packing",
-    "ngram_repetition",
-    "embedding_normalize",
-    "dedup_keep_best",
+    # -- r05: every events-dependent query crashed in r04 (loader raise on
+    # the regenerated timestamp[us] testdata, fixed in sources/files.py) —
+    # all 18 must be re-stamped green this round.
+    "moving_stats_flat",
+    "moving_stats_long_windows",
+    "zscore_grid_join",
+    "zscore_asof_join",
     "asof_join_forward",
     "interval_join_spikes",
-    # -- oracle SQL changed in round 3 → re-stamp --
     "first_crossing_higher",
     "first_crossing_lower",
     "json_map_funcs",
+    "moving_stats_nested_json",
+    "watermark_late_drop",
+    "json_decode_project",
+    "json_encode_struct",
+    "asof_join_generic",  # code changed r3, only ever stamped r02
+    "conditional_pivot",
+    "sessionize_gap30m",
+    "tumbling_window_1h",
+    "session_window_agg",
+    # -- oracle upgraded in r05 (rows-only → hash-checked) --
+    "multimodal_decode_stub",
+    "approx_count_distinct",
+    "multimodal_feature_knn",
+    # -- stalest green stamps (r02): cycle through the stamp window --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q4_order_priority",
+    "q12_priority_buckets",
+    "q14_promo_revenue",
+    "semi_join_exists",
+    "anti_join_not_exists",
+    "outer_join_agg",
+    "rollup_agg",
+    "cube_agg",
+    "window_topk_per_group",
+    "window_running_lag_lead",
+    "distinct_agg",
+    "set_ops",
+    "sort_limit_topk",
+    "string_funcs",
+    "date_funcs",
+    "math_case_funcs",
+    "q6_forecast_revenue",
+    "grouping_sets",
+    "array_funcs",
+    "regexp_funcs",
+    "scalar_subquery",
+    "percentiles_exact",
+    "moment_aggs",
+    "q2_best_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
 ]
 
 
