@@ -375,14 +375,20 @@ def zscore_asof_fast(
                      moments per (key, slot).
       2. cumsum    — per-key running moments (output bounded by
                      occupied slots, not rows).
-      3. union-fill — tick probe rows union the sparse cum rows; one
-                     ordered last_value(ignoreNulls) pass gives every
-                     probe its as-of cum. No dense slot axis, no
-                     sort-merge join afterwards.
-      4. pivot     — per-tick hash agg collapses the probe rows back to
-                     one row (3 × |offsets| max-when columns); window
-                     stats are moment differences, freshest non-empty
-                     staleness wins; explode emits (tick, window) rows.
+      3. union-fill — probe rows for the DISTINCT (key, end-slot) pairs
+                     (not per tick: every tick in a slot needs the same
+                     lookups, so fill work scales with occupied slots ×
+                     offsets and is INDEPENDENT of tick density — the
+                     property that matters at 100 TB) union the sparse
+                     cum rows; one ordered last_value(ignoreNulls) pass
+                     gives every probe its as-of cum.
+      4. pivot+join — per-(key, end-slot) hash agg collapses the probe
+                     rows to one struct per offset; window stats are
+                     moment differences, freshest non-empty staleness
+                     wins; explode emits a (key, end-slot, window) stats
+                     relation that ticks join on (key, end-slot) — both
+                     sides hash-partitioned on the same key, one
+                     shuffle each.
 
     The fill pass is slot-range chunked (CHUNK_SLOTS): each (key,
     chunk) fills independently and a per-chunk carry (last bucket cum
@@ -412,54 +418,94 @@ def zscore_asof_fast(
         F.col(value_col).alias("_v"),
         F.floor(F.unix_timestamp(F.col(ts_col)) / slide_s).alias("_end0"),
     )
+    # Probe DISTINCT (key, end-slot) pairs only: ticks sharing a slot
+    # share every lookup, so the fill/pivot workload is bounded by
+    # occupied slots × offsets regardless of tick density.
     probes = (
-        base.withColumn("_off", F.explode(F.array(*[F.lit(o) for o in offs])))
+        base.select(*key_cols, "_end0")
+        .distinct()
+        .withColumn("_off", F.explode(F.array(*[F.lit(o) for o in offs])))
         .withColumn("_slot", (F.col("_end0") - F.col("_off")).cast("long"))
-        .drop("_end0")
     )
     resolved = asof_cum_lookup(cums, probes, key_cols, chunk_slots=chunk_slots)
 
-    group_keys = ([id_col] if id_col else []) + ["timestamp", *key_cols, "_v"]
-    grouped = resolved.groupBy(*group_keys).agg(
-        *[
-            F.max(F.when(F.col("_off") == o, F.col(c))).alias(f"{c}_{o}")
-            for o in offs
-            for c in cum_cols
-        ]
+    # Assemble window stats RELATIONALLY instead of via a wide pivoted
+    # when-tree: the earlier pivot variants (42 max-when aggregates, or
+    # a map pivot probed by ~84 getItem calls inside nested whens) spent
+    # more driver time in Catalyst analysis/codegen of the giant
+    # expression tree than the executors spent running it. Here the
+    # resolved probes stay long-form: the two "window end" offsets
+    # (1 + staleness) join the per-(window, staleness) "window start"
+    # offsets on (key, end-slot, staleness), moments subtract row-wise
+    # with flat arithmetic, and the freshest non-empty staleness wins
+    # via min_by. Every expression is a handful of nodes.
+    hi = resolved.filter(F.col("_off") <= 1 + max_stale_slots).select(
+        *key_cols,
+        "_end0",
+        (F.col("_off") - 1).alias("_st"),
+        *[F.col(c).alias(f"_h{c[1:]}") for c in cum_cols],
     )
-
-    entries = []
+    # _off → (window label, staleness) is injective for the lo side
+    # (1 + st + dslots); a literal map decodes it per row.
+    lo_entries: list[Column] = []
     for label, dur in windows:
         dslots = _duration_seconds(dur) // slide_s
-        picks = []
         for st in range(max_stale_slots + 1):
-            h, lo = 1 + st, 1 + st + dslots
-            n = F.col(f"_cn_{h}") - F.col(f"_cn_{lo}")
-            s = F.col(f"_cs_{h}") - F.col(f"_cs_{lo}")
-            sq = F.col(f"_csq_{h}") - F.col(f"_csq_{lo}")
-            picks.append((n, *_stats_from_moment_diff(n, s, sq)))
-        n_any = F.lit(False)
-        avg_pick = F.lit(None).cast("double")
-        std_pick = F.lit(None).cast("double")
-        for n, avg, std in reversed(picks):
-            avg_pick = F.when(n > 0, avg).otherwise(avg_pick)
-            std_pick = F.when(n > 0, std).otherwise(std_pick)
-            n_any = n_any | (n > 0)
-        entries.append(
-            F.struct(
-                F.lit(label).alias("window"),
-                n_any.alias("ok"),
-                avg_pick.alias("avg"),
-                std_pick.alias("std"),
-            )
+            lo_entries += [
+                F.lit(1 + st + dslots),
+                F.struct(F.lit(label).alias("window"), F.lit(st).alias("_st")),
+            ]
+    lo_decode = F.create_map(*lo_entries)
+    lo = (
+        resolved.filter(F.col("_off") > 1 + max_stale_slots)
+        .withColumn("_w", lo_decode[F.col("_off")])
+        .select(
+            *key_cols,
+            "_end0",
+            F.col("_w.window").alias("window"),
+            F.col("_w._st").alias("_st"),
+            *[F.col(c).alias(f"_l{c[1:]}") for c in cum_cols],
         )
-    ex = F.explode(F.filter(F.array(*entries), lambda e: e["ok"])).alias("_e")
-    return grouped.select(*group_keys, ex).select(
+    )
+    j = hi.join(lo, [*key_cols, "_end0", "_st"])
+    n = F.col("_hcn") - F.col("_lcn")
+    s = F.col("_hcs") - F.col("_lcs")
+    sq = F.col("_hcsq") - F.col("_lcsq")
+    avg, std = _stats_from_moment_diff(n, s, sq)
+    # Freshest (smallest staleness) non-empty window per (key, slot,
+    # window). The groupBy keys are a superset of the join keys, so the
+    # aggregation reuses the join's hash partitioning — no extra shuffle.
+    stats = (
+        j.filter(n > 0)
+        .select(
+            *key_cols,
+            "_end0",
+            "window",
+            "_st",
+            avg.alias("_avg1"),
+            std.alias("_std1"),
+        )
+        .groupBy(*key_cols, "_end0", "window")
+        .agg(
+            F.min_by(F.struct("_avg1", "_std1"), F.col("_st")).alias("_p"),
+        )
+        .select(
+            *key_cols,
+            "_end0",
+            "window",
+            F.col("_p._avg1").alias("_avg"),
+            F.col("_p._std1").alias("_std"),
+        )
+    )
+    # Ticks → per-slot stats: both sides hash-partition on the join key,
+    # and the stats side stays occupied-slots-sized however many ticks
+    # land per slot.
+    return base.join(stats, [*key_cols, "_end0"]).select(
         *([F.col(id_col)] if id_col else []),
         "timestamp",
         *key_cols,
-        F.col("_e.window").alias("window"),
-        safe_zscore(F.col("_v"), F.col("_e.avg"), F.col("_e.std")).alias(
+        "window",
+        safe_zscore(F.col("_v"), F.col("_avg"), F.col("_std")).alias(
             "zscore_value"
         ),
     )
