@@ -38,12 +38,23 @@ HEADLINE = [
 
 
 def main() -> None:
+    from lab04_spark_streaming_spark.operators.similarity import (
+        cosine_topk_vs_id_fold,
+    )
     from lab04_spark_streaming_spark.registry import queries
     from lab04_spark_streaming_spark.session import get_spark
+    from lab04_spark_streaming_spark.sources.files import load_table
 
     spark = get_spark(app_name="lab04-bench")
     spark.sparkContext.setLogLevel("ERROR")
     q = queries()
+    # Bench measures the PRODUCTION paths. knn's registry entry is the
+    # integer-quantized posexplode anchor (kept for the cross-engine
+    # oracle); users run the zero-shuffle zip_with fold, so that is what
+    # gets timed (ids identical, asserted in tests/test_plans.py).
+    q["knn_cosine_topk"] = lambda spark, sf: cosine_topk_vs_id_fold(
+        load_table(spark, sf, "embeddings"), query_id=0, k=10
+    )
 
     # Warm the JVM/codegen once (not measured): a trivial scan-agg.
     q["q1_pricing_summary"](spark, SF_DIR).count()

@@ -117,6 +117,43 @@ def exact_cosine_topk_vs_id(
     )
 
 
+def cosine_topk_vs_id_fold(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production top-k: the query row is broadcast (no driver
+    collect) and the cosine is a zip_with/aggregate fold per row —
+    zero shuffles before the final top-k sort, no ×dim row expansion.
+    Returns the same ids as :func:`exact_cosine_topk_vs_id` (asserted
+    in tests/test_plans.py); cosines differ from the anchor only in
+    quantization, so the anchor keeps the cross-engine oracle and this
+    is the path a user (and bench.py) should run."""
+    qf = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_q")
+    )
+    dot = (
+        f"aggregate(zip_with({vec_col}, _q, "
+        f"(x, y) -> cast(x as double) * cast(y as double)), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+    n1 = (
+        f"aggregate({vec_col}, 0D, "
+        f"(acc, x) -> acc + cast(x as double) * cast(x as double))"
+    )
+    n2 = "aggregate(_q, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))"
+    return (
+        emb.crossJoin(F.broadcast(qf))
+        .withColumn("cosine", F.expr(f"{dot} / (sqrt({n1}) * sqrt({n2}))"))
+        .filter(F.col(id_col) != query_id)
+        .orderBy(F.desc("cosine"), id_col)
+        .select(id_col, "cosine")
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -320,7 +357,7 @@ def embedding_near_dup_pairs_lsh(
     generation (one shuffle on the bucket key) → exact integer-quantized
     cosine verify on the candidate pairs only. This is the registered
     form; :func:`embedding_near_dup_pairs` (all-pairs) is kept as the
-    test-only recall oracle (tests/test_similarity.py asserts equal
+    test-only recall oracle (tests/test_plans.py::test_embedding_pairs_lsh_shape_and_recall asserts equal
     output on the fixture — recall is deterministically 100% there).
 
     Verify stage is per-pair zip_with folds on the full arrays (no

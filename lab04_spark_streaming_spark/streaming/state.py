@@ -72,6 +72,11 @@ def first_crossing_batch(
     base = df.groupBy(
         *key_cols, F.col(ts_col).alias("ts")
     ).agg(F.max(F.col(value_col)).alias("value"))
+    # Both join sides consume base; without this the scan + dedup
+    # shuffle runs twice (broadcast vs shuffle exchange types defeat
+    # ReuseExchange). Lazy local checkpoint materializes it once at
+    # first action and shares the partitions.
+    base = base.localCheckpoint(eager=False)
     left = base.select(
         *key_cols,
         "ts",

@@ -158,6 +158,27 @@ def test_ivf_cosines_agree_with_exact_baseline(spark, sf_dir):
         assert exact[r.vec_id] == r.cosine, (r.vec_id, exact[r.vec_id], r.cosine)
 
 
+def test_fold_topk_matches_anchor_ids(spark, sf_dir):
+    """The production zip_with-fold top-k (what bench.py measures) must
+    return the same ids in the same rank order as the integer-quantized
+    posexplode anchor (what the driver oracle checks) — the two differ
+    only in sub-quantum cosine noise, never in ranking. Its plan must
+    also stay shuffle-free up to the top-k: no posexplode expansion."""
+    from lab04_spark_streaming_spark.operators.similarity import (
+        cosine_topk_vs_id_fold,
+        exact_cosine_topk_vs_id,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fold = cosine_topk_vs_id_fold(emb, query_id=0, k=10)
+    assert "posexplode" not in plan_of(fold)
+    fold_ids = [r.vec_id for r in fold.collect()]
+    anchor_ids = [
+        r.vec_id for r in exact_cosine_topk_vs_id(emb, query_id=0, k=10).collect()
+    ]
+    assert fold_ids == anchor_ids
+
+
 def test_embedding_pairs_lsh_shape_and_recall(spark, sf_dir):
     """The REGISTERED dedup_embedding_pairs query must be the scale-safe
     banded-SRP pipeline: candidates from a (band, band_key) bucket join,
