@@ -330,10 +330,64 @@ SELECT cluster_id, doc_id, n_chars, n_members FROM j WHERE rk = 1
 """
 
 
+# --- corpus boilerplate n-grams --------------------------------------------
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: the 5-gram shingles present in the most
+    documents (headers/footers/license blurbs recur verbatim across a
+    crawl; removing top document-frequency n-grams is the standard
+    pre-training cleanup). Per-doc DISTINCT shingles (presence, not
+    multiplicity), one map-side-combined shuffle on the shingle, and a
+    TakeOrdered top-k — no global sort, no text column past the scan
+    stage. Ties are broken on the shingle string so the top-k is fully
+    deterministic cross-engine."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr(expr_shingles(_SPARK_TOKS, 5)))
+        ).alias("shingle"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # Top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, no global sort of the shingle vocabulary), THEN rank over
+    # the 50 surviving rows — never a one-partition window over the
+    # full vocabulary.
+    top = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("df_ratio", F.col("df").cast("double") / F.col("n_docs"))
+        .orderBy(F.desc("df"), F.col("shingle"))
+        .limit(50)
+    )
+    w = Window.orderBy(F.desc("df"), F.col("shingle"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "shingle", "df", "df_ratio", "rank"
+    )
+
+
+SQL_BOILERPLATE_NGRAMS = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({sql_shingles('toks', 5)})) AS shingle
+  FROM tok t(doc_id, toks)
+),
+c AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT shingle, df, CAST(df AS DOUBLE) / n_docs AS df_ratio,
+       row_number() OVER (ORDER BY df DESC, shingle) AS rank
+FROM c, n
+QUALIFY rank <= 50
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
     return [
+        QuerySpec(
+            "boilerplate_ngrams", q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS
+        ),
         QuerySpec("train_test_split", q_train_test_split, SQL_TRAIN_TEST_SPLIT),
         QuerySpec(
             "domain_quota_sample", q_domain_quota_sample, SQL_DOMAIN_QUOTA_SAMPLE

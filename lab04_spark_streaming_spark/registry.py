@@ -71,6 +71,8 @@ _STAMP_FIRST: list[str] = [
     "multimodal_decode_stub",
     "approx_count_distinct",
     "multimodal_feature_knn",
+    # -- new in round 5 --
+    "boilerplate_ngrams",
     # -- stalest green stamps (r02): cycle through the stamp window --
     "q1_pricing_summary",
     "q3_shipping_priority",
