@@ -414,6 +414,67 @@ def _quantized_pos(
     ).withColumn("x", F.floor(F.col("xf").cast("double") * q + F.lit(0.5)))
 
 
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means over the quantized vectors — the
+    codebook trainer :func:`ivf_assign` stands in for. Fully
+    deterministic and DuckDB-oracle-exact: components and centroids
+    live on the 1e-7 integer grid (updated centroids are re-quantized
+    round-half-up, an exact float op both engines share), so every
+    squared-L2 distance is an int64 sum and every argmin (tie → lower
+    centroid id) is exact — no float summation order anywhere.
+
+    Scale shape per iteration: centroids broadcast (k·d rows ≪ memory);
+    assignment = map-side join on ``pos`` + one (id, cid) moment
+    shuffle; update = one (cid, pos) shuffle. The quantized positional
+    base is lazily checkpointed once and reused by every iteration
+    instead of re-exploding the scan. Centroid sums stay < 2^53
+    (|x| ≤ ~2e7 quantum units ⇒ exact double conversion up to ~4·10^8
+    members per cell; beyond that split the mean hierarchically).
+
+    Seeding: the vectors with id < k (same deterministic convention as
+    :func:`ivf_assign`). Returns (id, cluster, sqdist) after ``iters``
+    assignment rounds with ``iters - 1`` centroid updates between
+    them."""
+    pos = _quantized_pos(emb, id_col, vec_col).select(
+        id_col, "pos", "x"
+    ).localCheckpoint(eager=False)
+    cent = pos.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), "pos", F.col("x").alias("c")
+    )
+    assign = None
+    for _ in range(iters):
+        diff = F.col("x") - F.col("c")
+        d = (
+            pos.join(F.broadcast(cent), "pos")
+            .groupBy(id_col, "cid")
+            .agg(F.sum(diff * diff).alias("dist"))
+        )
+        assign = d.groupBy(id_col).agg(
+            F.min(F.struct("dist", "cid")).alias("_p")
+        )
+        members = pos.join(
+            assign.select(id_col, F.col("_p.cid").alias("cid")), id_col
+        )
+        cent = members.groupBy("cid", "pos").agg(
+            F.floor(
+                F.sum("x").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("c")
+        )
+    return assign.select(
+        F.col(id_col),
+        F.col("_p.cid").alias("cluster"),
+        F.col("_p.dist").alias("sqdist"),
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     n_cells: int = 16,

@@ -381,6 +381,58 @@ QUALIFY rank <= 50
 """
 
 
+# --- distributed k-means (IVF codebook trainer) -----------------------------
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means (k=8, 2 assignment rounds) over the embeddings —
+    the iterative-algorithm twin of dedup_clusters, and the trainer
+    that produces a real IVF codebook. Integer-grid centroids keep the
+    whole computation exact, so even an iterative float algorithm is
+    hash-checked against DuckDB (2 unrolled iterations in the oracle
+    SQL)."""
+    from lab04_spark_streaming_spark.operators.similarity import kmeans_assign
+
+    return kmeans_assign(_emb(spark, sf_dir), k=8, iters=2)
+
+
+SQL_KMEANS_CLUSTERS = """
+WITH pos AS (
+  SELECT vec_id, pos,
+         CAST(floor(CAST(embedding[pos] AS DOUBLE) * 10000000.0 + 0.5)
+              AS BIGINT) AS x
+  FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+               embedding
+        FROM embeddings)
+),
+c0 AS (SELECT vec_id AS cid, pos, x AS c FROM pos WHERE vec_id < 8),
+d1 AS (
+  SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dist
+  FROM pos p JOIN c0 c ON p.pos = c.pos
+  GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+c1 AS (
+  SELECT a1.cid, p.pos,
+         CAST(floor(CAST(SUM(p.x) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS c
+  FROM pos p JOIN a1 ON p.vec_id = a1.vec_id
+  GROUP BY 1, 2
+),
+d2 AS (
+  SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dist
+  FROM pos p JOIN c1 c ON p.pos = c.pos
+  GROUP BY 1, 2
+)
+SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS sqdist FROM (
+  SELECT vec_id, cid, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d2) WHERE rn = 1
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -388,6 +440,7 @@ def specs():
         QuerySpec(
             "boilerplate_ngrams", q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS
         ),
+        QuerySpec("kmeans_clusters", q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
         QuerySpec("train_test_split", q_train_test_split, SQL_TRAIN_TEST_SPLIT),
         QuerySpec(
             "domain_quota_sample", q_domain_quota_sample, SQL_DOMAIN_QUOTA_SAMPLE

@@ -73,6 +73,7 @@ _STAMP_FIRST: list[str] = [
     "multimodal_feature_knn",
     # -- new in round 5 --
     "boilerplate_ngrams",
+    "kmeans_clusters",
     # -- stalest green stamps (r02): cycle through the stamp window --
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -158,6 +158,34 @@ def test_ivf_cosines_agree_with_exact_baseline(spark, sf_dir):
         assert exact[r.vec_id] == r.cosine, (r.vec_id, exact[r.vec_id], r.cosine)
 
 
+def test_kmeans_centroids_broadcast_each_iteration(spark, sf_dir):
+    """Every k-means iteration must broadcast the centroid relation —
+    the vector side never shuffles on anything but its own (id, cid) /
+    (cid, pos) aggregations, and no assignment step degenerates into a
+    cartesian product."""
+    from lab04_spark_streaming_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(kmeans_assign(emb, k=8, iters=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kmeans_two_rounds_not_degenerate(spark, sf_dir):
+    """Iteration must do something: after two rounds every vector is
+    assigned exactly once, more than one cluster survives, and the
+    round-2 assignment differs from round-1 (the update moved at least
+    one centroid on the fixture)."""
+    from lab04_spark_streaming_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    one = {r.vec_id: r.cluster for r in kmeans_assign(emb, k=8, iters=1).collect()}
+    two = {r.vec_id: r.cluster for r in kmeans_assign(emb, k=8, iters=2).collect()}
+    assert len(one) == len(two) == emb.count()
+    assert len(set(two.values())) > 1
+    assert one != two
+
+
 def test_fold_topk_matches_anchor_ids(spark, sf_dir):
     """The production zip_with-fold top-k (what bench.py measures) must
     return the same ids in the same rank order as the integer-quantized
