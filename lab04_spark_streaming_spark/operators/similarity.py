@@ -441,33 +441,12 @@ def kmeans_assign(
     :func:`ivf_assign`). Returns (id, cluster, sqdist) after ``iters``
     assignment rounds with ``iters - 1`` centroid updates between
     them."""
-    pos = _quantized_pos(emb, id_col, vec_col).select(
-        id_col, "pos", "x"
-    ).localCheckpoint(eager=False)
-    cent = pos.filter(F.col(id_col) < k).select(
-        F.col(id_col).alias("cid"), "pos", F.col("x").alias("c")
-    )
+    pos = _kmeans_pos(emb, id_col, vec_col)
+    cent = _kmeans_seed(pos, k, id_col)
     assign = None
     for _ in range(iters):
-        diff = F.col("x") - F.col("c")
-        d = (
-            pos.join(F.broadcast(cent), "pos")
-            .groupBy(id_col, "cid")
-            .agg(F.sum(diff * diff).alias("dist"))
-        )
-        assign = d.groupBy(id_col).agg(
-            F.min(F.struct("dist", "cid")).alias("_p")
-        )
-        members = pos.join(
-            assign.select(id_col, F.col("_p.cid").alias("cid")), id_col
-        )
-        cent = members.groupBy("cid", "pos").agg(
-            F.floor(
-                F.sum("x").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("c")
-        )
+        assign = _kmeans_assign_round(pos, cent, id_col)
+        cent = _kmeans_update(pos, assign, id_col)
     return assign.select(
         F.col(id_col),
         F.col("_p.cid").alias("cluster"),
@@ -475,29 +454,92 @@ def kmeans_assign(
     )
 
 
+def _kmeans_pos(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return (
+        _quantized_pos(emb, id_col, vec_col)
+        .select(id_col, "pos", "x")
+        .localCheckpoint(eager=False)
+    )
+
+
+def _kmeans_seed(pos: DataFrame, k: int, id_col: str) -> DataFrame:
+    return pos.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), "pos", F.col("x").alias("c")
+    )
+
+
+def _kmeans_assign_round(
+    pos: DataFrame, cent: DataFrame, id_col: str
+) -> DataFrame:
+    diff = F.col("x") - F.col("c")
+    d = (
+        pos.join(F.broadcast(cent), "pos")
+        .groupBy(id_col, "cid")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    return d.groupBy(id_col).agg(F.min(F.struct("dist", "cid")).alias("_p"))
+
+
+def _kmeans_update(pos: DataFrame, assign: DataFrame, id_col: str) -> DataFrame:
+    members = pos.join(
+        assign.select(id_col, F.col("_p.cid").alias("cid")), id_col
+    )
+    return members.groupBy("cid", "pos").agg(
+        F.floor(F.sum("x").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("c")
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    updates: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The trained codebook itself: ``updates`` Lloyd update rounds
+    from the deterministic seed. Returns (cid, pos, c) on the integer
+    grid — directly pluggable into :func:`ivf_assign` /
+    :func:`ivf_topk` as the ``centroids`` relation."""
+    pos = _kmeans_pos(emb, id_col, vec_col)
+    cent = _kmeans_seed(pos, k, id_col)
+    for _ in range(updates):
+        assign = _kmeans_assign_round(pos, cent, id_col)
+        cent = _kmeans_update(pos, assign, id_col)
+    return cent
+
+
 def ivf_assign(
     emb: DataFrame,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest centroid
-    by cosine (ties → smaller centroid id). Centroids are the vectors
-    with ``id < n_cells`` — a deterministic seeding stand-in for a
-    k-means codebook (the assignment/search plumbing is identical; swap
-    the centroid relation for trained centroids in production).
+    by cosine (ties → smaller centroid id). Default centroids are the
+    vectors with ``id < n_cells`` — deterministic seeding; pass
+    ``centroids`` = a (cid, pos, c) relation (e.g.
+    :func:`kmeans_centroids`) to use a trained codebook instead — the
+    assignment/search plumbing is identical.
 
     Scale shape: centroids broadcast (a codebook is ≪ memory), so
     assignment is a map-side join + per-(vector, centroid) moment agg —
     n·K·d work, no vector-side shuffle until the small (id, cell)
     output. Returns (id, cell, cell_cosine)."""
     pos = _quantized_pos(emb, id_col, vec_col)
-    cpos = pos.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("_cid"), F.col("pos"), F.col("x").alias("cx")
-    )
+    if centroids is None:
+        cpos = pos.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("_cid"), F.col("pos"), F.col("x").alias("cx")
+        )
+    else:
+        cpos = centroids.select(
+            F.col("cid").alias("_cid"), F.col("pos"), F.col("c").alias("cx")
+        )
     norms = pos.groupBy(id_col).agg(F.sum(F.col("x") * F.col("x")).alias("n2"))
-    cnorms = norms.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("_cid"), F.col("n2").alias("c2")
+    cnorms = cpos.groupBy("_cid").agg(
+        F.sum(F.col("cx") * F.col("cx")).alias("c2")
     )
     dots = (
         pos.join(F.broadcast(cpos), "pos")
@@ -532,6 +574,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: probe the ``n_probe`` cells whose centroids are
     nearest the query, exact-rank only their members. The scale path of
@@ -541,23 +584,29 @@ def ivf_topk(
     :func:`exact_cosine_topk_vs_id` is the recall oracle).
 
     All arithmetic is integer-quantized → oracle-checkable end to end,
-    including the cell assignment itself. Returns (vec_id, cell,
-    cosine) — the top-k among probed cells."""
-    assign = ivf_assign(emb, n_cells, id_col, vec_col)
+    including the cell assignment itself (and, when ``centroids`` is a
+    :func:`kmeans_centroids` relation, the training too). Returns
+    (vec_id, cell, cosine) — the top-k among probed cells."""
+    assign = ivf_assign(emb, n_cells, id_col, vec_col, centroids=centroids)
     pos = _quantized_pos(emb, id_col, vec_col)
     norms = pos.groupBy(id_col).agg(F.sum(F.col("x") * F.col("x")).alias("n2"))
 
     # Probe list: the n_probe centroids nearest the query vector —
     # reuse the per-(vector, centroid) cosines of the assignment by
     # recomputing just the query row (tiny: K rows).
-    cpos = pos.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("_cid"), F.col("pos"), F.col("x").alias("cx")
-    )
+    if centroids is None:
+        cpos = pos.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("_cid"), F.col("pos"), F.col("x").alias("cx")
+        )
+    else:
+        cpos = centroids.select(
+            F.col("cid").alias("_cid"), F.col("pos"), F.col("c").alias("cx")
+        )
     qpos = pos.filter(F.col(id_col) == query_id).select(
         "pos", F.col("x").alias("qx")
     )
-    cnorms = norms.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("_cid"), F.col("n2").alias("c2")
+    cnorms = cpos.groupBy("_cid").agg(
+        F.sum(F.col("cx") * F.col("cx")).alias("c2")
     )
     qn2 = norms.filter(F.col(id_col) == query_id).select(
         F.col("n2").alias("qn2")

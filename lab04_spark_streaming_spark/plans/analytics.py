@@ -996,6 +996,51 @@ GROUP BY l_linestatus
 """
 
 
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna/KLL-style sketch — the 100 TB
+    path: mergeable, no per-group sort). The sketch values are
+    algorithm-specific, so as with approx_count_distinct the oracle
+    contract is the error bound: accuracy=1000 guarantees rank error
+    ≤ 0.1%, checked against the exact ±5%-rank percentile bracket
+    (computed in the same pass) — the flags are deterministically TRUE
+    and the exact anchors hash-match."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = "percentile(l_extendedprice, {})"
+    a = "approx_percentile(l_extendedprice, {}, 1000)"
+    g = li.groupBy("l_returnflag").agg(
+        F.expr(p.format(0.5)).alias("p50_exact"),
+        F.expr(p.format(0.95)).alias("p95_exact"),
+        F.expr(p.format(0.45)).alias("_lo50"),
+        F.expr(p.format(0.55)).alias("_hi50"),
+        F.expr(p.format(0.90)).alias("_lo95"),
+        F.expr(p.format(1.0)).alias("_hi95"),
+        F.expr(a.format(0.5)).alias("_a50"),
+        F.expr(a.format(0.95)).alias("_a95"),
+    )
+    return g.select(
+        "l_returnflag",
+        "p50_exact",
+        "p95_exact",
+        F.col("_a50").between(F.col("_lo50"), F.col("_hi50")).alias(
+            "p50_within_rank_5pct"
+        ),
+        F.col("_a95").between(F.col("_lo95"), F.col("_hi95")).alias(
+            "p95_within_rank_5pct"
+        ),
+    )
+
+
+SQL_APPROX_PERCENTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+       quantile_cont(l_extendedprice, 0.95) AS p95_exact,
+       TRUE AS p50_within_rank_5pct,
+       TRUE AS p95_within_rank_5pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # --- JSON + map functions ---------------------------------------------------
 def q_json_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction + map construction/lookup over events.props
@@ -1074,6 +1119,9 @@ def specs():
         QuerySpec("conditional_pivot", q_conditional_pivot, SQL_CONDITIONAL_PIVOT),
         QuerySpec("sessionize_gap30m", q_sessionize, SQL_SESSIONIZE),
         QuerySpec("approx_count_distinct", q_approx_distinct, SQL_APPROX_DISTINCT),
+        QuerySpec(
+            "approx_percentiles", q_approx_percentiles, SQL_APPROX_PERCENTILES
+        ),
         QuerySpec("q6_forecast_revenue", q6_forecast_revenue, SQL_Q6),
         QuerySpec("grouping_sets", q_grouping_sets, SQL_GROUPING_SETS),
         QuerySpec("array_funcs", q_array_funcs, SQL_ARRAY_FUNCS),

@@ -394,8 +394,10 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(_emb(spark, sf_dir), k=8, iters=2)
 
 
-SQL_KMEANS_CLUSTERS = """
-WITH pos AS (
+# Shared CTE prefix: quantized positions → seed c0 → one Lloyd round →
+# trained centroids c1. Reused verbatim by the trained-IVF oracle below.
+_SQL_KMEANS_C1 = """
+pos AS (
   SELECT vec_id, pos,
          CAST(floor(CAST(embedding[pos] AS DOUBLE) * 10000000.0 + 0.5)
               AS BIGINT) AS x
@@ -420,7 +422,10 @@ c1 AS (
          CAST(floor(CAST(SUM(p.x) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS c
   FROM pos p JOIN a1 ON p.vec_id = a1.vec_id
   GROUP BY 1, 2
-),
+)"""
+
+SQL_KMEANS_CLUSTERS = f"""
+WITH {_SQL_KMEANS_C1},
 d2 AS (
   SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dist
   FROM pos p JOIN c1 c ON p.pos = c.pos
@@ -433,6 +438,71 @@ SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS sqdist FROM (
 """
 
 
+# --- trained IVF: k-means codebook + probe search ---------------------------
+def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition end to end: train the codebook
+    (one Lloyd round over the deterministic seed), assign every vector
+    to its nearest trained centroid by cosine, probe the 2 cells
+    nearest the query, exact-rank only their members. Training,
+    assignment, probing and ranking are all integer-quantized, so the
+    ENTIRE pipeline — including the iterative trainer — hash-matches
+    the unrolled DuckDB oracle."""
+    from lab04_spark_streaming_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cent = kmeans_centroids(emb, k=8, updates=1)
+    return ivf_topk(
+        emb, query_id=0, k=10, n_cells=8, n_probe=2, centroids=cent
+    )
+
+
+SQL_ANN_IVF_TRAINED_TOPK = f"""
+WITH {_SQL_KMEANS_C1},
+norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM pos GROUP BY vec_id),
+cnorms AS (SELECT cid, SUM(c * c) AS c2 FROM c1 GROUP BY cid),
+assign AS (
+  SELECT vec_id, cid AS cell
+  FROM (
+    SELECT p.vec_id, c.cid,
+           SUM(p.x * c.c) / (sqrt(n.n2) * sqrt(cn.c2)) AS cell_cosine
+    FROM pos p
+    JOIN c1 c ON p.pos = c.pos
+    JOIN norms n ON p.vec_id = n.vec_id
+    JOIN cnorms cn ON c.cid = cn.cid
+    GROUP BY p.vec_id, c.cid, n.n2, cn.c2)
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY cell_cosine DESC, cid) = 1
+),
+qpos AS (SELECT pos, x AS qx FROM pos WHERE vec_id = 0),
+qn AS (SELECT n2 AS qn2 FROM norms WHERE vec_id = 0),
+probe AS (
+  SELECT c.cid AS cell
+  FROM c1 c
+  JOIN qpos q ON c.pos = q.pos
+  JOIN cnorms cn ON c.cid = cn.cid, qn
+  GROUP BY c.cid, cn.c2, qn.qn2
+  ORDER BY SUM(c.c * q.qx) / (sqrt(cn.c2) * sqrt(qn.qn2)) DESC, c.cid
+  LIMIT 2
+),
+cands AS (
+  SELECT vec_id, cell FROM assign
+  WHERE cell IN (SELECT cell FROM probe) AND vec_id <> 0
+)
+SELECT p.vec_id, cd.cell,
+       SUM(p.x * q.qx) / (sqrt(n.n2) * sqrt(qn.qn2)) AS cosine
+FROM pos p
+JOIN cands cd ON p.vec_id = cd.vec_id
+JOIN qpos q ON p.pos = q.pos
+JOIN norms n ON p.vec_id = n.vec_id, qn
+GROUP BY p.vec_id, cd.cell, n.n2, qn.qn2
+ORDER BY cosine DESC, p.vec_id
+LIMIT 10
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -441,6 +511,11 @@ def specs():
             "boilerplate_ngrams", q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS
         ),
         QuerySpec("kmeans_clusters", q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
+        QuerySpec(
+            "ann_ivf_trained_topk",
+            q_ann_ivf_trained_topk,
+            SQL_ANN_IVF_TRAINED_TOPK,
+        ),
         QuerySpec("train_test_split", q_train_test_split, SQL_TRAIN_TEST_SPLIT),
         QuerySpec(
             "domain_quota_sample", q_domain_quota_sample, SQL_DOMAIN_QUOTA_SAMPLE

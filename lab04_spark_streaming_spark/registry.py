@@ -74,6 +74,8 @@ _STAMP_FIRST: list[str] = [
     # -- new in round 5 --
     "boilerplate_ngrams",
     "kmeans_clusters",
+    "approx_percentiles",
+    "ann_ivf_trained_topk",
     # -- stalest green stamps (r02): cycle through the stamp window --
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -186,6 +186,33 @@ def test_kmeans_two_rounds_not_degenerate(spark, sf_dir):
     assert one != two
 
 
+def test_trained_ivf_scores_match_exact_baseline(spark, sf_dir):
+    """IVF over the k-means codebook may miss neighbors (recall) but
+    every (vec_id, cosine) it returns must equal the brute-force score
+    for that id, and the centroid join must broadcast."""
+    from lab04_spark_streaming_spark.operators.similarity import (
+        exact_cosine_topk_vs_id,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=8, updates=1)
+    ivf = ivf_topk(emb, query_id=0, k=10, n_cells=8, n_probe=2, centroids=cent)
+    plan = plan_of(ivf)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    n = emb.count()
+    exact = {
+        r.vec_id: r.cosine
+        for r in exact_cosine_topk_vs_id(emb, query_id=0, k=n).collect()
+    }
+    got = ivf.collect()
+    assert got, "trained IVF returned no rows"
+    for r in got:
+        assert exact[r.vec_id] == r.cosine, (r.vec_id, exact[r.vec_id], r.cosine)
+
+
 def test_fold_topk_matches_anchor_ids(spark, sf_dir):
     """The production zip_with-fold top-k (what bench.py measures) must
     return the same ids in the same rank order as the integer-quantized
