@@ -76,6 +76,8 @@ _STAMP_FIRST: list[str] = [
     "kmeans_clusters",
     "approx_percentiles",
     "ann_ivf_trained_topk",
+    # -- code changed in r05 (ivf centroid-norm path) → re-stamp --
+    "ann_ivf_topk",
     # -- stalest green stamps (r02): cycle through the stamp window --
     "q1_pricing_summary",
     "q3_shipping_priority",
