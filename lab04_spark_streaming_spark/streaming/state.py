@@ -258,3 +258,129 @@ def _array_of(t):
     from pyspark.sql.types import ArrayType
 
     return ArrayType(t)
+
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+    ]
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    gap_s: int = 1800,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming twin of the batch gap-sessionization
+    (plans/analytics.q_sessionize) via ``applyInPandasWithState`` —
+    custom session semantics the built-in ``session_window`` can't
+    express ordinal ids for. A session is EMITTED only once the
+    event-time watermark passes ``session_end + gap``: any
+    still-admissible arrival has event time > wm, so it can neither
+    extend nor bridge into the session — batch ≡ stream exactly,
+    including the ordinal ``session_id``: sessions of one key finalize
+    strictly in chronological order (a later session's finality bound
+    exceeds an earlier one's), so a per-key counter in state reproduces
+    the batch running ``sum(new_session)`` numbering.
+
+    Gap comparisons use second-truncated event times (the batch twin
+    compares ``cast(ts as long)``); session_start/end keep microsecond
+    precision. State = the pending (unemitted) event times + the next
+    ordinal — bounded by gap × event rate per key."""
+    gap_us = gap_s * 1_000_000
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts_stored, next_id = state.get
+            ts_list = list(ts_stored)
+        else:
+            ts_list, next_id = [], 0
+        for pdf in batches:
+            ts_list.extend(int(t) for t in pdf["_ts_us"])
+        ts_list.sort()
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        sessions: list[list[int]] = []
+        for t in ts_list:
+            # batch twin: new session when second-truncated gap > gap_s
+            if sessions and (
+                t // 1_000_000 - sessions[-1][-1] // 1_000_000 > gap_s
+            ):
+                sessions.append([t])
+            elif sessions:
+                sessions[-1].append(t)
+            else:
+                sessions = [[t]]
+
+        out: list[tuple[int, int, int, int]] = []
+        pending: list[int] = []
+        for s in sessions:
+            # Finality is prefix-ordered: if a later session satisfies
+            # this bound, every earlier one already did.
+            if not pending and s[-1] + gap_us < wm_us:
+                out.append((next_id, len(s), s[0], s[-1]))
+                next_id += 1
+            else:
+                pending.extend(s)
+
+        if pending:
+            state.update((pending, next_id))
+            # earliest pending session's current end bounds its finality
+            first_pending_end = next(
+                s[-1] for s in sessions if s and s[0] == pending[0]
+            )
+            state.setTimeoutTimestamp(
+                max((first_pending_end + gap_us) // 1000, wm_us // 1000 + 1)
+            )
+        elif next_id:
+            # All sessions emitted; keep the ordinal counter so a future
+            # event of this key continues the batch-equivalent numbering.
+            state.update(([], next_id))
+            state.setTimeoutTimestamp(wm_us // 1000 + 1)
+        elif state.exists:
+            state.remove()
+
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])] * len(out),
+                    "session_id": [i for i, _, _, _ in out],
+                    "n_events": [n for _, n, _, _ in out],
+                    "session_start": [
+                        pd.Timestamp(t, unit="us") for _, _, t, _ in out
+                    ],
+                    "session_end": [
+                        pd.Timestamp(t, unit="us") for _, _, _, t in out
+                    ],
+                }
+            )
+
+    prepared = events.select(
+        F.col(key_col).alias("_key"),
+        F.unix_micros(F.col(ts_col)).alias("_ts_us"),
+        F.col(ts_col).alias("_event_time"),
+    ).withWatermark("_event_time", watermark)
+
+    return prepared.groupBy("_key").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=StructType(
+            [
+                StructField("ts_us", _array_of(LongType())),
+                StructField("next_id", LongType()),
+            ]
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

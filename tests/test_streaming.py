@@ -436,3 +436,80 @@ def test_ingest_text_pipeline_stream_equals_batch(spark, tmp_path):
     assert got3 and "<EMAIL>" not in got3[0].clean_text
     got01 = [r for r in spark.table("ingest_out").collect() if r.doc_id in (0, 1)]
     assert got01 and "<EMAIL>" in got01[0].clean_text
+
+
+EVENTLIKE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_id", LongType()),
+    ]
+)
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Gap-sessionization via applyInPandasWithState must reproduce the
+    batch window-function sessionization exactly — ordinal session_id
+    included — for every session the watermark has finalized."""
+    from pyspark.sql import Window
+
+    from lab04_spark_streaming_spark.streaming.state import sessionize_stream
+
+    gap_s = 60
+    rows = []
+    eid = 0
+    for user in (1, 2):
+        t = T0 + dt.timedelta(minutes=user)
+        for burst, n in enumerate((3, 1, 4, 2)):
+            for i in range(n):
+                rows.append((user, t, eid))
+                eid += 1
+                t += dt.timedelta(seconds=7 * (user + 1))
+            t += dt.timedelta(seconds=gap_s + 30 + burst)  # force a split
+    path = str(tmp_path / "sess")
+    df = spark.createDataFrame(rows, EVENTLIKE_SCHEMA)
+    df.coalesce(1).write.parquet(path)
+
+    stream = file_stream(spark, path, EVENTLIKE_SCHEMA)
+    out = sessionize_stream(stream, "ts", "user_id", gap_s=gap_s)
+    memory_sink_once(out, "sess_out", "append")
+    streamed = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end)
+        for r in spark.table("sess_out").collect()
+    }
+    assert streamed, "stateful sessionizer emitted nothing"
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = df.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            > gap_s,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    batch = (
+        with_gap.withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    expected = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end)
+        for r in batch.collect()
+    }
+    for k, v in streamed.items():
+        assert k in expected, k
+        assert expected[k] == v, (k, expected[k], v)
