@@ -503,6 +503,92 @@ LIMIT 10
 """
 
 
+# --- duplicated-substring coverage (exact substring dedup signal) -----------
+def q_substring_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring coverage — the signal behind
+    exact substring deduplication (remove long token runs that appear
+    verbatim elsewhere in the corpus): fraction of each doc's tokens
+    covered by a 5-token shingle that also occurs in ANOTHER document.
+
+    Fully relational, no pair join anywhere: positional shingles →
+    corpus-shared shingle set (one map-side-combined shuffle on the
+    shingle; cross-doc sharing means df ≥ 2 over DISTINCT docs) →
+    semi-join back (hash keys only, never text) → interval union as
+    distinct covered token positions. Work is O(total shingles), not
+    O(pairs) — boilerplate-heavy corpora fan into the same per-doc
+    aggregation instead of a hot self-join."""
+    n = 5
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.expr(f"size({_SPARK_TOKS})").alias("n_tokens"),
+        F.posexplode_outer(
+            F.expr(expr_shingles(_SPARK_TOKS, n))
+        ).alias("pos", "shingle"),
+    )
+    shared = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("shingle")
+    )
+    hits = sh.join(shared, "shingle")
+    covered = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("tokpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tokpos").alias("covered_tokens"))
+    )
+    base = sh.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("_n_sh"),
+    )
+    return (
+        base.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            (
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1))
+            ).alias("coverage_ratio"),
+        )
+    )
+
+
+SQL_SUBSTRING_DEDUP_COVERAGE = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         unnest({sql_shingles('toks', 5)}) AS shingle,
+         unnest(generate_series(0, len(toks) - 5)) AS pos
+  FROM tok t(doc_id, toks)
+),
+shared AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+covered AS (
+  SELECT doc_id, COUNT(DISTINCT tokpos) AS covered_tokens
+  FROM (SELECT s.doc_id, s.pos + u.i AS tokpos
+        FROM sh s JOIN shared USING (shingle),
+             unnest([0, 1, 2, 3, 4]) u(i))
+  GROUP BY doc_id
+),
+base AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(c.covered_tokens, 0) AS covered_tokens,
+       CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE)
+         / greatest(b.n_tokens, 1) AS coverage_ratio
+FROM base b LEFT JOIN covered c ON b.doc_id = c.doc_id
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -511,6 +597,11 @@ def specs():
             "boilerplate_ngrams", q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS
         ),
         QuerySpec("kmeans_clusters", q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
+        QuerySpec(
+            "substring_dedup_coverage",
+            q_substring_dedup_coverage,
+            SQL_SUBSTRING_DEDUP_COVERAGE,
+        ),
         QuerySpec(
             "ann_ivf_trained_topk",
             q_ann_ivf_trained_topk,

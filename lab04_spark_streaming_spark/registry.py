@@ -76,6 +76,7 @@ _STAMP_FIRST: list[str] = [
     "kmeans_clusters",
     "approx_percentiles",
     "ann_ivf_trained_topk",
+    "substring_dedup_coverage",
     # -- code changed in r05 (ivf centroid-norm path) → re-stamp --
     "ann_ivf_topk",
     # -- stalest green stamps (r02): cycle through the stamp window --
