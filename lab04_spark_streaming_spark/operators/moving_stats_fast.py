@@ -418,6 +418,11 @@ def zscore_asof_fast(
         F.col(value_col).alias("_v"),
         F.floor(F.unix_timestamp(F.col(ts_col)) / slide_s).alias("_end0"),
     )
+    if not id_col:
+        # Without a row identity, exact-duplicate ticks collapse to one
+        # output row (the historical contract of the pivoted variant,
+        # whose final groupBy keyed on (timestamp, key, value)).
+        base = base.distinct()
     # Probe DISTINCT (key, end-slot) pairs only: ticks sharing a slot
     # share every lookup, so the fill/pivot workload is bounded by
     # occupied slots × offsets regardless of tick density.
@@ -445,27 +450,29 @@ def zscore_asof_fast(
         (F.col("_off") - 1).alias("_st"),
         *[F.col(c).alias(f"_h{c[1:]}") for c in cum_cols],
     )
-    # _off → (window label, staleness) is injective for the lo side
-    # (1 + st + dslots); a literal map decodes it per row.
-    lo_entries: list[Column] = []
-    for label, dur in windows:
-        dslots = _duration_seconds(dur) // slide_s
-        for st in range(max_stale_slots + 1):
-            lo_entries += [
-                F.lit(1 + st + dslots),
-                F.struct(F.lit(label).alias("window"), F.lit(st).alias("_st")),
-            ]
-    lo_decode = F.create_map(*lo_entries)
-    lo = (
-        resolved.filter(F.col("_off") > 1 + max_stale_slots)
-        .withColumn("_w", lo_decode[F.col("_off")])
-        .select(
-            *key_cols,
-            "_end0",
-            F.col("_w.window").alias("window"),
-            F.col("_w._st").alias("_st"),
-            *[F.col(c).alias(f"_l{c[1:]}") for c in cum_cols],
-        )
+    # _off → (window label, staleness) decode for the lo side
+    # (off = 1 + st + dslots). NOT injective in general — two windows
+    # whose dslots differ by ≤ max_stale_slots share an offset, and a
+    # window with dslots ≤ max_stale_slots shares an offset with the hi
+    # side — so decode by broadcast-joining a tiny literal (off, window,
+    # st) relation: collisions fan out into one row per combination,
+    # non-lo (hi-only) offsets drop out in the inner join, and the whole
+    # decode stays inside whole-stage codegen (a per-row higher-order
+    # filter/explode over the literal array measured ~30% slower here).
+    combos = ticks.sparkSession.createDataFrame(
+        [
+            (1 + st + _duration_seconds(dur) // slide_s, label, st)
+            for label, dur in windows
+            for st in range(max_stale_slots + 1)
+        ],
+        "_off int, window string, _st int",
+    )
+    lo = resolved.join(F.broadcast(combos), "_off").select(
+        *key_cols,
+        "_end0",
+        "window",
+        "_st",
+        *[F.col(c).alias(f"_l{c[1:]}") for c in cum_cols],
     )
     j = hi.join(lo, [*key_cols, "_end0", "_st"])
     n = F.col("_hcn") - F.col("_lcn")

@@ -441,12 +441,13 @@ def kmeans_assign(
     :func:`ivf_assign`). Returns (id, cluster, sqdist) after ``iters``
     assignment rounds with ``iters - 1`` centroid updates between
     them."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     pos = _kmeans_pos(emb, id_col, vec_col)
     cent = _kmeans_seed(pos, k, id_col)
-    assign = None
-    for _ in range(iters):
-        assign = _kmeans_assign_round(pos, cent, id_col)
-        cent = _kmeans_update(pos, assign, id_col)
+    for _ in range(iters - 1):
+        cent = _kmeans_update(pos, _kmeans_assign_round(pos, cent, id_col), id_col)
+    assign = _kmeans_assign_round(pos, cent, id_col)
     return assign.select(
         F.col(id_col),
         F.col("_p.cid").alias("cluster"),
@@ -505,9 +506,32 @@ def kmeans_centroids(
     pos = _kmeans_pos(emb, id_col, vec_col)
     cent = _kmeans_seed(pos, k, id_col)
     for _ in range(updates):
-        assign = _kmeans_assign_round(pos, cent, id_col)
-        cent = _kmeans_update(pos, assign, id_col)
+        cent = _kmeans_update(pos, _kmeans_assign_round(pos, cent, id_col), id_col)
     return cent
+
+
+def _centroid_relation(
+    pos: DataFrame,
+    n_cells: int,
+    id_col: str,
+    centroids: DataFrame | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(cpos, cnorms) for IVF: the seeded default (vectors with
+    id < n_cells) or a supplied trained (cid, pos, c) codebook, both as
+    (_cid, pos, cx) plus per-centroid squared norms — the one place the
+    two sourcing conventions are reconciled."""
+    if centroids is None:
+        cpos = pos.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("_cid"), F.col("pos"), F.col("x").alias("cx")
+        )
+    else:
+        cpos = centroids.select(
+            F.col("cid").alias("_cid"), F.col("pos"), F.col("c").alias("cx")
+        )
+    cnorms = cpos.groupBy("_cid").agg(
+        F.sum(F.col("cx") * F.col("cx")).alias("c2")
+    )
+    return cpos, cnorms
 
 
 def ivf_assign(
@@ -529,18 +553,8 @@ def ivf_assign(
     n·K·d work, no vector-side shuffle until the small (id, cell)
     output. Returns (id, cell, cell_cosine)."""
     pos = _quantized_pos(emb, id_col, vec_col)
-    if centroids is None:
-        cpos = pos.filter(F.col(id_col) < n_cells).select(
-            F.col(id_col).alias("_cid"), F.col("pos"), F.col("x").alias("cx")
-        )
-    else:
-        cpos = centroids.select(
-            F.col("cid").alias("_cid"), F.col("pos"), F.col("c").alias("cx")
-        )
+    cpos, cnorms = _centroid_relation(pos, n_cells, id_col, centroids)
     norms = pos.groupBy(id_col).agg(F.sum(F.col("x") * F.col("x")).alias("n2"))
-    cnorms = cpos.groupBy("_cid").agg(
-        F.sum(F.col("cx") * F.col("cx")).alias("c2")
-    )
     dots = (
         pos.join(F.broadcast(cpos), "pos")
         .groupBy(id_col, "_cid")
@@ -594,19 +608,9 @@ def ivf_topk(
     # Probe list: the n_probe centroids nearest the query vector —
     # reuse the per-(vector, centroid) cosines of the assignment by
     # recomputing just the query row (tiny: K rows).
-    if centroids is None:
-        cpos = pos.filter(F.col(id_col) < n_cells).select(
-            F.col(id_col).alias("_cid"), F.col("pos"), F.col("x").alias("cx")
-        )
-    else:
-        cpos = centroids.select(
-            F.col("cid").alias("_cid"), F.col("pos"), F.col("c").alias("cx")
-        )
+    cpos, cnorms = _centroid_relation(pos, n_cells, id_col, centroids)
     qpos = pos.filter(F.col(id_col) == query_id).select(
         "pos", F.col("x").alias("qx")
-    )
-    cnorms = cpos.groupBy("_cid").agg(
-        F.sum(F.col("cx") * F.col("cx")).alias("c2")
     )
     qn2 = norms.filter(F.col(id_col) == query_id).select(
         F.col("n2").alias("qn2")

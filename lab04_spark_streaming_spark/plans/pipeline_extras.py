@@ -543,10 +543,7 @@ def q_substring_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("tokpos").alias("covered_tokens"))
     )
-    base = sh.groupBy("doc_id").agg(
-        F.max("n_tokens").alias("n_tokens"),
-        F.count(F.lit(1)).alias("_n_sh"),
-    )
+    base = sh.groupBy("doc_id").agg(F.max("n_tokens").alias("n_tokens"))
     return (
         base.join(covered, "doc_id", "left")
         .select(

@@ -292,8 +292,11 @@ def sessionize_stream(
 
     Gap comparisons use second-truncated event times (the batch twin
     compares ``cast(ts as long)``); session_start/end keep microsecond
-    precision. State = the pending (unemitted) event times + the next
-    ordinal — bounded by gap × event rate per key."""
+    precision. State = the pending (unemitted) event times (bounded by
+    gap × event rate per key) plus, for keys whose sessions have all
+    been emitted, a two-scalar ordinal counter retained without any
+    timeout (woken only by new data) so future sessions continue the
+    batch-equivalent numbering."""
     gap_us = gap_s * 1_000_000
 
     def fn(
@@ -323,12 +326,22 @@ def sessionize_stream(
             else:
                 sessions = [[t]]
 
+        # Finality must use the SAME second-truncated gap rule as
+        # extension: an admissible event at time t extends a session
+        # ending at e iff t//1s − e//1s ≤ gap_s, which is possible
+        # while t < (e//1s + gap_s + 1) seconds. Emit only once the
+        # watermark has passed that bound — a µs-precision bound
+        # (e + gap_us) finalizes up to a second too early and a
+        # sub-second admissible arrival could still extend or bridge.
+        def final_bound_us(end_us: int) -> int:
+            return (end_us // 1_000_000 + gap_s + 1) * 1_000_000
+
         out: list[tuple[int, int, int, int]] = []
         pending: list[int] = []
         for s in sessions:
             # Finality is prefix-ordered: if a later session satisfies
             # this bound, every earlier one already did.
-            if not pending and s[-1] + gap_us < wm_us:
+            if not pending and final_bound_us(s[-1]) <= wm_us:
                 out.append((next_id, len(s), s[0], s[-1]))
                 next_id += 1
             else:
@@ -341,13 +354,15 @@ def sessionize_stream(
                 s[-1] for s in sessions if s and s[0] == pending[0]
             )
             state.setTimeoutTimestamp(
-                max((first_pending_end + gap_us) // 1000, wm_us // 1000 + 1)
+                max(final_bound_us(first_pending_end) // 1000, wm_us // 1000 + 1)
             )
         elif next_id:
             # All sessions emitted; keep the ordinal counter so a future
-            # event of this key continues the batch-equivalent numbering.
+            # event of this key continues the batch-equivalent numbering,
+            # but set NO timeout: the group is only woken again by new
+            # data, never by every micro-batch. Retained state is two
+            # scalars per key that ever had a session.
             state.update(([], next_id))
-            state.setTimeoutTimestamp(wm_us // 1000 + 1)
         elif state.exists:
             state.remove()
 

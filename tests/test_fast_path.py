@@ -61,6 +61,39 @@ def test_zscore_asof_fast_equals_naive(spark, sf_dir):
     assert s == f
 
 
+def test_zscore_asof_fast_edge_windows_equals_naive(spark, sf_dir):
+    """Window sets the relational offset decode must not mishandle:
+    a window whose slot-width ≤ max_stale_slots (its start offset
+    collides with the hi side) and two windows whose start offsets
+    collide with EACH OTHER across stalenesses (20s@st=1 and 30s@st=0
+    both probe offset 4). Both were handled by the old pivot and must
+    survive the hi/lo join rewrite."""
+    wins = [("10s", "10 seconds"), ("20s", "20 seconds"), ("30s", "30 seconds")]
+    ev = load_table(spark, sf_dir, "events")
+    slow = zscore_asof(
+        ev,
+        moving_stats_flat(ev, "ts", ["event_type"], "value", windows=wins),
+        "ts",
+        ["event_type"],
+        "value",
+        slide_seconds=10,
+        max_stale_slots=1,
+        id_col="event_id",
+    )
+    fast = zscore_asof_fast(
+        ev, "ts", ["event_type"], "value", windows=wins, id_col="event_id"
+    )
+    s = Counter(
+        (r.event_id, r.window, r.timestamp, r.zscore_value)
+        for r in slow.collect()
+    )
+    f = Counter(
+        (r.event_id, r.window, r.timestamp, r.zscore_value)
+        for r in fast.collect()
+    )
+    assert s == f
+
+
 def test_asof_join_carry_crosses_empty_chunks(spark):
     """A right payload must carry across chunks that contain no right
     rows at all (regression: the carry relation once only had rows for
