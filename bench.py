@@ -59,10 +59,13 @@ def main() -> None:
     # Warm the JVM/codegen once (not measured): a trivial scan-agg.
     q["q1_pricing_summary"](spark, SF_DIR).count()
 
-    # Median of 3 runs per query: run-to-run noise at sf0.1 is ±15%
-    # (codegen/GC), so a single run can't distinguish a regression from
-    # jitter across rounds.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Median of 5 runs per query: run-to-run noise at sf0.1 is ±15-25%
+    # (codegen/GC — whole-session totals were observed to swing 15.3 →
+    # 20.8 s with zero code change), and the first run per query carries
+    # one-time codegen that a 3-run median still half-samples. Five runs
+    # put the median safely in steady state while keeping the whole
+    # bench under ~3 minutes.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(runs):
         for name in HEADLINE:
