@@ -586,6 +586,109 @@ FROM base b LEFT JOIN covered c ON b.doc_id = c.doc_id
 """
 
 
+# --- SemDeDup: semantic dedup via k-means clusters --------------------------
+def q_semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): embedding-space semantic
+    dedup made tractable by clustering first — exact pairwise cosine
+    runs only WITHIN a k-means cell, so pair work is Σ|cell|²·d instead
+    of n²·d; at 100 TB the cell count scales with the corpus and keeps
+    cells bounded. Pipeline: trained k-means assignment (exact oracle)
+    → within-cell quantized-cosine pairs ≥ 0.4 → connected components
+    (min-label propagation ≡ the oracle's recursive closure) → keep the
+    min-id representative per component. Every stage reuses an
+    already-oracled operator; the composition is hash-checked end to
+    end."""
+    from lab04_spark_streaming_spark.operators.dedup import dedup_clusters
+    from lab04_spark_streaming_spark.operators.similarity import (
+        _quantized_pos,
+        kmeans_assign,
+    )
+
+    emb = _emb(spark, sf_dir)
+    assign = kmeans_assign(emb, k=8, iters=2).select(
+        "vec_id", F.col("cluster").alias("kcluster")
+    )
+    pos = _quantized_pos(emb, "vec_id", "embedding").join(assign, "vec_id")
+    norms = pos.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("n2"))
+    a, b = pos.alias("a"), pos.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.kcluster") == F.col("b.kcluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("id_a"), F.col("n2").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("id_b"), F.col("n2").alias("nb"))
+    pairs = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(
+            F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))) >= 0.4
+        )
+        .select("id_a", "id_b")
+    )
+    comp = dedup_clusters(pairs, emb.select("vec_id"), id_col="vec_id")
+    return (
+        assign.join(comp, "vec_id")
+        .select(
+            "vec_id",
+            "kcluster",
+            F.col("cluster_id").alias("component"),
+            (F.col("cluster_id") == F.col("vec_id")).alias("keep"),
+        )
+    )
+
+
+SQL_SEMDEDUP_KEEP_BEST = f"""
+WITH RECURSIVE {_SQL_KMEANS_C1},
+d2 AS (
+  SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dist
+  FROM pos p JOIN c1 c ON p.pos = c.pos
+  GROUP BY 1, 2
+),
+a2 AS (
+  SELECT vec_id, cid AS kcluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1
+),
+norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM pos GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
+  FROM (SELECT p.*, s.kcluster FROM pos p JOIN a2 s ON p.vec_id = s.vec_id) a
+  JOIN (SELECT p.*, s.kcluster FROM pos p JOIN a2 s ON p.vec_id = s.vec_id) b
+    ON a.pos = b.pos AND a.kcluster = b.kcluster AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM dots
+  JOIN norms x ON x.vec_id = id_a
+  JOIN norms y ON y.vec_id = id_b
+  WHERE dot / (sqrt(x.n2) * sqrt(y.n2)) >= 0.4
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS vec_id, MIN(dst) AS component FROM reach GROUP BY src)
+SELECT a2.vec_id, a2.kcluster, comp.component,
+       comp.component = a2.vec_id AS keep
+FROM a2 JOIN comp ON a2.vec_id = comp.vec_id
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -594,6 +697,9 @@ def specs():
             "boilerplate_ngrams", q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS
         ),
         QuerySpec("kmeans_clusters", q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
+        QuerySpec(
+            "semdedup_keep_best", q_semdedup_keep_best, SQL_SEMDEDUP_KEEP_BEST
+        ),
         QuerySpec(
             "substring_dedup_coverage",
             q_substring_dedup_coverage,
