@@ -186,6 +186,19 @@ def test_kmeans_two_rounds_not_degenerate(spark, sf_dir):
     assert one != two
 
 
+def test_semdedup_pair_join_is_equi_not_cartesian(spark, sf_dir):
+    """SemDeDup's within-cell pair stage must be an equi join on
+    (pos, kcluster) — never a cartesian/nested-loop product — and the
+    k-means centroid joins must broadcast."""
+    from lab04_spark_streaming_spark.plans.pipeline_extras import (
+        q_semdedup_keep_best,
+    )
+
+    plan = plan_of(q_semdedup_keep_best(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_trained_ivf_scores_match_exact_baseline(spark, sf_dir):
     """IVF over the k-means codebook may miss neighbors (recall) but
     every (vec_id, cosine) it returns must equal the brute-force score
