@@ -187,6 +187,51 @@ def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.exact_cosine_topk_vs_id(_emb(spark, sf_dir), query_id=0, k=10)
 
 
+def q_knn_fold_topk_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION top-k path (zero-shuffle zip_with fold,
+    bench-measured) registered under its own oracle: raw fold cosines
+    are double-fold-order-specific, but the RANKING is identical to the
+    integer-quantized anchor (tests/test_plans.py asserts id-order
+    equality), so the query emits (vec_id, rank) and the oracle derives
+    the same ranks from the quantized moments."""
+    from pyspark.sql import Window
+
+    top = sim.cosine_topk_vs_id_fold(_emb(spark, sf_dir), query_id=0, k=10)
+    w = Window.orderBy(F.desc("cosine"), "vec_id")
+    return top.select("vec_id", F.row_number().over(w).alias("rank"))
+
+
+SQL_KNN_FOLD_TOPK_IDS = """
+WITH pos0 AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos, embedding
+  FROM embeddings
+),
+pos AS (
+  SELECT vec_id, pos,
+         CAST(floor(CAST(embedding[pos] AS DOUBLE) * 10000000.0 + 0.5)
+              AS BIGINT) AS x
+  FROM pos0
+),
+q AS (SELECT pos, x AS qx FROM pos WHERE vec_id = 0),
+moments AS (
+  SELECT p.vec_id,
+         SUM(p.x * q.qx) AS dot,
+         SUM(p.x * p.x) AS n2
+  FROM pos p JOIN q ON p.pos = q.pos
+  GROUP BY p.vec_id
+),
+qn AS (SELECT n2 AS qn2 FROM moments WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(row_number() OVER (
+         ORDER BY dot / (sqrt(n2) * sqrt(qn2)) DESC, vec_id) AS INTEGER)
+         AS rank
+FROM moments, qn
+WHERE vec_id <> 0
+ORDER BY rank
+LIMIT 10
+"""
+
+
 SQL_KNN_COSINE_TOPK = """
 WITH pos0 AS (
   SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos, embedding
@@ -1126,6 +1171,7 @@ def specs():
         QuerySpec("dedup_clusters", q_dedup_clusters, SQL_DEDUP_CLUSTERS),
         QuerySpec("doc_chunking", q_doc_chunks, SQL_DOC_CHUNKS),
         QuerySpec("knn_cosine_topk", q_knn_cosine_topk, SQL_KNN_COSINE_TOPK),
+        QuerySpec("knn_fold_topk_ids", q_knn_fold_topk_ids, SQL_KNN_FOLD_TOPK_IDS),
         QuerySpec("dedup_embedding_pairs", q_embedding_pairs, SQL_EMBEDDING_PAIRS),
         QuerySpec("ann_srp_buckets", q_srp_buckets, SQL_SRP_BUCKETS),
         QuerySpec("ann_ivf_topk", q_ann_ivf_topk, SQL_ANN_IVF_TOPK),

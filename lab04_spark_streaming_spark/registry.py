@@ -78,6 +78,7 @@ _STAMP_FIRST: list[str] = [
     "ann_ivf_trained_topk",
     "substring_dedup_coverage",
     "semdedup_keep_best",
+    "knn_fold_topk_ids",
     # -- code changed in r05 (ivf centroid-norm path) → re-stamp --
     "ann_ivf_topk",
     # -- stalest green stamps (r02): cycle through the stamp window --
