@@ -16,6 +16,7 @@ from lab04_spark_streaming_spark.operators import dedup as dd
 from lab04_spark_streaming_spark.operators import multimodal as mm
 from lab04_spark_streaming_spark.operators import similarity as sim
 from lab04_spark_streaming_spark.operators.textops import (
+    expr_shingles,
     expr_tokens,
     sql_hash_int,
     sql_shingles,
@@ -1028,6 +1029,112 @@ def q_decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-insensitive exact dedup: case-fold, collapse every
+    non-alphanumeric run to one space, trim, THEN hash — catches the
+    re-encoded/re-whitespaced copies byte-exact dedup misses (the
+    standard first normalization step of a curation pipeline). Same
+    plan shape as dedup_exact: per-row projection into one md5-keyed
+    shuffle; only the 32-char digest moves, never the text."""
+    norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.expr(f"md5({norm})").alias("_h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "n_copies")
+    )
+
+
+SQL_DEDUP_EXACT_NORMALIZED = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+"""
+
+
+def q_decontamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-based decontamination (the GPT-3-style check, public:
+    Brown et al. 2020 use 13-gram containment; same plan at n=5 here):
+    a document is contaminated when MOST of its distinct n-grams appear
+    in a document of another source — n_shared / min(|A|, |B|) ≥ 0.5.
+    Asymmetric containment catches eval sets embedded in larger train
+    docs, which symmetric Jaccard dilutes away. Same inverted-index +
+    stop-shingle-cap shape as jaccard_pairs; the division is one exact
+    int ratio — bit-identical cross-engine."""
+    sh0 = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(F.expr(expr_shingles(_SPARK_TOKS, 5)))
+            ).alias("shingle"),
+        )
+    )
+    keep = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= 1000)
+        .select("shingle")
+    )
+    sh = sh0.join(keep, "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("_na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("_nb"))
+    cont = F.col("n_shared") / F.least(F.col("_na"), F.col("_nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(cont >= 0.5)
+        .select("id_a", "id_b", "n_shared", cont.alias("containment"))
+    )
+
+
+SQL_DECONTAMINATION_CONTAINMENT = f"""
+WITH tok AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+sh0 AS (
+  SELECT doc_id, source,
+         unnest(list_distinct({sql_shingles('toks', 5)})) AS shingle
+  FROM tok t(doc_id, source, toks)
+),
+sh AS (
+  SELECT doc_id, source, shingle FROM sh0
+  WHERE shingle IN (
+    SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 1000)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           AND a.source <> b.source
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared,
+       n_shared / least(sa.n_sh, sb.n_sh) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_shared / least(sa.n_sh, sb.n_sh) >= 0.5
+"""
+
+
 SQL_DECONTAMINATION_PAIRS = f"""
 WITH tok AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
 sh0 AS (
@@ -1187,6 +1294,16 @@ def specs():
         QuerySpec("quality_filter_pipeline", q_quality_filter, SQL_QUALITY_FILTER),
         QuerySpec("multimodal_feature_knn", q_multimodal_feature_knn, SQL_MULTIMODAL_FEATURE_KNN),
         QuerySpec("dedup_simhash_pairs", q_simhash_pairs, SQL_SIMHASH_PAIRS),
+        QuerySpec(
+            "dedup_exact_normalized",
+            q_dedup_exact_normalized,
+            SQL_DEDUP_EXACT_NORMALIZED,
+        ),
+        QuerySpec(
+            "decontamination_containment",
+            q_decontamination_containment,
+            SQL_DECONTAMINATION_CONTAINMENT,
+        ),
         QuerySpec(
             "decontamination_pairs",
             q_decontamination_pairs,

@@ -79,6 +79,8 @@ _STAMP_FIRST: list[str] = [
     "substring_dedup_coverage",
     "semdedup_keep_best",
     "knn_fold_topk_ids",
+    "dedup_exact_normalized",
+    "decontamination_containment",
     # -- code changed in r05 (ivf centroid-norm path) → re-stamp --
     "ann_ivf_topk",
     # -- stalest green stamps (r02): cycle through the stamp window --
