@@ -374,3 +374,19 @@ def test_quota_and_packing_single_source_shuffle(spark, sf_dir):
         plan = plan_of(q(spark, sf_dir))
         ex = [l for l in plan.splitlines() if "hashpartitioning" in l]
         assert ex and all("text" not in l for l in ex), q.__name__
+
+
+def test_driver_contract_shape():
+    """The driver consumes __spark_entry__ blind: every oracle name must
+    be a registered query, entry/queries/oracle_sql must be present,
+    and the stamp-priority prefix must name real queries (all_specs
+    asserts that internally — importing is the check)."""
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert callable(e.entry)
+    assert set(o) <= set(q)
+    assert len(q) >= 102
+    assert all(callable(fn) for fn in q.values())
+    assert all(isinstance(sql, str) and sql.strip() for sql in o.values())
