@@ -480,8 +480,10 @@ def zscore_asof_fast(
     sq = F.col("_hcsq") - F.col("_lcsq")
     avg, std = _stats_from_moment_diff(n, s, sq)
     # Freshest (smallest staleness) non-empty window per (key, slot,
-    # window). The groupBy keys are a superset of the join keys, so the
-    # aggregation reuses the join's hash partitioning — no extra shuffle.
+    # window). The join partitions on (key, _end0, _st) while this groupBy
+    # clusters on (key, _end0, window), so Spark inserts one more exchange
+    # here — acceptable because the input is already reduced to
+    # occupied-slot size (probes × windows, not raw events).
     stats = (
         j.filter(n > 0)
         .select(

@@ -267,7 +267,8 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only (never all-pairs). The all-pairs form
     (sim.embedding_near_dup_pairs) survives as the test-only recall
     oracle; on the fixture corpus the two emit identical output
-    (deterministic 100% recall, asserted in tests/test_similarity.py)."""
+    (deterministic 100% recall, asserted in tests/test_plans.py::
+    test_embedding_pairs_lsh_shape_and_recall)."""
     return sim.embedding_near_dup_pairs_lsh(_emb(spark, sf_dir), threshold=0.4)
 
 

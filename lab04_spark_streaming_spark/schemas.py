@@ -135,3 +135,80 @@ STAR_TABLES = (
     "documents",
     "embeddings",
 )
+
+# Post-load schema contract for every star table: what
+# ``sources.files.load_table`` must yield regardless of how the physical
+# parquet encoding drifts across testdata generations (r4 lesson: one
+# regeneration flipped events.ts long→timestamp[us] and killed 18
+# queries at once; a per-table contract test fails ONE focused test
+# instead).  (column_name, Catalyst simpleString) per column.
+STAR_TABLE_CONTRACT: dict[str, tuple[tuple[str, str], ...]] = {
+    "region": (("r_regionkey", "int"), ("r_name", "string")),
+    "nation": (
+        ("n_nationkey", "int"),
+        ("n_name", "string"),
+        ("n_regionkey", "int"),
+    ),
+    "customer": (
+        ("c_custkey", "bigint"),
+        ("c_name", "string"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ),
+    "supplier": (
+        ("s_suppkey", "bigint"),
+        ("s_name", "string"),
+        ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ),
+    "part": (
+        ("p_partkey", "bigint"),
+        ("p_name", "string"),
+        ("p_brand", "string"),
+        ("p_type", "string"),
+        ("p_size", "int"),
+        ("p_retailprice", "double"),
+    ),
+    "orders": (
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"),
+        ("o_orderpriority", "string"),
+    ),
+    "lineitem": (
+        ("l_orderkey", "bigint"),
+        ("l_partkey", "bigint"),
+        ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp"),
+    ),
+    "events": (
+        ("event_id", "bigint"),
+        ("ts", "timestamp"),
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("props", "string"),
+    ),
+    "documents": (
+        ("doc_id", "bigint"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "bigint"),
+    ),
+    "embeddings": (
+        ("vec_id", "bigint"),
+        ("embedding", "array<float>"),
+        ("label", "int"),
+    ),
+}

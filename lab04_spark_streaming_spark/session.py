@@ -59,3 +59,51 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def kafka_jars_conf(jars_dir: str | None = None) -> dict[str, str]:
+    """Jar-drop path for the Kafka source/sink (SURVEY.md §2 S4/S7).
+
+    This container has no network, so ``spark-sql-kafka-0-10`` and its
+    transitive jars (kafka-clients, commons-pool2,
+    spark-token-provider-kafka-0-10 — the set the reference resolves
+    via ``spark.jars.packages`` at moving_statistic.py:12) cannot be
+    vendored.  Deployment recipe: drop the four jars for your Spark
+    version into ``$SPARK_GRAFT_KAFKA_JARS`` (or ``<repo>/jars/``) and
+    pass this dict as ``get_spark(extra_conf=kafka_jars_conf())`` —
+    the returned ``spark.jars`` points at every jar found.  Returns
+    ``{}`` when no jars are present so callers can pass it
+    unconditionally."""
+    import glob
+
+    d = jars_dir or os.environ.get(
+        "SPARK_GRAFT_KAFKA_JARS",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "jars"),
+    )
+    jars = sorted(glob.glob(os.path.join(d, "*.jar")))
+    return {"spark.jars": ",".join(jars)} if jars else {}
+
+
+def rocksdb_state_conf() -> dict[str, str]:
+    """Streaming state store conf for large keyspaces (VERDICT r5 item
+    6): the default HDFSBackedStateStoreProvider keeps every key's
+    state on the executor HEAP — at 100 TB / high-cardinality keys
+    (sessionize per user, dedup-within-watermark per doc id) that is
+    the first OOM.  RocksDBStateStoreProvider (built into Spark ≥3.2)
+    spills state to local disk with bounded memory, and changelog
+    checkpointing keeps commit latency flat as state grows.  Pass as
+    ``get_spark(extra_conf=rocksdb_state_conf())`` or set per-query;
+    proven end-to-end in
+    tests/test_streaming.py::test_sessionize_stream_rocksdb_state."""
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        # Bound RocksDB block-cache + memtable memory per executor so
+        # state growth lands on disk, not the heap.
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+            "true"
+        ),
+    }

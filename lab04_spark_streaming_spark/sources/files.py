@@ -44,8 +44,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(field.dataType, TimestampNTZType):
             # Belt-and-braces if inference is re-enabled elsewhere.
             df = df.withColumn(c, F.col(c).cast(TimestampType()))
+        elif not isinstance(field.dataType, TimestampType):
+            # Unknown future encoding: don't crash (r4 lesson — one raise
+            # here killed 18 queries), but don't be silent either — the
+            # downstream symptom would be 18 opaque hash mismatches.
+            import warnings
+
+            warnings.warn(
+                f"load_table({name!r}): ts column {c!r} has unhandled type "
+                f"{field.dataType.simpleString()}; passing through as-is — "
+                "testdata encoding drifted again, extend _TS_COLS handling",
+                stacklevel=2,
+            )
         # TimestampType passes through; any future drift degrades to the
-        # cast above or the raw type instead of crashing 18 queries.
+        # cast above or a warned pass-through instead of crashing.
     return df
 
 

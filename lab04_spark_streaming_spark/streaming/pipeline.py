@@ -121,6 +121,19 @@ def stage3_zscore(
     return out
 
 
+def kafka_sink_options(
+    bootstrap_servers: str, topic: str, checkpoint_dir: str
+) -> dict[str, str]:
+    """Reference sink option contract (moving_statistic.py:123-131),
+    pure-function twin of :func:`kafka_sink` so the options are
+    testable without the kafka jars."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }
+
+
 def kafka_sink(
     df: DataFrame,
     bootstrap_servers: str,
@@ -132,14 +145,10 @@ def kafka_sink(
     """S7 (reference: moving_statistic.py:123-131). Caller starts it;
     checkpoint dir is mandatory and configurable (the reference
     hard-codes ./tmp — SURVEY.md §4 flags that as a fix)."""
-    return (
-        df.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode(output_mode)
-        .trigger(processingTime=trigger)
-    )
+    w = df.writeStream.format("kafka")
+    for k, v in kafka_sink_options(bootstrap_servers, topic, checkpoint_dir).items():
+        w = w.option(k, v)
+    return w.outputMode(output_mode).trigger(processingTime=trigger)
 
 
 def console_sink(

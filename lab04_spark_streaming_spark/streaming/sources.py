@@ -28,6 +28,29 @@ TOPIC_HIGHER = "btc-price-higher"  # bonus (streaming/state.py)
 TOPIC_LOWER = "btc-price-lower"  # bonus
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    fail_on_data_loss: bool = False,
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The exact option set the reference passes to its Kafka reader
+    (moving_statistic.py:32-39: subscribe, startingOffsets=latest,
+    failOnDataLoss=false).  Split out as a pure function so the options
+    contract is testable without the kafka-sql jars on the classpath
+    (tests/test_streaming.py::test_kafka_source_options_contract)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -36,16 +59,22 @@ def kafka_source(
     fail_on_data_loss: bool = False,
     max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
-    """S4 (reference: moving_statistic.py:32-39)."""
-    r = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", str(fail_on_data_loss).lower())
-    )
-    if max_offsets_per_trigger is not None:
-        r = r.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    """S4 (reference: moving_statistic.py:32-39).
+
+    Requires the ``spark-sql-kafka-0-10`` jars on the session
+    classpath; see :func:`lab04_spark_streaming_spark.session.kafka_jars_conf`
+    for the jar-drop path (this container has no network, so the jars
+    can't be vendored here — PARITY.md §Kafka documents the deploy
+    recipe)."""
+    r = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        bootstrap_servers,
+        topic,
+        starting_offsets,
+        fail_on_data_loss,
+        max_offsets_per_trigger,
+    ).items():
+        r = r.option(k, v)
     return r.load()
 
 

@@ -64,3 +64,20 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_star_table_schema_contract(spark, sf_dir):
+    """Every star table's post-load schema equals the documented
+    contract (schemas.STAR_TABLE_CONTRACT). One testdata-regeneration
+    encoding drift → one focused failure here, not 18 downstream hash
+    mismatches (VERDICT r5 item 5)."""
+    from lab04_spark_streaming_spark.schemas import (
+        STAR_TABLE_CONTRACT,
+        STAR_TABLES,
+    )
+
+    assert set(STAR_TABLE_CONTRACT) == set(STAR_TABLES)
+    for name in STAR_TABLES:
+        df = load_table(spark, sf_dir, name)
+        got = tuple((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+        assert got == STAR_TABLE_CONTRACT[name], name
