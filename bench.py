@@ -34,6 +34,11 @@ HEADLINE = [
     "first_crossing_higher",
     "dedup_minhash_lsh_pairs",
     "knn_cosine_topk",
+    # r6: the two most expensive registered plans get perf tracking too
+    # (distributed Lloyd k-means; k-means cells -> within-cell cosine
+    # pairs -> connected components -> keep-best representative).
+    "kmeans_clusters",
+    "semdedup_keep_best",
 ]
 
 

@@ -301,10 +301,17 @@ def dedup_clusters(
     100 TB this is the standard large-graph pattern (alternating
     small-star/large-star is the production refinement; plain
     propagation is exact and sufficient at lab diameters)."""
+    # Materialize the edge list ONCE before iterating: every round joins
+    # against it, and without this the whole pair-production pipeline
+    # (LSH/k-means/self-join upstream) replays per round — observed as
+    # 12 rounds × the full SemDeDup pair cost (~95 s for a ~5 s graph)
+    # at sf0.1. Iterative graph algorithms must cut lineage at the edge
+    # relation; same reason labels are checkpointed per round.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     labels = ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
@@ -323,6 +330,10 @@ def dedup_clusters(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
+            # Checkpoint BEFORE the convergence probe so the round's
+            # labels are computed once, not once for the probe and again
+            # for the next round's lineage.
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -330,7 +341,7 @@ def dedup_clusters(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
             break
     return labels.select(

@@ -127,23 +127,35 @@ def cosine_topk_vs_id_fold(
     """Production top-k: the query row is broadcast (no driver
     collect) and the cosine is a zip_with/aggregate fold per row —
     zero shuffles before the final top-k sort, no ×dim row expansion.
-    Returns the same ids as :func:`exact_cosine_topk_vs_id` (asserted
-    in tests/test_plans.py); cosines differ from the anchor only in
-    quantization, so the anchor keeps the cross-engine oracle and this
-    is the path a user (and bench.py) should run."""
+    The fold quantizes components exactly like
+    :func:`exact_cosine_topk_vs_id` (floor(x*1e7+0.5) → int64 moments),
+    so the emitted cosine — and therefore the ranking — is
+    bit-identical to the anchor and to the DuckDB oracle by
+    construction, not merely on current testdata. (An earlier raw
+    double fold ranked identically only up to quantization noise: a
+    testdata regen putting two cosines within ~1e-7 could flip a rank
+    with no code change.) int64 is safe: |component| ≤ ~1 → quantized
+    ≤ 1e7, product ≤ 1e14, dim-64 sum ≤ 6.4e15 « 2^63."""
     qf = emb.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_q")
     )
+
+    def _q(var: str) -> str:
+        return f"cast(floor(cast({var} as double) * 10000000.0 + 0.5) as bigint)"
+
     dot = (
         f"aggregate(zip_with({vec_col}, _q, "
-        f"(x, y) -> cast(x as double) * cast(y as double)), "
-        f"0D, (acc, v) -> acc + v)"
+        f"(x, y) -> {_q('x')} * {_q('y')}), "
+        f"cast(0 as bigint), (acc, v) -> acc + v)"
     )
     n1 = (
-        f"aggregate({vec_col}, 0D, "
-        f"(acc, x) -> acc + cast(x as double) * cast(x as double))"
+        f"aggregate({vec_col}, cast(0 as bigint), "
+        f"(acc, x) -> acc + {_q('x')} * {_q('x')})"
     )
-    n2 = "aggregate(_q, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))"
+    n2 = (
+        f"aggregate(_q, cast(0 as bigint), "
+        f"(acc, x) -> acc + {_q('x')} * {_q('x')})"
+    )
     return (
         emb.crossJoin(F.broadcast(qf))
         .withColumn("cosine", F.expr(f"{dot} / (sqrt({n1}) * sqrt({n2}))"))

@@ -190,11 +190,12 @@ def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_fold_topk_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION top-k path (zero-shuffle zip_with fold,
-    bench-measured) registered under its own oracle: raw fold cosines
-    are double-fold-order-specific, but the RANKING is identical to the
-    integer-quantized anchor (tests/test_plans.py asserts id-order
-    equality), so the query emits (vec_id, rank) and the oracle derives
-    the same ranks from the quantized moments."""
+    bench-measured) registered under its own oracle: the fold quantizes
+    components exactly like the posexplode anchor (floor(x*1e7+0.5) →
+    int64 moments), so its ranking is bit-identical to the oracle's by
+    construction — robust to any testdata regen, not just the current
+    fixtures (tests/test_plans.py additionally asserts id-order
+    equality vs the anchor). Emits (vec_id, rank)."""
     from pyspark.sql import Window
 
     top = sim.cosine_topk_vs_id_fold(_emb(spark, sf_dir), query_id=0, k=10)

@@ -605,8 +605,14 @@ def q_semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    assign = kmeans_assign(emb, k=8, iters=2).select(
-        "vec_id", F.col("cluster").alias("kcluster")
+    # Materialize the trained assignment once: it feeds both sides of
+    # the within-cell self-join AND the final keep-join, and without the
+    # lineage cut each consumer replays the full Lloyd iteration DAG.
+    # n×(id, cluster) rows — cheap to checkpoint at any scale.
+    assign = (
+        kmeans_assign(emb, k=8, iters=2)
+        .select("vec_id", F.col("cluster").alias("kcluster"))
+        .localCheckpoint(eager=False)
     )
     pos = _quantized_pos(emb, "vec_id", "embedding").join(assign, "vec_id")
     norms = pos.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("n2"))
@@ -632,6 +638,9 @@ def q_semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))) >= 0.4
         )
         .select("id_a", "id_b")
+        # The component stage symmetrizes pairs via a 2-branch union;
+        # cut lineage here so the within-cell self-join runs once.
+        .localCheckpoint(eager=False)
     )
     comp = dedup_clusters(pairs, emb.select("vec_id"), id_col="vec_id")
     return (

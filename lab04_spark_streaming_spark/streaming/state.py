@@ -277,6 +277,7 @@ def sessionize_stream(
     key_col: str,
     gap_s: int = 1800,
     watermark: str = "10 seconds",
+    counter_ttl_s: int | None = None,
 ) -> DataFrame:
     """Streaming twin of the batch gap-sessionization
     (plans/analytics.q_sessionize) via ``applyInPandasWithState`` —
@@ -296,7 +297,16 @@ def sessionize_stream(
     gap × event rate per key) plus, for keys whose sessions have all
     been emitted, a two-scalar ordinal counter retained without any
     timeout (woken only by new data) so future sessions continue the
-    batch-equivalent numbering."""
+    batch-equivalent numbering.
+
+    The default counter retention is forever — state grows with the
+    total key cardinality of the stream's lifetime (2 scalars/key; see
+    PARITY.md "Streaming state retention"). Pass ``counter_ttl_s`` to
+    expire an idle key's counter once the watermark passes
+    ``last activity + counter_ttl_s``: state becomes bounded by the
+    active-key set, at the cost that a key returning after expiry
+    restarts its ``session_id`` numbering at 0 (batch/stream ordinal
+    parity then only holds within one TTL window)."""
     gap_us = gap_s * 1_000_000
 
     def fn(
@@ -312,6 +322,14 @@ def sessionize_stream(
         for pdf in batches:
             ts_list.extend(int(t) for t in pdf["_ts_us"])
         ts_list.sort()
+
+        # TTL expiry wake-up: no pending events (finality wake-ups always
+        # carry pending state) and no new data → the idle counter's TTL
+        # elapsed; drop the two scalars. A later event of this key starts
+        # a fresh state with session_id renumbered from 0.
+        if counter_ttl_s is not None and state.hasTimedOut and not ts_list:
+            state.remove()
+            return
 
         wm_us = state.getCurrentWatermarkMs() * 1000
         sessions: list[list[int]] = []
@@ -358,11 +376,16 @@ def sessionize_stream(
             )
         elif next_id:
             # All sessions emitted; keep the ordinal counter so a future
-            # event of this key continues the batch-equivalent numbering,
-            # but set NO timeout: the group is only woken again by new
-            # data, never by every micro-batch. Retained state is two
-            # scalars per key that ever had a session.
+            # event of this key continues the batch-equivalent numbering.
+            # Without a TTL set NO timeout — the group is only woken again
+            # by new data, never by every micro-batch; retained state is
+            # two scalars per key that ever had a session. With a TTL, arm
+            # an event-time timeout so an idle key's counter is dropped.
             state.update(([], next_id))
+            if counter_ttl_s is not None:
+                state.setTimeoutTimestamp(
+                    wm_us // 1000 + counter_ttl_s * 1000
+                )
         elif state.exists:
             state.remove()
 

@@ -599,3 +599,58 @@ def test_sessionize_stream_rocksdb_state(spark, tmp_path):
     # Watermark finalizes the first two sessions (3 + 2 events); the
     # trailing event's session stays open in state.
     assert got[(1, 0)] == 3 and got[(1, 1)] == 2
+
+
+def test_sessionize_counter_ttl_expires(spark, tmp_path):
+    """counter_ttl_s bounds sessionize state by the active-key set: an
+    idle key's two-scalar ordinal counter is dropped once the watermark
+    passes last activity + TTL, so the key's next session restarts
+    session_id numbering at 0 (the documented renumbering trade-off,
+    PARITY.md "stateful streaming sessionization")."""
+    import time as _time
+
+    from lab04_spark_streaming_spark.streaming.state import sessionize_stream
+
+    gap_s = 60
+    # One micro-batch per file; mtimes force the batch order. user 1 has
+    # a session at T0 and another at T0+3000s; user 9 events only push
+    # the watermark forward between them. TTL=120 s expires user 1's
+    # counter at wm T0+510 (armed when session A emits at wm T0+390),
+    # well before the second session arrives.
+    files = [
+        [(1, T0 + dt.timedelta(seconds=s), i) for i, s in enumerate((0, 5, 10))],
+        [(9, T0 + dt.timedelta(seconds=400), 100)],
+        [(9, T0 + dt.timedelta(seconds=1000), 101)],
+        [(9, T0 + dt.timedelta(seconds=2000), 102)],
+        [(1, T0 + dt.timedelta(seconds=3000 + s), 200 + i)
+         for i, s in enumerate((0, 5))],
+        [(9, T0 + dt.timedelta(seconds=4000), 103)],
+        [(9, T0 + dt.timedelta(seconds=5000), 104)],
+    ]
+    path = tmp_path / "ttl_src"
+    now = _time.time()
+    for i, rows in enumerate(files):
+        sub = str(path / f"f{i}")
+        spark.createDataFrame(rows, EVENTLIKE_SCHEMA).coalesce(1).write.parquet(sub)
+        mtime = now - 700 + i * 100
+        for f in (path / f"f{i}").iterdir():
+            os.utime(f, (mtime, mtime))
+
+    stream = file_stream(
+        spark, str(path / "f*"), EVENTLIKE_SCHEMA, max_files_per_trigger=1
+    )
+    out = sessionize_stream(
+        stream, "ts", "user_id", gap_s=gap_s, counter_ttl_s=120
+    )
+    memory_sink_once(out, "ttl_sess_out", "append")
+    user1 = sorted(
+        (r.session_start, r.session_id, r.n_events)
+        for r in spark.table("ttl_sess_out").collect()
+        if r.user_id == 1
+    )
+    assert len(user1) == 2, f"expected both user-1 sessions emitted: {user1}"
+    (_, id_a, n_a), (_, id_b, n_b) = user1
+    assert (id_a, n_a) == (0, 3)
+    # Counter expired between the sessions -> numbering restarted at 0
+    # (it would be 1 had the counter been retained).
+    assert (id_b, n_b) == (0, 2)
