@@ -458,7 +458,12 @@ def kmeans_assign(
     pos = _kmeans_pos(emb, id_col, vec_col)
     cent = _kmeans_seed(pos, k, id_col)
     for _ in range(iters - 1):
-        cent = _kmeans_update(pos, _kmeans_assign_round(pos, cent, id_col), id_col)
+        # k·d-row relation — checkpointing it per iteration keeps the
+        # plan flat (otherwise iteration i's plan nests all of 1..i-1
+        # and Catalyst analysis grows superlinearly with iters).
+        cent = _kmeans_update(
+            pos, _kmeans_assign_round(pos, cent, id_col), id_col
+        ).localCheckpoint(eager=False)
     assign = _kmeans_assign_round(pos, cent, id_col)
     return assign.select(
         F.col(id_col),
@@ -518,7 +523,9 @@ def kmeans_centroids(
     pos = _kmeans_pos(emb, id_col, vec_col)
     cent = _kmeans_seed(pos, k, id_col)
     for _ in range(updates):
-        cent = _kmeans_update(pos, _kmeans_assign_round(pos, cent, id_col), id_col)
+        cent = _kmeans_update(
+            pos, _kmeans_assign_round(pos, cent, id_col), id_col
+        ).localCheckpoint(eager=False)
     return cent
 
 
@@ -667,5 +674,155 @@ def ivf_topk(
             ),
         )
         .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+# --- product quantization (PQ) ---------------------------------------------
+# IVF-PQ's second stage (Jégou et al. 2011, public): split each vector
+# into m contiguous subvectors, train an independent k-code codebook per
+# subspace, store each vector as m small codes, and answer queries with
+# asymmetric distance computation (ADC) — a per-subspace lookup table of
+# exact query→centroid distances summed over the stored codes. On the
+# 1e-7 integer grid every distance is an int64, so training, encoding
+# and ADC ranking are all hash-checkable against an unrolled SQL twin.
+
+
+def _pq_pos(
+    emb: DataFrame, sub_dim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Quantized positions + subspace key (sub = pos div sub_dim),
+    checkpointed once — every training round, the encode pass and the
+    query LUT reuse this relation."""
+    return (
+        _quantized_pos(emb, id_col, vec_col)
+        .select(
+            id_col,
+            "pos",
+            (F.col("pos") / F.lit(sub_dim)).cast("int").alias("sub"),
+            "x",
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _pq_assign_round(
+    pos: DataFrame, cent: DataFrame, id_col: str
+) -> DataFrame:
+    """Per (vector, subspace) nearest centroid (ties → lower code).
+    The centroid relation is m·k·sub_dim rows — always broadcast; the
+    join key is the globally-unique position, so each data cell meets
+    exactly the k centroid cells of its own subspace."""
+    d = (
+        pos.join(F.broadcast(cent.select("cid", "pos", "c")), "pos")
+        .groupBy(id_col, "sub", "cid")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist"))
+    )
+    return (
+        d.groupBy(id_col, "sub")
+        .agg(F.min(F.struct("dist", "cid")).alias("_p"))
+        .select(id_col, "sub", F.col("_p.cid").alias("cid"), F.col("_p.dist").alias("dist"))
+    )
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    updates: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sub_dim: int | None = None,
+) -> DataFrame:
+    """Train the m per-subspace codebooks in ONE distributed Lloyd run:
+    the subspace id rides along as a compound grouping key, so all m
+    trainings share the same two shuffles per round instead of m
+    driver-sequenced jobs. Seeds are the subvectors of the vectors with
+    id < k (the deterministic convention shared with ivf_assign).
+    Returns (sub, cid, pos, c) on the integer grid."""
+    if sub_dim is None:
+        sub_dim = 64 // m
+    pos = _pq_pos(emb, sub_dim, id_col, vec_col)
+    cent = pos.filter(F.col(id_col) < k).select(
+        "sub", F.col(id_col).alias("cid"), "pos", F.col("x").alias("c")
+    )
+    for _ in range(updates):
+        assign = _pq_assign_round(pos, cent, id_col)
+        members = pos.join(assign.select(id_col, "sub", "cid"), [id_col, "sub"])
+        cent = (
+            members.groupBy("sub", "cid", "pos")
+            .agg(
+                F.floor(
+                    F.sum("x").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("c")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cent
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sub_dim: int = 16,
+) -> DataFrame:
+    """Encode every vector as its per-subspace nearest code: the
+    compressed representation is m small ints per vector (here 4×
+    codes replacing 64 floats — the 16× storage cut that makes
+    billion-vector indexes fit). Returns (id, sub, code, sqdist)."""
+    pos = _pq_pos(emb, sub_dim, id_col, vec_col)
+    return _pq_assign_round(pos, codebooks, id_col).select(
+        id_col, "sub", F.col("cid").alias("code"), F.col("dist").alias("sqdist")
+    )
+
+
+def ann_pq_adc_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    m: int = 4,
+    codes: int = 16,
+    updates: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: build the m×codes
+    lookup table of EXACT query-to-centroid squared distances (tiny —
+    broadcast), join it to the stored codes on (sub, code), and sum —
+    per candidate the scan touches m ints, never the original vector.
+    Approximation error lives entirely in the codebook (standard PQ
+    semantics); the arithmetic itself is exact int64, so ranking is
+    deterministic and oracle-checkable. Emits (vec_id, adc) ascending
+    (smaller = closer), ties → lower id."""
+    sub_dim = 64 // m
+    cent = pq_codebooks(
+        emb, m=m, k=codes, updates=updates, id_col=id_col, vec_col=vec_col,
+        sub_dim=sub_dim,
+    ).localCheckpoint(eager=False)
+    pos = _pq_pos(emb, sub_dim, id_col, vec_col)
+    enc = pq_encode(emb, cent, id_col=id_col, vec_col=vec_col, sub_dim=sub_dim)
+    lut = (
+        pos.filter(F.col(id_col) == query_id)
+        .join(F.broadcast(cent.select("cid", "pos", "c")), "pos")
+        .groupBy("sub", "cid")
+        .agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias(
+                "d2q"
+            )
+        )
+    )
+    return (
+        enc.filter(F.col(id_col) != query_id)
+        .join(
+            F.broadcast(lut),
+            (enc["sub"] == lut["sub"]) & (enc["code"] == lut["cid"]),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("d2q").alias("adc"))
+        .orderBy("adc", id_col)
         .limit(k)
     )

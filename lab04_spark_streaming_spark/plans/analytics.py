@@ -1093,6 +1093,112 @@ FROM events
 """
 
 
+# --- unpivot / stack (wide → long) ----------------------------------------
+def q_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip pivot → unpivot: per-user conditional counts widened
+    to one column per event type, then melted back to long form with
+    the DataFrame ``unpivot`` (SQL ``stack``) operator. Counts are
+    coalesced so the unpivot emits exactly 5 rows/user in both engines
+    (DuckDB's UNPIVOT drops NULL cells; the oracle uses the portable
+    UNION ALL formulation instead)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["view", "click", "signup", "error", "purchase"]
+    wide = ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in types
+        ]
+    )
+    return wide.unpivot(
+        ["user_id"], [f"n_{t}" for t in types], "metric", "n_events"
+    )
+
+
+SQL_UNPIVOT_STACK = """
+WITH w AS (
+  SELECT user_id,
+         COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+         COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+         COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+         COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id, 'n_view' AS metric, n_view AS n_events FROM w
+UNION ALL SELECT user_id, 'n_click', n_click FROM w
+UNION ALL SELECT user_id, 'n_signup', n_signup FROM w
+UNION ALL SELECT user_id, 'n_error', n_error FROM w
+UNION ALL SELECT user_id, 'n_purchase', n_purchase FROM w
+"""
+
+
+# --- ntile / percent_rank / cume_dist --------------------------------------
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window battery per nation: account-balance
+    quartile (ntile), percent_rank, cume_dist. The ORDER BY is a total
+    order (acctbal, custkey) so every rank — and therefore every
+    emitted ratio — is deterministic cross-engine (ratios of small
+    ints are identical IEEE doubles)."""
+    cust = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+SQL_WINDOW_NTILE = """
+SELECT c_nationkey, c_custkey, c_acctbal,
+       ntile(4) OVER w AS bal_quartile,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+# --- fixed-width histogram -------------------------------------------------
+def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound histogram of extended price (20 × 5500-wide buckets,
+    top bucket open): pure floor arithmetic → single hash agg on ≤20
+    groups — the fastest possible distributed histogram (no sort, no
+    percentile state; fixed bounds also make it streaming/partial-agg
+    friendly, unlike a min/max-dependent binning)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.lit(19), F.floor(F.col("l_extendedprice") / F.lit(5500.0))
+    ).cast("int")
+    return (
+        li.select(bucket.alias("bucket"), "l_extendedprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dec_sum(F.col("l_extendedprice"), 2, "sum_price"),
+        )
+        .withColumn("bucket_lo", F.col("bucket").cast("double") * 5500.0)
+    )
+
+
+SQL_HISTOGRAM_BINS = """
+SELECT bucket, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price,
+       CAST(bucket AS DOUBLE) * 5500.0 AS bucket_lo
+FROM (
+  SELECT CAST(LEAST(19, CAST(floor(l_extendedprice / 5500.0) AS BIGINT))
+              AS INTEGER) AS bucket,
+         l_extendedprice
+  FROM lineitem
+)
+GROUP BY bucket
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -1132,4 +1238,7 @@ def specs():
         QuerySpec("percentiles_exact", q_percentiles, SQL_PERCENTILES),
         QuerySpec("moment_aggs", q_moment_aggs, SQL_MOMENT_AGGS),
         QuerySpec("json_map_funcs", q_json_map_funcs, SQL_JSON_MAP_FUNCS),
+        QuerySpec("unpivot_stack", q_unpivot_stack, SQL_UNPIVOT_STACK),
+        QuerySpec("window_ntile_percent_rank", q_window_ntile, SQL_WINDOW_NTILE),
+        QuerySpec("histogram_bins", q_histogram_bins, SQL_HISTOGRAM_BINS),
     ]

@@ -1268,6 +1268,57 @@ WHERE {sql_hash_int("source || '|' || CAST(doc_id AS VARCHAR)")} % 100
 """
 
 
+# --- vocabulary coverage / OOV rate ----------------------------------------
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-100
+    vocabulary — the coverage check run before committing to a fixed
+    tokenizer vocab. Two-pass shape that scales: (1) global token
+    counts → top-k with a total-order tie-break (count desc, token
+    asc), (2) the tiny vocab broadcast back for a map-side membership
+    probe; OOV fraction is an exact int ratio."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), "tok")
+        .limit(100)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_frac", F.col("n_oov").cast("double") / F.col("n_tok")
+        )
+    )
+
+
+SQL_OOV_RATE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+  ) ORDER BY c DESC, tok LIMIT 100
+)
+SELECT t.doc_id, COUNT(*) AS n_tok,
+       SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS oov_frac
+FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -1314,4 +1365,5 @@ def specs():
         QuerySpec("pii_scrub", q_pii_scrub, SQL_PII_SCRUB),
         QuerySpec("token_count_bpe", q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
         QuerySpec("stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+        QuerySpec("oov_rate_vocab", q_oov_rate, SQL_OOV_RATE),
     ]

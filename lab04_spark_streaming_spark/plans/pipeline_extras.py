@@ -698,6 +698,101 @@ FROM a2 JOIN comp ON a2.vec_id = comp.vec_id
 """
 
 
+# --- product quantization: codes + ADC search -------------------------------
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compression of the embedding table: 4 subspaces × 16 codes,
+    one Lloyd update per codebook, all m trainings fused into one
+    distributed run (operators/similarity.pq_codebooks — the subspace
+    id is just another grouping key). Output is the compressed
+    representation itself: 4 small ints per vector replacing 64 floats.
+    Integer-grid arithmetic end to end → the iterative trainer AND the
+    encoding hash-match the unrolled DuckDB twin."""
+    from lab04_spark_streaming_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _emb(spark, sf_dir)
+    books = pq_codebooks(emb, m=4, k=16, updates=1)
+    return pq_encode(emb, books, sub_dim=16)
+
+
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ's scoring stage end to end: train codebooks → encode →
+    asymmetric-distance top-10 for query vector 0. The ADC scan reads
+    4 ints per candidate (codes) plus a broadcast 64-entry lookup
+    table — the memory-bandwidth shape that makes PQ the standard
+    billion-vector index (Jégou et al. 2011)."""
+    from lab04_spark_streaming_spark.operators.similarity import (
+        ann_pq_adc_topk,
+    )
+
+    return ann_pq_adc_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+# Shared unrolled PQ SQL: per-subspace quantized positions → seeds →
+# one Lloyd round (d1/a1/c1) → final assignment (d2/a2 = the codes).
+_SQL_PQ_PREFIX = """
+pos AS (
+  SELECT vec_id, pos, CAST((pos - 1) // 16 AS INTEGER) AS sub,
+         CAST(floor(CAST(embedding[pos] AS DOUBLE) * 10000000.0 + 0.5)
+              AS BIGINT) AS x
+  FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+               embedding
+        FROM embeddings)
+),
+c0 AS (SELECT sub, vec_id AS cid, pos, x AS c FROM pos WHERE vec_id < 16),
+d1 AS (
+  SELECT p.vec_id, c.sub, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dist
+  FROM pos p JOIN c0 c ON p.pos = c.pos
+  GROUP BY 1, 2, 3
+),
+a1 AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT vec_id, sub, cid,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+c1 AS (
+  SELECT a1.sub, a1.cid, p.pos,
+         CAST(floor(CAST(SUM(p.x) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS c
+  FROM pos p JOIN a1 ON p.vec_id = a1.vec_id AND p.sub = a1.sub
+  GROUP BY 1, 2, 3
+),
+d2 AS (
+  SELECT p.vec_id, c.sub, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dist
+  FROM pos p JOIN c1 c ON p.pos = c.pos
+  GROUP BY 1, 2, 3
+),
+a2 AS (
+  SELECT vec_id, sub, cid, dist FROM (
+    SELECT vec_id, sub, cid, dist,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1
+)"""
+
+SQL_PQ_CODES = f"""
+WITH {_SQL_PQ_PREFIX}
+SELECT vec_id, sub, cid AS code, CAST(dist AS BIGINT) AS sqdist FROM a2
+"""
+
+SQL_ANN_PQ_ADC_TOPK = f"""
+WITH {_SQL_PQ_PREFIX},
+lut AS (
+  SELECT c.sub, c.cid, SUM((q.x - c.c) * (q.x - c.c)) AS d2q
+  FROM pos q JOIN c1 c ON q.pos = c.pos
+  WHERE q.vec_id = 0
+  GROUP BY 1, 2
+)
+SELECT a2.vec_id, CAST(SUM(l.d2q) AS BIGINT) AS adc
+FROM a2 JOIN lut l ON a2.sub = l.sub AND a2.cid = l.cid
+WHERE a2.vec_id <> 0
+GROUP BY a2.vec_id
+ORDER BY adc, a2.vec_id
+LIMIT 10
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -705,6 +800,8 @@ def specs():
         QuerySpec(
             "boilerplate_ngrams", q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS
         ),
+        QuerySpec("pq_codes", q_pq_codes, SQL_PQ_CODES),
+        QuerySpec("ann_pq_adc_topk", q_ann_pq_adc_topk, SQL_ANN_PQ_ADC_TOPK),
         QuerySpec("kmeans_clusters", q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
         QuerySpec(
             "semdedup_keep_best", q_semdedup_keep_best, SQL_SEMDEDUP_KEEP_BEST

@@ -1,0 +1,418 @@
+"""Time-series analytics over the events stream table (round-6 surface
+widening): funnel analysis, moving median, EWMA smoothing, time-weighted
+average, gap-fill with last-observation-carried-forward, and MAD-based
+outlier detection — the operations a monitoring/metrics user of the
+reference's streaming lab would reach for next, each expressed as a
+declarative Spark plan with a DuckDB oracle twin.
+
+Cross-engine determinism (registry.py rules):
+  * percentile/median use the shared exact interpolation
+    ``lower + (upper-lower)*frac`` at pos ``q*(n-1)`` in BOTH engines
+    (same contract as the existing percentiles_exact query), so framed
+    window medians and group medians are bit-identical doubles.
+  * EWMA weights are shared decimal literals (floor(0.9^j·1e6)/1e6,
+    exact DECIMAL(7,6)) — the weighted sums run in decimal (unscaled
+    < 2^53, so the final decimal→double is single-rounded identically)
+    and only the last division happens in double.
+  * TWAP weights are integer microseconds; value·weight products are
+    exact decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lab04_spark_streaming_spark.sources.files import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --- funnel analysis -------------------------------------------------------
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase per user: each stage's
+    timestamp is the FIRST qualifying event strictly after the previous
+    stage (not just any co-occurrence). Every join is on the user key —
+    one shuffle partitioning reused across all three stages; stage
+    relations are per-user aggregates, so no row blowup."""
+    ev = _events(spark, sf_dir)
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    stage = (
+        F.when(F.col("view_ts").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("click_ts").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            stage.cast("int").alias("funnel_stage"),
+        )
+    )
+
+
+SQL_FUNNEL_STEPS = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS view_ts
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.view_ts
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.click_ts
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+       CAST((CASE WHEN v.view_ts IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END)
+         AS INTEGER) AS funnel_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+
+# --- moving median / p90 ---------------------------------------------------
+def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median and p90 over the last 21 events per user
+    (ROWS frame — rank-based stats Spark's time ``window()`` can't
+    express; ``median`` itself rejects a frame, ``percentile`` accepts
+    one). Per-user partitions, single window shuffle; both engines use
+    the same lower+(upper-lower)·frac interpolation on identical
+    doubles, so no rounding is needed."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("percentile(value, 0.5)").over(w).alias("med21"),
+        F.expr("percentile(value, 0.9)").over(w).alias("p90_21"),
+    )
+
+
+SQL_MOVING_MEDIAN = """
+SELECT user_id, event_id, ts,
+       quantile_cont(value, 0.5) OVER w AS med21,
+       quantile_cont(value, 0.9) OVER w AS p90_21
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- EWMA smoothing --------------------------------------------------------
+_EWMA_DECAY = 0.9
+_EWMA_DEPTH = 20
+
+
+def _ewma_weights() -> list[str]:
+    """Exact DECIMAL(7,6) literals floor(0.9^j·1e6)/1e6, j=0..19 —
+    generated once and embedded IDENTICALLY in the Spark plan and the
+    DuckDB oracle, so there is no cross-engine pow() to disagree on."""
+    out = []
+    for j in range(_EWMA_DEPTH):
+        w = int(_EWMA_DECAY**j * 1_000_000)
+        out.append(f"{w // 1_000_000}.{w % 1_000_000:06d}")
+    return out
+
+
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth EWMA per user: y_t = Σ_{j<20} w_j·x_{t-j} / Σ w_j
+    with w_j = 0.9^j truncated to 6 decimals. Shaped as an equi-join on
+    the user key with a bounded rank-band residual (≤20× expansion, a
+    constant) plus a broadcast weight-table join — the decimal sums are
+    exact, so the result is reproducible under any partitioning. The
+    truly-recursive unbounded EWMA is inherently sequential; the
+    bounded form is the scale-correct surrogate (tail weight < 0.9^20
+    ≈ 0.012 of the mass)."""
+    weights = ", ".join(
+        f"({j}, CAST({w} AS DECIMAL(7,6)))" for j, w in enumerate(_ewma_weights())
+    )
+    wtab = spark.sql(f"SELECT lag_j, w FROM (VALUES {weights}) AS t(lag_j, w)")
+    ev = _events(spark, sf_dir)
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    base = ev.select("user_id", "event_id", "ts", "value").withColumn("_rn", rn)
+    cur = base.select(
+        "user_id",
+        F.col("event_id").alias("event_id"),
+        F.col("ts").alias("ts"),
+        F.col("_rn").alias("_rn_c"),
+    )
+    past = base.select(
+        F.col("user_id").alias("user_id"),
+        F.col("_rn").alias("_rn_p"),
+        F.col("value").alias("_v"),
+    )
+    joined = (
+        cur.join(past, "user_id")
+        .filter(
+            (F.col("_rn_p") <= F.col("_rn_c"))
+            & (F.col("_rn_p") > F.col("_rn_c") - _EWMA_DEPTH)
+        )
+        .withColumn("lag_j", (F.col("_rn_c") - F.col("_rn_p")).cast("int"))
+        .join(F.broadcast(wtab), "lag_j")
+    )
+    vw = F.col("_v").cast("decimal(10,2)") * F.col("w")
+    return (
+        joined.groupBy("user_id", "event_id", "ts")
+        .agg(
+            (
+                F.sum(vw).cast("double")
+                / F.sum(F.col("w")).cast("double")
+            ).alias("ewma")
+        )
+    )
+
+
+def _sql_ewma() -> str:
+    weights = ", ".join(
+        f"({j}, CAST({w} AS DECIMAL(7,6)))" for j, w in enumerate(_ewma_weights())
+    )
+    return f"""
+WITH wtab(lag_j, w) AS (VALUES {weights}),
+base AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT c.user_id, c.event_id, c.ts,
+       CAST(SUM(CAST(p.value AS DECIMAL(10,2)) * wtab.w) AS DOUBLE)
+         / CAST(SUM(wtab.w) AS DOUBLE) AS ewma
+FROM base c
+JOIN base p ON p.user_id = c.user_id
+           AND p.rn <= c.rn AND p.rn > c.rn - {_EWMA_DEPTH}
+JOIN wtab ON wtab.lag_j = c.rn - p.rn
+GROUP BY c.user_id, c.event_id, c.ts
+"""
+
+
+# --- time-weighted average -------------------------------------------------
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly TWAP per user: each observation holds until the next one
+    in the same hour (the last until the hour end), weights in integer
+    microseconds, value·weight products in exact decimal. One window
+    shuffle on (user, hour) then a hash agg on the same keys — Spark
+    reuses the partitioning, no second exchange."""
+    ev = _events(spark, sf_dir)
+    h = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy("user_id", "h").orderBy("ts", "event_id")
+    hour_end_us = F.unix_micros(F.col("h")) + F.lit(3_600_000_000)
+    ts_us = F.unix_micros(F.col("ts"))
+    prepared = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn("h", h)
+        .withColumn(
+            "_w_us",
+            F.coalesce(F.lead(ts_us).over(w), hour_end_us) - ts_us,
+        )
+    )
+    vw = F.col("value").cast("decimal(10,2)") * F.col("_w_us")
+    return (
+        prepared.groupBy("user_id", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_w_us").alias("span_us"),
+            (F.sum(vw).cast("double") / F.sum("_w_us").cast("double")).alias(
+                "twap"
+            ),
+        )
+        .select("user_id", F.col("h").alias("hour_start"), "n_events", "span_us", "twap")
+    )
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH prepared AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, value,
+         COALESCE(
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                    ORDER BY ts, event_id),
+           epoch_us(date_trunc('hour', ts)) + 3600000000
+         ) - epoch_us(ts) AS w_us
+  FROM events
+)
+SELECT user_id, h AS hour_start, COUNT(*) AS n_events,
+       SUM(w_us) AS span_us,
+       CAST(SUM(CAST(value AS DECIMAL(10,2)) * w_us) AS DOUBLE)
+         / CAST(SUM(w_us) AS DOUBLE) AS twap
+FROM prepared
+GROUP BY user_id, h
+"""
+
+
+# --- gap fill (hourly grid + LOCF) ----------------------------------------
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's event series onto an hourly grid with
+    last-observation-carried-forward: grid = sequence() explode between
+    the user's first/last truncated hours, fill = the generic as-of
+    operator (operators/asof.py — chunked union-fill scan, no range
+    join, no row-pair blowup). Emits the carried value and its age;
+    NULLs before the first observation. DuckDB twin is a native ASOF
+    LEFT JOIN — same <= tie rule."""
+    from lab04_spark_streaming_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("_t0"),
+            F.date_trunc("hour", F.max("ts")).alias("_t1"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("_t0", "_t1", F.expr("interval 1 hour"))
+            ).alias("ts"),
+        )
+    )
+    right = ev.select(
+        "user_id", "ts", F.col("value").alias("last_value")
+    )
+    filled = asof_join(
+        grid,
+        right,
+        ts_col="ts",
+        by=["user_id"],
+        value_cols=["last_value"],
+    )
+    age_s = (
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_asof")))
+        / F.lit(1_000_000)
+    ).cast("bigint")
+    return filled.select(
+        "user_id",
+        F.col("ts").alias("grid_ts"),
+        F.col("last_value_asof").alias("last_value"),
+        age_s.alias("age_s"),
+    )
+
+
+SQL_GAP_FILL_LOCF = """
+WITH grid AS (
+  SELECT user_id, unnest(generate_series(
+           date_trunc('hour', MIN(ts)),
+           date_trunc('hour', MAX(ts)),
+           INTERVAL 1 HOUR)) AS gts
+  FROM events GROUP BY user_id
+)
+SELECT g.user_id, g.gts AS grid_ts, e.value AS last_value,
+       CAST((epoch_us(g.gts) - epoch_us(e.ts)) // 1000000 AS BIGINT) AS age_s
+FROM grid g
+ASOF LEFT JOIN events e ON g.user_id = e.user_id AND g.gts >= e.ts
+"""
+
+
+# --- MAD outliers ----------------------------------------------------------
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier profile: median, MAD (median absolute
+    deviation), and the count/fraction beyond 3·MAD. Two grouped exact
+    percentiles with a broadcast join of the tiny per-type medians in
+    between — the classic two-pass robust-statistics shape (a mean/std
+    z-score would let the outliers poison the threshold)."""
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "_dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(_dev, 0.5)").alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    flagged = dev.join(
+        F.broadcast(mad.select("event_type", F.col("mad").alias("_mad"))),
+        "event_type",
+    ).groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("_dev") > 3 * F.col("_mad"), 1).otherwise(0)
+        ).alias("n_outliers")
+    )
+    return (
+        mad.join(flagged, "event_type")
+        .select(
+            "event_type",
+            "med",
+            "mad",
+            "n",
+            "n_outliers",
+            (F.col("n_outliers").cast("double") / F.col("n")).alias(
+                "outlier_frac"
+            ),
+        )
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, ANY_VALUE(med) AS med,
+         quantile_cont(dev, 0.5) AS mad, COUNT(*) AS n
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type, m.med, m.mad, m.n,
+       SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS n_outliers,
+       CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS DOUBLE)
+         / m.n AS outlier_frac
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type, m.med, m.mad, m.n
+"""
+
+
+def specs():
+    from lab04_spark_streaming_spark.registry import QuerySpec
+
+    return [
+        QuerySpec("funnel_steps", q_funnel_steps, SQL_FUNNEL_STEPS),
+        QuerySpec("moving_median", q_moving_median, SQL_MOVING_MEDIAN),
+        QuerySpec("ewma_smoothing", q_ewma_smoothing, _sql_ewma()),
+        QuerySpec("time_weighted_avg", q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
+        QuerySpec("gap_fill_locf", q_gap_fill_locf, SQL_GAP_FILL_LOCF),
+        QuerySpec("mad_outliers", q_mad_outliers, SQL_MAD_OUTLIERS),
+    ]

@@ -28,6 +28,7 @@ from lab04_spark_streaming_spark.plans import (
     llm,
     pipeline_extras,
     reference_parity,
+    timeseries,
     tpch_full,
 )
 
@@ -46,73 +47,67 @@ class QuerySpec:
 # and r02 go last.  Every query is still covered every round by the local
 # harness (tests/test_oracle_parity.py) regardless of position.
 _STAMP_FIRST: list[str] = [
-    # -- r05: every events-dependent query crashed in r04 (loader raise on
-    # the regenerated timestamp[us] testdata, fixed in sources/files.py) —
-    # all 18 must be re-stamped green this round.
-    "moving_stats_flat",
-    "moving_stats_long_windows",
-    "zscore_grid_join",
-    "zscore_asof_join",
-    "asof_join_forward",
-    "interval_join_spikes",
-    "first_crossing_higher",
-    "first_crossing_lower",
-    "json_map_funcs",
-    "moving_stats_nested_json",
-    "watermark_late_drop",
-    "json_decode_project",
-    "json_encode_struct",
-    "asof_join_generic",  # code changed r3, only ever stamped r02
-    "conditional_pivot",
-    "sessionize_gap30m",
-    "tumbling_window_1h",
-    "session_window_agg",
-    # -- oracle upgraded in r05 (rows-only → hash-checked) --
-    "multimodal_decode_stub",
-    "approx_count_distinct",
-    "multimodal_feature_knn",
-    # -- new in round 5 --
-    "boilerplate_ngrams",
-    "kmeans_clusters",
-    "approx_percentiles",
-    "ann_ivf_trained_topk",
-    "substring_dedup_coverage",
-    "semdedup_keep_best",
-    "knn_fold_topk_ids",
-    "dedup_exact_normalized",
-    "decontamination_containment",
-    # -- code changed in r05 (ivf centroid-norm path) → re-stamp --
-    "ann_ivf_topk",
-    # -- stalest green stamps (r02): cycle through the stamp window --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q4_order_priority",
-    "q12_priority_buckets",
-    "q14_promo_revenue",
-    "semi_join_exists",
-    "anti_join_not_exists",
-    "outer_join_agg",
-    "rollup_agg",
-    "cube_agg",
-    "window_topk_per_group",
-    "window_running_lag_lead",
-    "distinct_agg",
-    "set_ops",
-    "sort_limit_topk",
-    "string_funcs",
-    "date_funcs",
-    "math_case_funcs",
+    # -- r06 rotation (VERDICT r5 item 1): the 14 queries whose green
+    # stamps date to r02 go first — their code is unchanged and they pass
+    # the local harness every round, but driver-side evidence must not age
+    # past two rounds.
+    "q2_best_supplier",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_volume",
+    "q13_customer_distribution",
     "grouping_sets",
     "array_funcs",
     "regexp_funcs",
     "scalar_subquery",
     "percentiles_exact",
     "moment_aggs",
-    "q2_best_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
+    # -- new in round 6 --
+    "funnel_steps",
+    "moving_median",
+    "ewma_smoothing",
+    "time_weighted_avg",
+    "gap_fill_locf",
+    "mad_outliers",
+    "unpivot_stack",
+    "window_ntile_percent_rank",
+    "histogram_bins",
+    "oov_rate_vocab",
+    "pq_codes",
+    "ann_pq_adc_topk",
+    # -- code changed in r06 → re-stamp (quantized fold; connected
+    # components edge/label checkpointing, which dedup_keep_best and the
+    # SemDeDup composition execute; per-iteration centroid checkpoint in
+    # k-means, which the trained-IVF path executes) --
+    "knn_fold_topk_ids",
+    "semdedup_keep_best",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "kmeans_clusters",
+    "ann_ivf_trained_topk",
+    # -- r04-stamped cohort: 22 of 38 rotate in now, the rest next round
+    # (nothing's driver stamp may age past two rounds) --
+    "ann_srp_buckets",
+    "decontamination_pairs",
+    "dedup_embedding_pairs",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_chunking",
+    "doc_fingerprint",
+    "domain_quota_sample",
+    "embedding_normalize",
+    "knn_cosine_topk",
+    "lang_id_heuristic",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "multimodal_resize",
 ]
 
 
@@ -123,6 +118,7 @@ def all_specs() -> list[QuerySpec]:
     specs += tpch_full.specs()
     specs += llm.specs()
     specs += pipeline_extras.specs()
+    specs += timeseries.specs()
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
     by_name = {s.name: s for s in specs}

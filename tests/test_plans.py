@@ -390,3 +390,99 @@ def test_driver_contract_shape():
     assert len(q) >= 102
     assert all(callable(fn) for fn in q.values())
     assert all(isinstance(sql, str) and sql.strip() for sql in o.values())
+
+
+def test_timeseries_no_cartesian_or_bnlj(spark, sf_dir):
+    """r6 time-series surface: the EWMA rank-band join must stay an
+    equi join on the user key with a residual (never a nested loop),
+    the gap-fill must use the as-of union-fill scan (never a range
+    join), and the funnel's stage joins must all be key joins."""
+    from lab04_spark_streaming_spark.plans import timeseries as tsp
+
+    for fn in (
+        tsp.q_ewma_smoothing,
+        tsp.q_gap_fill_locf,
+        tsp.q_funnel_steps,
+        tsp.q_mad_outliers,
+        tsp.q_time_weighted_avg,
+    ):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_histogram_prunes_to_single_column(spark, sf_dir):
+    """The fixed-bound histogram reads exactly one lineitem column."""
+    plan = plan_of(analytics.q_histogram_bins(spark, sf_dir))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and all(
+        "struct<l_extendedprice:double>" in l for l in read
+    ), read
+
+
+def test_funnel_scans_prune_to_three_columns(spark, sf_dir):
+    """Every funnel scan carries at most (user_id, ts, event_type) —
+    value/props never leave the parquet reader."""
+    from lab04_spark_streaming_spark.plans import timeseries as tsp
+
+    plan = plan_of(tsp.q_funnel_steps(spark, sf_dir))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read
+    for l in read:
+        assert "value" not in l and "props" not in l, l
+
+
+def test_oov_vocab_join_is_broadcast(spark, sf_dir):
+    """The top-100 vocabulary must come back as a broadcast (map-side
+    membership probe) — a shuffle join on the token key would re-shuffle
+    the full exploded token relation a second time."""
+    plan = plan_of(llm.q_oov_rate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_rank_quality_and_plan(spark, sf_dir):
+    """PQ ADC is approximate by design; on the fixture corpus (whose
+    distance spectrum is nearly flat — top-10 and top-50 true
+    distances differ by ~15%, so strict recall@10 is the wrong bar)
+    the picks must still concentrate in the true top decile: median
+    true-L2 rank ≤ 60 of ~500, and ≥6 of 10 picks inside the true
+    top-100. Random selection would put the median near 250. Plan
+    side: codebooks and the ADC lookup table must broadcast — never a
+    shuffle or nested-loop join against the code relation."""
+    from pyspark.sql import functions as F
+
+    from lab04_spark_streaming_spark.operators.similarity import (
+        _quantized_pos,
+        ann_pq_adc_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = ann_pq_adc_topk(emb, query_id=0, k=10, m=4)
+    plan = plan_of(topk)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    pos = _quantized_pos(emb, "vec_id", "embedding")
+    q = pos.filter(F.col("vec_id") == 0).select(
+        "pos", F.col("x").alias("qx")
+    )
+    d = (
+        pos.join(F.broadcast(q), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
+            ).alias("d2")
+        )
+        .filter(F.col("vec_id") != 0)
+    )
+    true_d2 = {r.vec_id: r.d2 for r in d.collect()}
+    ranked = sorted(true_d2, key=lambda v: (true_d2[v], v))
+    picks = [r.vec_id for r in topk.collect()]
+    ranks = sorted(ranked.index(v) + 1 for v in picks)
+    assert len(ranks) == 10
+    median_rank = (ranks[4] + ranks[5]) / 2
+    assert median_rank <= 60, ranks
+    assert sum(1 for r in ranks if r <= 100) >= 6, ranks
