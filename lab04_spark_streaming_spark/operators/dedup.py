@@ -300,7 +300,16 @@ def dedup_clusters(
     distributed; convergence is checked with a count aggregate). At
     100 TB this is the standard large-graph pattern (alternating
     small-star/large-star is the production refinement; plain
-    propagation is exact and sufficient at lab diameters)."""
+    propagation is exact and sufficient at lab diameters).
+
+    Pointer jumping (label ← label(label), O(log d) rounds) was
+    implemented and MEASURED SLOWER here: on the diameter-12 SemDeDup
+    graph at sf0.1 it cut 13 rounds to 5 but added one n-row join and
+    one eager checkpoint per round, and per-round fixed job overhead
+    dominates at lab scale (~9.6 s vs ~7.9 s warm median). Worth
+    revisiting only for graphs whose diameter × per-round data cost
+    actually exceeds the extra join — i.e. when rounds are
+    data-dominated, not scheduler-dominated."""
     # Materialize the edge list ONCE before iterating: every round joins
     # against it, and without this the whole pair-production pipeline
     # (LSH/k-means/self-join upstream) replays per round — observed as
@@ -330,10 +339,13 @@ def dedup_clusters(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            # Checkpoint BEFORE the convergence probe so the round's
-            # labels are computed once, not once for the probe and again
-            # for the next round's lineage.
-            .localCheckpoint(eager=True)
+            # Lazy checkpoint + the convergence count right below =
+            # ONE job per round: the count materializes the checkpoint,
+            # and the next round reuses the materialized blocks. (An
+            # eager checkpoint here costs a second driver-synchronized
+            # job per round — at lab scale the loop is scheduler-bound,
+            # ~0.2 s fixed cost per job × rounds.)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")

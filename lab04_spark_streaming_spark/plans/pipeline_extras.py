@@ -599,10 +599,7 @@ def q_semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-oracled operator; the composition is hash-checked end to
     end."""
     from lab04_spark_streaming_spark.operators.dedup import dedup_clusters
-    from lab04_spark_streaming_spark.operators.similarity import (
-        _quantized_pos,
-        kmeans_assign,
-    )
+    from lab04_spark_streaming_spark.operators.similarity import kmeans_assign
 
     emb = _emb(spark, sf_dir)
     # Materialize the trained assignment once: it feeds both sides of
@@ -614,28 +611,46 @@ def q_semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cluster").alias("kcluster"))
         .localCheckpoint(eager=False)
     )
-    pos = _quantized_pos(emb, "vec_id", "embedding").join(assign, "vec_id")
-    norms = pos.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("n2"))
-    a, b = pos.alias("a"), pos.alias("b")
-    dots = (
-        a.join(
-            b,
-            (F.col("a.pos") == F.col("b.pos"))
-            & (F.col("a.kcluster") == F.col("b.kcluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .groupBy(
-            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
-        )
-        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("dot"))
+    # Within-cell pairs via a cell-bucketed join of WHOLE vectors with a
+    # quantized zip_with fold per pair — the same int64 moments as a
+    # positional explode (bit-identical cosine, the oracle is unchanged)
+    # but the shuffle moves n rows instead of n×dim cells and the 16M-row
+    # (pair × position) aggregation disappears: measured 7.3 s → ~3 s at
+    # sf0.1. One shuffle on the cell key; per-pair work is a 64-wide JVM
+    # fold inside codegen.
+    qq = "cast(floor(cast({v} as double) * 10000000.0 + 0.5) as bigint)"
+    n2 = (
+        f"aggregate(embedding, cast(0 as bigint), "
+        f"(acc, x) -> acc + {qq.format(v='x')} * {qq.format(v='x')})"
     )
-    na = norms.select(F.col("vec_id").alias("id_a"), F.col("n2").alias("na"))
-    nb = norms.select(F.col("vec_id").alias("id_b"), F.col("n2").alias("nb"))
+    cells = (
+        emb.join(assign, "vec_id")
+        .select("vec_id", "kcluster", "embedding", F.expr(n2).alias("_n2"))
+    )
+    a = cells.select(
+        F.col("vec_id").alias("id_a"),
+        "kcluster",
+        F.col("embedding").alias("_ea"),
+        F.col("_n2").alias("_na"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("id_b"),
+        "kcluster",
+        F.col("embedding").alias("_eb"),
+        F.col("_n2").alias("_nb"),
+    )
+    dot = (
+        f"aggregate(zip_with(_ea, _eb, "
+        f"(x, y) -> {qq.format(v='x')} * {qq.format(v='y')}), "
+        f"cast(0 as bigint), (acc, v) -> acc + v)"
+    )
     pairs = (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
+        a.join(b, ["kcluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_dot", F.expr(dot))
         .filter(
-            F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))) >= 0.4
+            F.col("_dot") / (F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb")))
+            >= 0.4
         )
         .select("id_a", "id_b")
         # The component stage symmetrizes pairs via a 2-branch union;
