@@ -226,28 +226,35 @@ GROUP BY c.user_id, c.event_id, c.ts
 
 
 # --- time-weighted average -------------------------------------------------
-def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly TWAP per user: each observation holds until the next one
+def twap_hourly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Hourly TWAP per key: each observation holds until the next one
     in the same hour (the last until the hour end), weights in integer
     microseconds, value·weight products in exact decimal. One window
-    shuffle on (user, hour) then a hash agg on the same keys — Spark
-    reuses the partitioning, no second exchange."""
-    ev = _events(spark, sf_dir)
-    h = F.date_trunc("hour", F.col("ts"))
-    w = Window.partitionBy("user_id", "h").orderBy("ts", "event_id")
+    shuffle on (key, hour) then a hash agg on the same keys — Spark
+    reuses the partitioning, no second exchange. Shared by the batch
+    query and the streaming twin's parity test
+    (streaming/state.twap_stream)."""
+    h = F.date_trunc("hour", F.col(ts_col))
+    w = Window.partitionBy(key_col, "h").orderBy(ts_col, order_col)
     hour_end_us = F.unix_micros(F.col("h")) + F.lit(3_600_000_000)
-    ts_us = F.unix_micros(F.col("ts"))
+    ts_us = F.unix_micros(F.col(ts_col))
     prepared = (
-        ev.select("user_id", "ts", "event_id", "value")
+        df.select(key_col, ts_col, order_col, value_col)
         .withColumn("h", h)
         .withColumn(
             "_w_us",
             F.coalesce(F.lead(ts_us).over(w), hour_end_us) - ts_us,
         )
     )
-    vw = F.col("value").cast("decimal(10,2)") * F.col("_w_us")
+    vw = F.col(value_col).cast("decimal(10,2)") * F.col("_w_us")
     return (
-        prepared.groupBy("user_id", "h")
+        prepared.groupBy(key_col, "h")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("_w_us").alias("span_us"),
@@ -255,8 +262,16 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "twap"
             ),
         )
-        .select("user_id", F.col("h").alias("hour_start"), "n_events", "span_us", "twap")
+        .select(
+            key_col, F.col("h").alias("hour_start"), "n_events", "span_us", "twap"
+        )
     )
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly TWAP per user over the events table — see
+    :func:`twap_hourly` for the plan shape."""
+    return twap_hourly(_events(spark, sf_dir))
 
 
 SQL_TIME_WEIGHTED_AVG = """
@@ -323,6 +338,83 @@ def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_value_asof").alias("last_value"),
         age_s.alias("age_s"),
     )
+
+
+def q_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-grid resampling with LINEAR interpolation: a backward and
+    a forward as-of join bracket every grid point, then
+    v = v0 + (v1-v0)·(g-t0)/(t1-t0). Two linear union-fill scans, no
+    range join. NULL before the first observation; carried-forward v0
+    after the last; the coincident-event case (t1 = t0) short-circuits
+    to v0 — both because a 0/0 division would be engine-dependent and
+    because the observation itself IS the answer. The µs ratio and the
+    interpolation arithmetic are identical IEEE doubles cross-engine."""
+    from lab04_spark_streaming_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("_t0"),
+            F.date_trunc("hour", F.max("ts")).alias("_t1"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("_t0", "_t1", F.expr("interval 1 hour"))
+            ).alias("ts"),
+        )
+    )
+    right = ev.select("user_id", "ts", F.col("value").alias("v"))
+    back = asof_join(
+        grid, right, ts_col="ts", by=["user_id"], value_cols=["v"],
+        suffix="_b",
+    )
+    both = asof_join(
+        back, right, ts_col="ts", by=["user_id"], value_cols=["v"],
+        suffix="_f", direction="forward",
+    )
+    g_us = F.unix_micros(F.col("ts"))
+    t0_us = F.unix_micros(F.col("ts_b"))
+    t1_us = F.unix_micros(F.col("ts_f"))
+    frac = (g_us - t0_us).cast("double") / (t1_us - t0_us).cast("double")
+    interp = (
+        F.when(F.col("v_b").isNull(), F.lit(None).cast("double"))
+        .when(F.col("v_f").isNull(), F.col("v_b"))
+        .when(t1_us == t0_us, F.col("v_b"))
+        .otherwise(F.col("v_b") + (F.col("v_f") - F.col("v_b")) * frac)
+    )
+    return both.select(
+        "user_id",
+        F.col("ts").alias("grid_ts"),
+        F.col("v_b").alias("v_before"),
+        F.col("v_f").alias("v_after"),
+        interp.alias("v_interp"),
+    )
+
+
+SQL_GAP_FILL_INTERP = """
+WITH grid AS (
+  SELECT user_id, unnest(generate_series(
+           date_trunc('hour', MIN(ts)),
+           date_trunc('hour', MAX(ts)),
+           INTERVAL 1 HOUR)) AS gts
+  FROM events GROUP BY user_id
+)
+SELECT g.user_id, g.gts AS grid_ts,
+       e0.value AS v_before, e1.value AS v_after,
+       CASE
+         WHEN e0.value IS NULL THEN NULL
+         WHEN e1.value IS NULL THEN e0.value
+         WHEN epoch_us(e1.ts) = epoch_us(e0.ts) THEN e0.value
+         ELSE e0.value + (e1.value - e0.value)
+              * (CAST(epoch_us(g.gts) - epoch_us(e0.ts) AS DOUBLE)
+                 / CAST(epoch_us(e1.ts) - epoch_us(e0.ts) AS DOUBLE))
+       END AS v_interp
+FROM grid g
+ASOF LEFT JOIN events e0 ON g.user_id = e0.user_id AND g.gts >= e0.ts
+ASOF LEFT JOIN events e1 ON g.user_id = e1.user_id AND g.gts <= e1.ts
+"""
 
 
 SQL_GAP_FILL_LOCF = """
@@ -414,5 +506,6 @@ def specs():
         QuerySpec("ewma_smoothing", q_ewma_smoothing, _sql_ewma()),
         QuerySpec("time_weighted_avg", q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
         QuerySpec("gap_fill_locf", q_gap_fill_locf, SQL_GAP_FILL_LOCF),
+        QuerySpec("gap_fill_interp", q_gap_fill_interp, SQL_GAP_FILL_INTERP),
         QuerySpec("mad_outliers", q_mad_outliers, SQL_MAD_OUTLIERS),
     ]

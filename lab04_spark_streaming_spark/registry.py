@@ -71,6 +71,7 @@ _STAMP_FIRST: list[str] = [
     "ewma_smoothing",
     "time_weighted_avg",
     "gap_fill_locf",
+    "gap_fill_interp",
     "mad_outliers",
     "unpivot_stack",
     "window_ntile_percent_rank",
@@ -107,7 +108,6 @@ _STAMP_FIRST: list[str] = [
     "lang_id_heuristic",
     "multimodal_frame_sample",
     "multimodal_meta",
-    "multimodal_resize",
 ]
 
 

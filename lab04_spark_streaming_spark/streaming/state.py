@@ -422,3 +422,119 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+TWAP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("hour_start", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("span_us", LongType()),
+        StructField("twap", DoubleType()),
+    ]
+)
+
+
+def twap_stream(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming twin of the batch hourly TWAP
+    (plans/timeseries.q_time_weighted_avg): each observation holds
+    until the next one inside its hour (the last until the hour end),
+    weights in integer microseconds. A (key, hour) row is EMITTED only
+    once the watermark passes the hour end — no later admissible
+    arrival can change its weights — so finalized hours are exactly
+    the batch result on on-time data.
+
+    Cross-impl determinism: values are exact cents (2-decimal inputs),
+    so the weighted sum is exact integer arithmetic in Python just as
+    it is exact decimal arithmetic in the batch plan; the final two
+    double divisions are the same IEEE ops. State per key = the pending
+    (not-yet-final) hours' events — bounded by event rate × (1 hour +
+    watermark)."""
+    hour_us = 3_600_000_000
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts_stored, val_stored = state.get
+            pend = list(zip(ts_stored, val_stored))
+        else:
+            pend = []
+        for pdf in batches:
+            pend.extend(
+                (int(t), float(v))
+                for t, v in zip(pdf["_ts_us"], pdf["_value"])
+            )
+        pend.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        out: list[tuple[int, int, int, float]] = []
+        keep: list[tuple[int, float]] = []
+        by_hour: dict[int, list[tuple[int, float]]] = {}
+        for t, v in pend:
+            by_hour.setdefault(t - t % hour_us, []).append((t, v))
+        for h0 in sorted(by_hour):
+            rows = by_hour[h0]
+            if h0 + hour_us <= wm_us:
+                sum_cents_w = 0
+                sum_w = 0
+                for i, (t, v) in enumerate(rows):
+                    nxt = rows[i + 1][0] if i + 1 < len(rows) else h0 + hour_us
+                    w = nxt - t
+                    # exact: 2-decimal value -> integer cents
+                    sum_cents_w += round(v * 100) * w
+                    sum_w += w
+                twap = (float(sum_cents_w) / 100.0) / float(sum_w)
+                out.append((h0, len(rows), sum_w, twap))
+            else:
+                keep.extend(rows)
+
+        if keep:
+            state.update(([t for t, _ in keep], [v for _, v in keep]))
+            first_h0 = keep[0][0] - keep[0][0] % hour_us
+            state.setTimeoutTimestamp(
+                max((first_h0 + hour_us) // 1000, wm_us // 1000 + 1)
+            )
+        elif state.exists:
+            state.remove()
+
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])] * len(out),
+                    "hour_start": [
+                        pd.Timestamp(h0, unit="us") for h0, _, _, _ in out
+                    ],
+                    "n_events": [n for _, n, _, _ in out],
+                    "span_us": [w for _, _, w, _ in out],
+                    "twap": [x for _, _, _, x in out],
+                }
+            )
+
+    prepared = events.select(
+        F.col(key_col).alias("_key"),
+        F.unix_micros(F.col(ts_col)).alias("_ts_us"),
+        F.col(value_col).alias("_value"),
+        F.col(ts_col).alias("_event_time"),
+    ).withWatermark("_event_time", watermark)
+
+    return prepared.groupBy("_key").applyInPandasWithState(
+        fn,
+        outputStructType=TWAP_OUTPUT_SCHEMA,
+        stateStructType=StructType(
+            [
+                StructField("ts_us", _array_of(LongType())),
+                StructField("value", _array_of(DoubleType())),
+            ]
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

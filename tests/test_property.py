@@ -119,3 +119,68 @@ def test_first_crossing_batch_matches_bruteforce(spark, offsets, vals, direction
             assert got[ts] is None, ts
         else:
             assert got[ts] == pytest.approx(expected[ts], abs=1e-6), ts
+
+
+# --- random event series through the time-series oracles --------------------
+_EV_OFFSET_US = st.integers(min_value=0, max_value=3 * 3600 * 1_000_000)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    # duplicate (user, ts) pairs, exact hour boundaries, and value ties
+    # are all admissible — the interesting determinism cases.
+    offs=st.lists(_EV_OFFSET_US, min_size=1, max_size=40),
+    users=st.lists(st.integers(min_value=1, max_value=3), min_size=40, max_size=40),
+    cents=st.lists(st.integers(min_value=0, max_value=2000), min_size=40, max_size=40),
+    types=st.lists(
+        st.sampled_from(["view", "click", "purchase", "error", "signup"]),
+        min_size=40,
+        max_size=40,
+    ),
+)
+def test_random_events_timeseries_cross_engine_parity(
+    spark, tmp_path_factory, offs, users, cents, types
+):
+    from lab04_spark_streaming_spark.plans import timeseries as tsp
+
+    d = str(tmp_path_factory.mktemp("propevents"))
+    rows = [
+        (
+            i,
+            _T0 + dt.timedelta(microseconds=off),
+            users[i],
+            types[i],
+            cents[i] / 100.0,
+            '{"k": 1}',
+        )
+        for i, off in enumerate(offs)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet/*.parquet')"
+        )
+        for fn, sql in [
+            (tsp.q_funnel_steps, tsp.SQL_FUNNEL_STEPS),
+            (tsp.q_moving_median, tsp.SQL_MOVING_MEDIAN),
+            (tsp.q_ewma_smoothing, tsp._sql_ewma()),
+            (tsp.q_time_weighted_avg, tsp.SQL_TIME_WEIGHTED_AVG),
+            (tsp.q_gap_fill_locf, tsp.SQL_GAP_FILL_LOCF),
+            (tsp.q_gap_fill_interp, tsp.SQL_GAP_FILL_INTERP),
+            (tsp.q_mad_outliers, tsp.SQL_MAD_OUTLIERS),
+        ]:
+            compare_query(spark, con, fn, sql, d)
+    finally:
+        con.close()

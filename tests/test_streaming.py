@@ -654,3 +654,52 @@ def test_sessionize_counter_ttl_expires(spark, tmp_path):
     # Counter expired between the sessions -> numbering restarted at 0
     # (it would be 1 had the counter been retained).
     assert (id_b, n_b) == (0, 2)
+
+
+def test_twap_stream_matches_batch(spark, tmp_path):
+    """Streaming hourly TWAP (applyInPandasWithState) must reproduce
+    the batch twap_hourly exactly — including the exact-cents weighted
+    arithmetic — for every hour the watermark has finalized."""
+    from pyspark.sql.types import DoubleType as _D
+
+    from lab04_spark_streaming_spark.plans.timeseries import twap_hourly
+    from lab04_spark_streaming_spark.streaming.state import twap_stream
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+            StructField("value", _D()),
+        ]
+    )
+    rows = []
+    eid = 0
+    for user in (1, 2):
+        t = T0 + dt.timedelta(minutes=3 * user)
+        for i in range(40):
+            rows.append((user, t, eid, round(5.0 + ((eid * 37) % 100) / 7.0, 2)))
+            eid += 1
+            t += dt.timedelta(seconds=500 + 13 * user + i)  # spans ~3 hours
+    path = str(tmp_path / "twap_src")
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.parquet(path)
+
+    stream = file_stream(spark, path, schema)
+    out = twap_stream(stream, "ts", "user_id", "value")
+    memory_sink_once(out, "twap_out", "append")
+    streamed = {
+        (r.user_id, r.hour_start): (r.n_events, r.span_us, r.twap)
+        for r in spark.table("twap_out").collect()
+    }
+    assert streamed, "stateful TWAP emitted nothing"
+
+    expected = {
+        (r.user_id, r.hour_start): (r.n_events, r.span_us, r.twap)
+        for r in twap_hourly(df).collect()
+    }
+    for k, v in streamed.items():
+        assert k in expected, k
+        assert expected[k] == v, (k, expected[k], v)
+    # the final (unfinalizable) hour of each user stays in state
+    assert len(streamed) >= len(expected) - 2
