@@ -743,6 +743,15 @@ def pq_codebooks(
     if sub_dim is None:
         sub_dim = 64 // m
     pos = _pq_pos(emb, sub_dim, id_col, vec_col)
+    return _pq_train_from_pos(pos, k, updates, id_col)
+
+
+def _pq_train_from_pos(
+    pos: DataFrame, k: int, updates: int, id_col: str
+) -> DataFrame:
+    """Lloyd on an arbitrary (id, sub, pos, x) relation — shared by
+    plain PQ (x = quantized components) and residual IVF-PQ (x = the
+    integer residual after the coarse quantizer)."""
     cent = pos.filter(F.col(id_col) < k).select(
         "sub", F.col(id_col).alias("cid"), "pos", F.col("x").alias("c")
     )
@@ -823,6 +832,118 @@ def ann_pq_adc_topk(
         )
         .groupBy(id_col)
         .agg(F.sum("d2q").alias("adc"))
+        .orderBy("adc", id_col)
+        .limit(k)
+    )
+
+
+def ann_ivfpq_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full residual IVF-PQ (Jégou et al. 2011): L2 k-means coarse
+    cells → per-vector integer residual (x − cell centroid) → global
+    per-subspace PQ codebooks trained ON THE RESIDUALS → query answered
+    by probing the n_probe nearest cells and summing a per-probed-cell
+    ADC lookup table over the stored codes. The index scan reads m
+    small ints per candidate inside the probed cells only — the
+    billion-vector memory/compute shape — while everything (coarse
+    training, residuals, PQ training, encoding, LUT, ranking) stays on
+    the 1e-7 integer grid, so the ENTIRE pipeline hash-matches an
+    unrolled DuckDB twin.
+
+    Scale notes: centroids, codebooks, probe set and LUT are all tiny
+    broadcast relations; the only n-sized shuffles are the two Lloyd
+    moment aggregations and the per-vector encode — each cut with a
+    lazy localCheckpoint because they feed multiple consumers."""
+    sub_dim = 64 // m
+    pos = _kmeans_pos(emb, id_col, vec_col)
+    cent = _kmeans_seed(pos, n_cells, id_col)
+    cent = _kmeans_update(
+        pos, _kmeans_assign_round(pos, cent, id_col), id_col
+    ).localCheckpoint(eager=False)
+    assign = (
+        _kmeans_assign_round(pos, cent, id_col)
+        .select(id_col, F.col("_p.cid").alias("cell"))
+        .localCheckpoint(eager=False)
+    )
+    cellc = cent.select(F.col("cid").alias("cell"), "pos", "c")
+    rpos = (
+        pos.join(assign, id_col)
+        .join(F.broadcast(cellc), ["cell", "pos"])
+        .select(
+            id_col,
+            "cell",
+            "pos",
+            (F.col("pos") / F.lit(sub_dim)).cast("int").alias("sub"),
+            (F.col("x") - F.col("c")).alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    books = _pq_train_from_pos(rpos, codes, 1, id_col).localCheckpoint(
+        eager=False
+    )
+    enc = _pq_assign_round(rpos, books, id_col).select(
+        id_col, "sub", F.col("cid").alias("code")
+    )
+
+    qpos = pos.filter(F.col(id_col) == query_id)
+    qd = (
+        qpos.join(F.broadcast(cent), "pos")
+        .groupBy("cid")
+        .agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias(
+                "qdist"
+            )
+        )
+    )
+    probe = (
+        qd.orderBy("qdist", "cid").limit(n_probe).select(
+            F.col("cid").alias("cell")
+        )
+    )
+    qr = (
+        qpos.join(F.broadcast(cellc), "pos")
+        .join(F.broadcast(probe), "cell")
+        .select(
+            "cell",
+            "pos",
+            (F.col("pos") / F.lit(sub_dim)).cast("int").alias("sub"),
+            (F.col("x") - F.col("c")).alias("rx"),
+        )
+    )
+    lut = (
+        qr.join(
+            F.broadcast(
+                books.select(
+                    F.col("cid").alias("code"), "sub", "pos",
+                    F.col("c").alias("pc"),
+                )
+            ),
+            ["sub", "pos"],
+        )
+        .groupBy("cell", "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("rx") - F.col("pc")) * (F.col("rx") - F.col("pc"))
+            ).alias("d2")
+        )
+    )
+    cand = assign.join(F.broadcast(probe), "cell").filter(
+        F.col(id_col) != query_id
+    )
+    return (
+        cand.join(enc, id_col)
+        .join(F.broadcast(lut), ["cell", "sub", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("d2").alias("adc"))
         .orderBy("adc", id_col)
         .limit(k)
     )

@@ -808,6 +808,103 @@ LIMIT 10
 """
 
 
+# --- residual IVF-PQ --------------------------------------------------------
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ end to end (operators/similarity.ann_ivfpq_topk):
+    8 L2 k-means cells → integer residuals → 4×16 PQ codebooks trained
+    on the residuals → probe the 2 cells nearest the query → ADC over
+    the probed cells' codes. Integer grid throughout — coarse trainer,
+    residuals, PQ trainer, encode, LUT and ranking all hash-match the
+    unrolled DuckDB twin."""
+    from lab04_spark_streaming_spark.operators.similarity import ann_ivfpq_topk
+
+    return ann_ivfpq_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+SQL_ANN_IVFPQ_TOPK = f"""
+WITH {_SQL_KMEANS_C1},
+cd2 AS (
+  SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dist
+  FROM pos p JOIN c1 c ON p.pos = c.pos
+  GROUP BY 1, 2
+),
+ca2 AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM cd2) WHERE rn = 1
+),
+rpos AS (
+  SELECT p.vec_id, a.cell, p.pos,
+         CAST((p.pos - 1) // 16 AS INTEGER) AS sub,
+         p.x - c.c AS rx
+  FROM pos p
+  JOIN ca2 a ON p.vec_id = a.vec_id
+  JOIN c1 c ON c.cid = a.cell AND c.pos = p.pos
+),
+rc0 AS (SELECT sub, vec_id AS cid, pos, rx AS c FROM rpos WHERE vec_id < 16),
+rd1 AS (
+  SELECT p.vec_id, c.sub, c.cid, SUM((p.rx - c.c) * (p.rx - c.c)) AS dist
+  FROM rpos p JOIN rc0 c ON p.pos = c.pos
+  GROUP BY 1, 2, 3
+),
+ra1 AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT vec_id, sub, cid,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+    FROM rd1) WHERE rn = 1
+),
+rc1 AS (
+  SELECT ra1.sub, ra1.cid, p.pos,
+         CAST(floor(CAST(SUM(p.rx) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS c
+  FROM rpos p JOIN ra1 ON p.vec_id = ra1.vec_id AND p.sub = ra1.sub
+  GROUP BY 1, 2, 3
+),
+rd2 AS (
+  SELECT p.vec_id, c.sub, c.cid, SUM((p.rx - c.c) * (p.rx - c.c)) AS dist
+  FROM rpos p JOIN rc1 c ON p.pos = c.pos
+  GROUP BY 1, 2, 3
+),
+ra2 AS (
+  SELECT vec_id, sub, cid AS code FROM (
+    SELECT vec_id, sub, cid,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+    FROM rd2) WHERE rn = 1
+),
+qd AS (
+  SELECT c.cid, SUM((q.x - c.c) * (q.x - c.c)) AS qdist
+  FROM pos q JOIN c1 c ON q.pos = c.pos
+  WHERE q.vec_id = 0
+  GROUP BY 1
+),
+probe AS (SELECT cid AS cell FROM qd ORDER BY qdist, cid LIMIT 2),
+qr AS (
+  SELECT c.cid AS cell, q.pos,
+         CAST((q.pos - 1) // 16 AS INTEGER) AS sub,
+         q.x - c.c AS rx
+  FROM pos q
+  JOIN c1 c ON c.pos = q.pos
+  JOIN probe pr ON pr.cell = c.cid
+  WHERE q.vec_id = 0
+),
+lut AS (
+  SELECT qr.cell, b.sub, b.cid AS code,
+         SUM((qr.rx - b.c) * (qr.rx - b.c)) AS d2
+  FROM qr JOIN rc1 b ON b.sub = qr.sub AND b.pos = qr.pos
+  GROUP BY 1, 2, 3
+)
+SELECT a.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc
+FROM ca2 a
+JOIN probe pr ON pr.cell = a.cell
+JOIN ra2 e ON e.vec_id = a.vec_id
+JOIN lut l ON l.cell = a.cell AND l.sub = e.sub AND l.code = e.code
+WHERE a.vec_id <> 0
+GROUP BY a.vec_id
+ORDER BY adc, a.vec_id
+LIMIT 10
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -817,6 +914,7 @@ def specs():
         ),
         QuerySpec("pq_codes", q_pq_codes, SQL_PQ_CODES),
         QuerySpec("ann_pq_adc_topk", q_ann_pq_adc_topk, SQL_ANN_PQ_ADC_TOPK),
+        QuerySpec("ann_ivfpq_topk", q_ann_ivfpq_topk, SQL_ANN_IVFPQ_TOPK),
         QuerySpec("kmeans_clusters", q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
         QuerySpec(
             "semdedup_keep_best", q_semdedup_keep_best, SQL_SEMDEDUP_KEEP_BEST

@@ -79,6 +79,7 @@ _STAMP_FIRST: list[str] = [
     "oov_rate_vocab",
     "pq_codes",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
     # -- code changed in r06 → re-stamp (quantized fold; connected
     # components edge/label checkpointing, which dedup_keep_best and the
     # SemDeDup composition execute; per-iteration centroid checkpoint in
@@ -107,7 +108,6 @@ _STAMP_FIRST: list[str] = [
     "knn_cosine_topk",
     "lang_id_heuristic",
     "multimodal_frame_sample",
-    "multimodal_meta",
 ]
 
 

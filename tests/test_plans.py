@@ -486,3 +486,45 @@ def test_pq_adc_rank_quality_and_plan(spark, sf_dir):
     median_rank = (ranks[4] + ranks[5]) / 2
     assert median_rank <= 60, ranks
     assert sum(1 for r in ranks if r <= 100) >= 6, ranks
+
+
+def test_ivfpq_rank_quality_and_plan(spark, sf_dir):
+    """Residual IVF-PQ: same approximation-quality bar as plain PQ
+    (median true-L2 rank of the picks ≤ 60 of ~500, ≥6 of 10 in the
+    true top-100 — the residual coding should do no worse than
+    no-coarse-quantizer PQ), and the index-shape invariants: probe set,
+    codebooks and LUT broadcast; no cartesian/nested-loop join."""
+    from pyspark.sql import functions as F
+
+    from lab04_spark_streaming_spark.operators.similarity import (
+        _quantized_pos,
+        ann_ivfpq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = ann_ivfpq_topk(emb, query_id=0, k=10)
+    plan = plan_of(topk)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    pos = _quantized_pos(emb, "vec_id", "embedding")
+    q = pos.filter(F.col("vec_id") == 0).select("pos", F.col("x").alias("qx"))
+    d = (
+        pos.join(F.broadcast(q), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
+            ).alias("d2")
+        )
+        .filter(F.col("vec_id") != 0)
+    )
+    true_d2 = {r.vec_id: r.d2 for r in d.collect()}
+    ranked = sorted(true_d2, key=lambda v: (true_d2[v], v))
+    picks = [r.vec_id for r in topk.collect()]
+    ranks = sorted(ranked.index(v) + 1 for v in picks)
+    assert len(ranks) == 10
+    median_rank = (ranks[4] + ranks[5]) / 2
+    assert median_rank <= 60, ranks
+    assert sum(1 for r in ranks if r <= 100) >= 6, ranks
