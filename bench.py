@@ -39,6 +39,8 @@ HEADLINE = [
     # pairs -> connected components -> keep-best representative).
     "kmeans_clusters",
     "semdedup_keep_best",
+    # r6: residual IVF-PQ — the two-level trained ANN index end to end.
+    "ann_ivfpq_topk",
 ]
 
 

@@ -184,3 +184,61 @@ def test_random_events_timeseries_cross_engine_parity(
             compare_query(spark, con, fn, sql, d)
     finally:
         con.close()
+
+
+# --- random embeddings through the ANN / k-means oracles --------------------
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    # milli-precision components in [-1, 1]; duplicates and near-ties
+    # are admissible (the tie-break rules are the point). Component 0 is
+    # pinned non-zero so no vector has norm 0 (0/0 cosine ordering is
+    # engine-dependent and a zero vector is degenerate input anyway).
+    comps=st.lists(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=31,
+            max_size=31,
+        ),
+        min_size=18,
+        max_size=30,
+    ),
+)
+def test_random_embeddings_ann_cross_engine_parity(
+    spark, tmp_path_factory, comps
+):
+    from lab04_spark_streaming_spark.registry import all_specs
+
+    d = str(tmp_path_factory.mktemp("propemb"))
+    rows = [
+        (i, [0.25] + [c / 1000.0 for c in cs], i % 3)
+        for i, cs in enumerate(comps)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    by_name = {s.name: s for s in all_specs()}
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+        )
+        for name in [
+            "kmeans_clusters",
+            "pq_codes",
+            "ann_pq_adc_topk",
+            "ann_ivfpq_topk",
+            "knn_fold_topk_ids",
+            "knn_cosine_topk",
+            "ann_ivf_trained_topk",
+        ]:
+            s = by_name[name]
+            compare_query(spark, con, s.fn, s.sql, d)
+    finally:
+        con.close()
