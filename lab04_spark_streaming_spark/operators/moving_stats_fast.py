@@ -98,7 +98,12 @@ def cumulative_moments(
             F.sum("_s").over(w).alias("_cs"),
             F.sum("_sq").over(w).alias("_csq"),
         )
-    b = buckets.withColumn("_chunk", F.floor(F.col("_slot") / chunk_slots))
+    # Two consumers below (partial cumsum + per-chunk totals); the
+    # bucket relation is occupied-slot-sized, so a lazy lineage cut is
+    # cheap at any scale and halves the upstream scan/agg replay.
+    b = buckets.withColumn(
+        "_chunk", F.floor(F.col("_slot") / chunk_slots)
+    ).localCheckpoint(eager=False)
     win = (
         Window.partitionBy(*key_cols, "_chunk")
         .orderBy("_slot")
@@ -210,8 +215,12 @@ def asof_cum_lookup(
             .drop("_isb")
         )
 
-    u = b_side.unionByName(p_side).withColumn(
-        "_chunk", F.floor(F.col("_slot") / chunk_slots)
+    # Consumed by the fill window AND the chunk-domain distinct;
+    # slot/probe-bounded rows — cut lineage once.
+    u = (
+        b_side.unionByName(p_side)
+        .withColumn("_chunk", F.floor(F.col("_slot") / chunk_slots))
+        .localCheckpoint(eager=False)
     )
     w = (
         Window.partitionBy(*key_cols, "_chunk")
@@ -398,7 +407,15 @@ def zscore_asof_fast(
     the naive operator (tests/test_fast_path.py) and to the DuckDB
     oracle."""
     buckets = bucket_moments(ticks, ts_col, key_cols, value_col, slide_s)
-    cums = cumulative_moments(buckets, key_cols, chunk_slots=chunk_slots)
+    # cums feeds the fill union AND the per-chunk carry summary (and the
+    # whole subtree is consumed twice again via the hi/lo split below) —
+    # without lineage cuts the plan replayed the parquet scan 34 times
+    # at sf0.1 (0 ReusedExchange: exchange reuse does not fire across
+    # these differently-shaped subtrees). Occupied-slot-sized → cheap to
+    # materialize at any scale.
+    cums = cumulative_moments(
+        buckets, key_cols, chunk_slots=chunk_slots
+    ).localCheckpoint(eager=False)
     cum_cols = ("_cn", "_cs", "_csq")
 
     offs = sorted(
@@ -432,7 +449,11 @@ def zscore_asof_fast(
         .withColumn("_off", F.explode(F.array(*[F.lit(o) for o in offs])))
         .withColumn("_slot", (F.col("_end0") - F.col("_off")).cast("long"))
     )
-    resolved = asof_cum_lookup(cums, probes, key_cols, chunk_slots=chunk_slots)
+    # hi and lo both consume the resolved probes — cut lineage so the
+    # fill pass runs once (probes × offsets rows, slot-bounded).
+    resolved = asof_cum_lookup(
+        cums, probes, key_cols, chunk_slots=chunk_slots
+    ).localCheckpoint(eager=False)
 
     # Assemble window stats RELATIONALLY instead of via a wide pivoted
     # when-tree: the earlier pivot variants (42 max-when aggregates, or

@@ -90,6 +90,9 @@ _STAMP_FIRST: list[str] = [
     "dedup_keep_best",
     "kmeans_clusters",
     "ann_ivf_trained_topk",
+    # (lineage cuts in operators/moving_stats_fast.py, r6)
+    "moving_stats_long_windows",
+    "zscore_asof_join",
     # -- r04-stamped cohort: 22 of 38 rotate in now, the rest next round
     # (nothing's driver stamp may age past two rounds) --
     "ann_srp_buckets",
@@ -103,11 +106,9 @@ _STAMP_FIRST: list[str] = [
     "dedup_simhash_pairs",
     "doc_chunking",
     "doc_fingerprint",
-    "domain_quota_sample",
     "embedding_normalize",
     "knn_cosine_topk",
     "lang_id_heuristic",
-    "multimodal_frame_sample",
 ]
 
 
