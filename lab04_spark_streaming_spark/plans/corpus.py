@@ -1,0 +1,272 @@
+"""Corpus-curation extras (round-6 second wave): incremental snapshot
+dedup, character-entropy quality scoring, word co-occurrence mining,
+and Gopher-style word-repetition signals — operations a training-data
+pipeline runs between the dedup families (operators/dedup.py) and the
+quality filters (plans/llm.py), each a declarative Spark plan with a
+DuckDB oracle twin.
+
+Cross-engine determinism (registry.py rules):
+  * fractions of exact integers are single double divisions —
+    bit-identical, no rounding;
+  * the one log-bearing query (char entropy) rounds to 4 decimals:
+    log2 may differ by ~1 ulp between libm and java.lang.Math, far
+    below the rounding grain;
+  * top-k orders carry explicit lexicographic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lab04_spark_streaming_spark.operators.textops import (
+    expr_tokens,
+    sql_tokens,
+)
+from lab04_spark_streaming_spark.sources.files import load_table
+
+_SPARK_TOKS = expr_tokens("text")
+_TOKS = sql_tokens("text")
+
+# Same normalization as dedup_exact_normalized (plans/llm.py): the
+# digest that identifies a document across whitespace/case re-encodes.
+_SPARK_NORM_H = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')))"
+_SQL_NORM_H = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- incremental snapshot dedup --------------------------------------------
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup — the shape of every recurring
+    crawl ingest: an 'incoming' batch is admitted only where its
+    normalized digest is absent from the already-curated 'base'
+    corpus (here split deterministically by doc_id parity so the
+    oracle sees the same halves). A digest-keyed LEFT ANTI join: only
+    32-char digests shuffle, never text, and at 100 TB the base side
+    is a pre-bucketed digest index so the probe is a co-located join.
+    Kept rows are deduplicated within the incoming batch too (min
+    doc_id wins), exactly like a real admission pass."""
+    docs = _docs(spark, sf_dir)
+    base = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.expr(_SPARK_NORM_H).alias("digest"))
+        .distinct()
+    )
+    incoming = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.expr(_SPARK_NORM_H).alias("digest")
+    )
+    return (
+        incoming.join(base, "digest", "left_anti")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "digest")
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH base AS (
+  SELECT DISTINCT {_SQL_NORM_H} AS digest
+  FROM documents WHERE doc_id % 2 = 0
+),
+incoming AS (
+  SELECT doc_id, {_SQL_NORM_H} AS digest
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT MIN(doc_id) AS doc_id, digest
+FROM incoming
+WHERE digest NOT IN (SELECT digest FROM base)
+GROUP BY digest
+"""
+
+
+# --- character entropy -----------------------------------------------------
+_ALPHABET = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [
+    chr(c) for c in range(ord("0"), ord("9") + 1)
+] + [" "]
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-document character distribution — a
+    cheap gibberish/boilerplate signal (near-zero entropy = repeated
+    filler, max ≈ log2(37) = uniform noise). Counted JVM-side by
+    length-difference over a literal alphabet (no explode: the plan
+    stays one narrow projection, zero shuffle, O(|alphabet|·len) per
+    row). Entropy sums ≤37 log2 terms of identical doubles → rounded
+    to 4 decimals with the floor-based stable_round formula (F.round's
+    HALF_UP diverges from DuckDB's binary round on exact halves); the
+    ``+ 0.0`` collapses IEEE -0.0 to +0.0 for the
+    single-repeated-character edge."""
+    chars = ", ".join(f"'{c}'" for c in _ALPHABET)
+    cnts = (
+        f"transform(array({chars}), "
+        f"c -> length(text) - length(replace(text, c, '')))"
+    )
+    raw = (
+        f"-aggregate(filter({cnts}, c -> c > 0), CAST(0.0 AS DOUBLE), "
+        f"(acc, c) -> acc + (c / CAST(length(text) AS DOUBLE)) "
+        f"* log2(c / CAST(length(text) AS DOUBLE))) + 0.0"
+    )
+    ent = (
+        f"CASE WHEN length(text) = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+        f"floor(({raw}) * 10000.0 + 0.5) / 10000.0 END"
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.expr(ent).alias("char_entropy"),
+    )
+
+
+def _sql_char_entropy() -> str:
+    chars = ", ".join(f"'{c}'" for c in _ALPHABET)
+    cnts = (
+        f"list_transform([{chars}], "
+        f"c -> length(text) - length(replace(text, c, '')))"
+    )
+    return f"""
+WITH c AS (SELECT doc_id, text, {cnts} AS cnts FROM documents)
+SELECT doc_id, length(text) AS n_chars_actual,
+       CASE WHEN length(text) = 0 THEN NULL ELSE
+         floor((-COALESCE(list_sum(list_transform(list_filter(cnts, x -> x > 0),
+               x -> (x / CAST(length(text) AS DOUBLE))
+                    * log2(x / CAST(length(text) AS DOUBLE)))), 0.0) + 0.0)
+               * 10000.0 + 0.5) / 10000.0
+       END AS char_entropy
+FROM c
+"""
+
+
+# --- word co-occurrence ----------------------------------------------------
+_COOC_TOPK = 20
+
+
+def q_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word pairs by document co-occurrence — the association
+    backbone under PMI/collocation mining. Distinct words per doc
+    self-join on doc_id with w1 < w2 (an inverted-index pair walk:
+    output is bounded by Σ d_i², and the aggregated pair space is
+    vocab², independent of corpus size — so the final rank runs over a
+    relation that stays tiny at 100 TB). Deterministic rank order
+    (n_docs DESC, w1, w2)."""
+    t = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"array_distinct({_SPARK_TOKS})")).alias("w"),
+        )
+    )
+    pairs = (
+        t.alias("a")
+        .join(t.alias("b"), "doc_id")
+        .filter(F.col("a.w") < F.col("b.w"))
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("n_docs").desc(), "w1", "w2")
+    )
+    return (
+        pairs.withColumn("rank", rk.cast("int"))
+        .filter(F.col("rank") <= _COOC_TOPK)
+        .select("w1", "w2", "n_docs", "rank")
+    )
+
+
+SQL_WORD_COOCCURRENCE = f"""
+WITH t AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+),
+p AS (
+  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_docs
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+)
+SELECT w1, w2, n_docs, rank FROM (
+  SELECT w1, w2, n_docs,
+         CAST(row_number() OVER (ORDER BY n_docs DESC, w1, w2) AS INTEGER)
+           AS rank
+  FROM p
+) WHERE rank <= {_COOC_TOPK}
+"""
+
+
+# --- word-repetition signals -----------------------------------------------
+def q_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style word-level repetition signals (public: Rae et al.
+    2021 §A1.1 filter on the fraction of duplicated words/chars; the
+    2/3-gram variants live in ngram_repetition): per document, the
+    duplicate-word fraction, the top word's token share, and the top
+    word's character share. One explode → (doc, word) count → per-doc
+    aggregate; both groupBys hash on the doc key so the second reuses
+    the first's partitioning. Top word ties break lexicographically
+    via min_by on a (count DESC, word ASC) struct. All outputs are
+    single divisions of exact integers — bit-identical, no rounding."""
+    wc = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("cnt").alias("_maxcnt"),
+        F.expr("min_by(w, struct(-cnt, w))").alias("top_word"),
+        F.sum(F.col("cnt") * F.length("w")).alias("_word_chars"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_words",
+        (
+            (F.col("n_tokens") - F.col("n_distinct_words"))
+            / F.col("n_tokens")
+        ).alias("dup_word_frac"),
+        "top_word",
+        (F.col("_maxcnt") / F.col("n_tokens")).alias("top_word_frac"),
+        (
+            (F.col("_maxcnt") * F.length("top_word")) / F.col("_word_chars")
+        ).alias("top_word_char_frac"),
+    )
+
+
+SQL_WORD_REPETITION = f"""
+WITH wc AS (
+  SELECT doc_id, w, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, w, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, w) AS rn
+  FROM wc
+),
+agg AS (
+  SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct_words,
+         MAX(cnt) AS maxcnt, SUM(cnt * length(w)) AS word_chars
+  FROM wc GROUP BY 1
+)
+SELECT a.doc_id, a.n_tokens, a.n_distinct_words,
+       (a.n_tokens - a.n_distinct_words) / CAST(a.n_tokens AS DOUBLE)
+         AS dup_word_frac,
+       r.w AS top_word,
+       a.maxcnt / CAST(a.n_tokens AS DOUBLE) AS top_word_frac,
+       (a.maxcnt * length(r.w)) / CAST(a.word_chars AS DOUBLE)
+         AS top_word_char_frac
+FROM agg a JOIN ranked r ON a.doc_id = r.doc_id AND r.rn = 1
+"""
+
+
+def specs():
+    from lab04_spark_streaming_spark.registry import QuerySpec
+
+    return [
+        QuerySpec("dedup_incremental", q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+        QuerySpec("char_entropy", q_char_entropy, _sql_char_entropy()),
+        QuerySpec("word_cooccurrence", q_word_cooccurrence, SQL_WORD_COOCCURRENCE),
+        QuerySpec("word_repetition", q_word_repetition, SQL_WORD_REPETITION),
+    ]

@@ -497,6 +497,190 @@ GROUP BY d.event_type, m.med, m.mad, m.n
 """
 
 
+# --- retention cohorts -----------------------------------------------------
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users are grouped by the day of their
+    first event; for every later active day the cohort's surviving
+    user count is reported at that day offset. Two aggregations on the
+    user key (first-day + distinct active days) share one shuffle
+    partitioning; the final count-distinct groups by (cohort, offset)
+    whose cardinality is days² — tiny at any data scale, so the last
+    exchange never skews. All outputs are exact integers/timestamps."""
+    ev = _events(spark, sf_dir)
+    d0 = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("_day")
+    ).distinct()
+    return (
+        days.join(d0, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("_day"), F.col("cohort_day"))
+            .cast("int")
+            .alias("offset_days"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH d0 AS (
+  -- CAST: DuckDB's date_trunc('day', ·) yields DATE; Spark's yields
+  -- TIMESTAMP — align the output type.
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
+  FROM events GROUP BY 1
+),
+days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+  FROM events
+)
+SELECT d0.cohort_day,
+       CAST(date_diff('day', d0.cohort_day, days.d) AS INTEGER) AS offset_days,
+       COUNT(DISTINCT days.user_id) AS n_active
+FROM days JOIN d0 ON days.user_id = d0.user_id
+GROUP BY 1, 2
+"""
+
+
+# --- OHLC bars -------------------------------------------------------------
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per user — the downsampling primitive every
+    metrics/market pipeline needs: open/close via ``min_by``/``max_by``
+    on the total (ts, event_id) order (no window expansion, one hash
+    aggregate with map-side partials), high/low/count alongside, and
+    the hour's value sum in exact decimal so the double is
+    bit-identical cross-engine. One shuffle on (user, hour)."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    return base.groupBy("user_id", "h").agg(
+        F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(10,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+SQL_OHLC_BARS = """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT user_id, h,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+FROM b GROUP BY user_id, h
+"""
+
+
+# --- lag-1 autocorrelation -------------------------------------------------
+def q_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation of the value series (the
+    is-this-signal-sticky diagnostic): one window shuffle on the user
+    key to form (x_t, x_{t-1}) pairs, then Pearson corr per user on
+    the same partitioning — no second exchange. corr's co-moment
+    accumulation is summation-order dependent (~1e-12 relative), so
+    the output is rounded to 4 decimals in both engines via the
+    floor-based stable_round (F.round's decimal HALF_UP vs DuckDB's
+    binary round diverge on exact halves — verify-skill gotcha)."""
+    from lab04_spark_streaming_spark.functions.guards import stable_round
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagv = F.lag("value", 1).over(w)
+    pairs = ev.select("user_id", "value", lagv.alias("_prev"))
+    return pairs.groupBy("user_id").agg(
+        F.count("_prev").alias("n_pairs"),
+        stable_round(F.corr("value", "_prev"), 4).alias("autocorr_lag1"),
+    )
+
+
+SQL_AUTOCORR_LAG1 = """
+WITH p AS (
+  SELECT user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id, COUNT(prev) AS n_pairs,
+       floor(corr(value, prev) * 10000.0 + 0.5) / 10000.0 AS autocorr_lag1
+FROM p GROUP BY user_id
+"""
+
+
+# --- cross-series correlation ----------------------------------------------
+def q_event_type_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation matrix between event-type series: each type's hourly
+    mean (exact decimal sum / count, so the per-hour doubles are
+    bit-identical cross-engine) is self-joined on the hour with
+    type_a < type_b, then Pearson corr per pair. The per-type hourly
+    relation is |types|×|hours| — tiny relative to the input at any
+    scale — so the self-join is a broadcast-sized equi join; the heavy
+    input is touched exactly once. corr stable_round-ed to 4
+    decimals."""
+    from lab04_spark_streaming_spark.functions.guards import stable_round
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(10,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_v")
+    )
+    a = hourly.select(
+        F.col("event_type").alias("type_a"), "h", F.col("avg_v").alias("_va")
+    )
+    b = hourly.select(
+        F.col("event_type").alias("type_b"), "h", F.col("avg_v").alias("_vb")
+    )
+    return (
+        a.join(b, "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            stable_round(F.corr("_va", "_vb"), 4).alias("corr_hourly"),
+        )
+    )
+
+
+SQL_EVENT_TYPE_CORR = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) / COUNT(*) AS avg_v
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_hours,
+       floor(corr(a.avg_v, b.avg_v) * 10000.0 + 0.5) / 10000.0 AS corr_hourly
+FROM hourly a JOIN hourly b
+  ON a.h = b.h AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -508,4 +692,8 @@ def specs():
         QuerySpec("gap_fill_locf", q_gap_fill_locf, SQL_GAP_FILL_LOCF),
         QuerySpec("gap_fill_interp", q_gap_fill_interp, SQL_GAP_FILL_INTERP),
         QuerySpec("mad_outliers", q_mad_outliers, SQL_MAD_OUTLIERS),
+        QuerySpec("retention_cohorts", q_retention_cohorts, SQL_RETENTION_COHORTS),
+        QuerySpec("ohlc_bars", q_ohlc_bars, SQL_OHLC_BARS),
+        QuerySpec("autocorr_lag1", q_autocorr_lag1, SQL_AUTOCORR_LAG1),
+        QuerySpec("event_type_corr", q_event_type_corr, SQL_EVENT_TYPE_CORR),
     ]

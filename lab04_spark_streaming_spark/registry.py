@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lab04_spark_streaming_spark.plans import (
     analytics,
+    corpus,
     llm,
     pipeline_extras,
     reference_parity,
@@ -93,22 +94,24 @@ _STAMP_FIRST: list[str] = [
     # (lineage cuts in operators/moving_stats_fast.py, r6)
     "moving_stats_long_windows",
     "zscore_asof_join",
-    # -- r04-stamped cohort: 22 of 38 rotate in now, the rest next round
-    # (nothing's driver stamp may age past two rounds) --
+    # -- new in round 6, second wave (brand-new code outranks freshness
+    # rotation: never-stamped queries take window slots ahead of
+    # r4-stamped ones, which rotate in r7) --
+    "retention_cohorts",
+    "ohlc_bars",
+    "autocorr_lag1",
+    "event_type_corr",
+    "dedup_incremental",
+    "char_entropy",
+    "word_cooccurrence",
+    "word_repetition",
+    # -- r04-stamped cohort: 6 rotate in now, the rest next round --
     "ann_srp_buckets",
     "decontamination_pairs",
     "dedup_embedding_pairs",
     "dedup_exact",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh_pairs",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "doc_chunking",
-    "doc_fingerprint",
-    "embedding_normalize",
-    "knn_cosine_topk",
-    "lang_id_heuristic",
 ]
 
 
@@ -120,6 +123,7 @@ def all_specs() -> list[QuerySpec]:
     specs += llm.specs()
     specs += pipeline_extras.specs()
     specs += timeseries.specs()
+    specs += corpus.specs()
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
     by_name = {s.name: s for s in specs}

@@ -528,3 +528,66 @@ def test_ivfpq_rank_quality_and_plan(spark, sf_dir):
     median_rank = (ranks[4] + ranks[5]) / 2
     assert median_rank <= 60, ranks
     assert sum(1 for r in ranks if r <= 100) >= 6, ranks
+
+
+def test_r6_wave2_events_plan_hygiene(spark, sf_dir):
+    """Round-6 second wave (events): no cartesian/BNLJ anywhere; the
+    OHLC bars are ONE hash aggregate with partial_min_by map-side
+    combine (no window expansion); retention's count-distinct groups
+    only days² rows; the cross-series corr self-join is an equi join
+    on the hour."""
+    from lab04_spark_streaming_spark.plans import timeseries as tsp
+
+    for fn in (
+        tsp.q_retention_cohorts,
+        tsp.q_ohlc_bars,
+        tsp.q_autocorr_lag1,
+        tsp.q_event_type_corr,
+    ):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+    ohlc = plan_of(tsp.q_ohlc_bars(spark, sf_dir))
+    assert "min_by" in ohlc and "Window" not in ohlc
+    # props (a wide map column) must never leave the events scan
+    for fn in (tsp.q_ohlc_bars, tsp.q_retention_cohorts, tsp.q_autocorr_lag1):
+        read = [
+            l
+            for l in plan_of(fn(spark, sf_dir)).splitlines()
+            if "ReadSchema" in l
+        ]
+        assert read and all("props" not in l for l in read), fn.__name__
+
+
+def test_r6_wave2_corpus_plan_hygiene(spark, sf_dir):
+    """Round-6 second wave (documents): char entropy is a zero-shuffle
+    per-row projection reading only (doc_id, text); the incremental
+    dedup's anti join shuffles 32-char digests, never text; the word
+    co-occurrence self-join is an equi join on doc_id."""
+    from lab04_spark_streaming_spark.plans import corpus as cp
+
+    ent = plan_of(cp.q_char_entropy(spark, sf_dir))
+    assert "Exchange" not in ent
+    read = [l for l in ent.splitlines() if "ReadSchema" in l]
+    assert read and all(
+        "lang" not in l and "source" not in l for l in read
+    ), read
+
+    inc = plan_of(cp.q_dedup_incremental(spark, sf_dir))
+    assert "LeftAnti" in inc
+    # At test scale the base digest set broadcasts; at 100 TB it would
+    # shuffle — either way no exchange (shuffle or broadcast) may carry
+    # the text column, only digests/ids.
+    exchanges = [
+        l
+        for l in inc.splitlines()
+        if "Exchange hashpartitioning" in l or "BroadcastExchange" in l
+    ]
+    assert exchanges and all("text" not in l for l in exchanges), exchanges
+
+    cooc = plan_of(cp.q_word_cooccurrence(spark, sf_dir))
+    assert "CartesianProduct" not in cooc
+    assert "BroadcastNestedLoopJoin" not in cooc
+
+    rep = plan_of(cp.q_word_repetition(spark, sf_dir))
+    assert "CartesianProduct" not in rep
