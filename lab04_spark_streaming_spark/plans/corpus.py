@@ -261,6 +261,123 @@ FROM agg a JOIN ranked r ON a.doc_id = r.doc_id AND r.rn = 1
 """
 
 
+# --- BM25 ranking ----------------------------------------------------------
+_BM25_TERMS = ["spark", "join", "merge"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed keyword query (public:
+    Robertson & Zaragoza 2009) — the retrieval primitive behind
+    dataset search and quality-weighted sampling. Stages: per-doc term
+    frequencies for the query terms only (explode filtered BEFORE the
+    shuffle, so the grouped relation is |matching docs|·|terms|, not
+    the token stream), per-doc length from a per-row size(), corpus
+    N/avgdl as a broadcast 1-row relation, df per term as a broadcast
+    ≤|terms|-row relation. The idf ln() is the one libm call —
+    summed over ≤3 terms then stable_round-ed to 4 decimals; ranking
+    happens on the ROUNDED score (ties → doc_id) so a sub-grain float
+    wobble can never flip the rank; the global top-20 is an
+    orderBy+limit → TakeOrderedAndProject, no single-partition window
+    over data."""
+    k1, b = _BM25_K1, _BM25_B
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SPARK_TOKS).alias("_toks")
+    )
+    dl = docs.select(
+        "doc_id", F.expr("cast(size(_toks) as bigint)").alias("dl")
+    )
+    corpus_stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"filter(_toks, t -> array_contains(array({terms}), t))")
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus_stats))
+        .join(F.broadcast(df), "term")
+        .withColumn(
+            "_idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.floor(F.sum("_s") * 10000.0 + 0.5).cast("bigint").alias("_bq")
+        )
+        .select("doc_id", (F.col("_bq") / 10000.0).alias("bm25"))
+    )
+    top = scored.orderBy(F.desc("bm25"), "doc_id").limit(20)
+    rk = F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id"))
+    return top.withColumn("rank", rk.cast("int"))
+
+
+def _sql_bm25() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+corpus AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(list_filter(t,
+          x -> list_contains([{terms}], x))) AS term
+        FROM toks)
+  GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         floor(SUM(
+           ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({k1} + 1))
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / c.avgdl))
+         ) * 10000.0 + 0.5) / 10000.0 AS bm25
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus c
+  JOIN df ON tf.term = df.term
+  GROUP BY 1
+)
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, bm25,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+           AS rank
+  FROM scored
+) WHERE rank <= 20
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -269,4 +386,5 @@ def specs():
         QuerySpec("char_entropy", q_char_entropy, _sql_char_entropy()),
         QuerySpec("word_cooccurrence", q_word_cooccurrence, SQL_WORD_COOCCURRENCE),
         QuerySpec("word_repetition", q_word_repetition, SQL_WORD_REPETITION),
+        QuerySpec("bm25_topk", q_bm25_topk, _sql_bm25()),
     ]

@@ -285,6 +285,81 @@ FROM n, generate_series(1, 8) g(i)
 """
 
 
+# --- int8 scalar quantization ----------------------------------------------
+def q_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the 4× memory
+    compression every production vector store applies before ANN:
+    code_i = round(x_i·127/amax), plus the exact squared
+    reconstruction error. Runs entirely on the 1e-7 quantized integer
+    base (shared with embedding_normalize/SRP), so EVERY output is
+    exact integer arithmetic: q_i·127 ≤ 1.27e9 is exactly
+    double-representable, the one division q_i·127/amax is a single
+    identical IEEE op per cell, and the error Σ(q_i·127 − c_i·amax)²
+    stays < 2^53 for 64-dim unit-scale vectors. Zero shuffle, pure
+    per-row projection; first 8 codes exploded (array cells can't be
+    driver-hashed)."""
+    qv = _expr_quantize("embedding")
+    amax = "aggregate(_qv, cast(0 as bigint), (acc, x) -> greatest(acc, abs(x)))"
+    codes = (
+        "transform(_qv, x -> CASE WHEN _amax = 0 THEN 0 ELSE "
+        "cast(floor(cast(x * 127 as double) / cast(_amax as double) + 0.5) "
+        "as int) END)"
+    )
+    err2 = (
+        "aggregate(zip_with(_qv, _codes, (q, c) -> "
+        "(q * 127 - cast(c as bigint) * _amax) "
+        "* (q * 127 - cast(c as bigint) * _amax)), "
+        "cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    return (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.expr(qv).alias("_qv"))
+        .withColumn("_amax", F.expr(amax))
+        .withColumn("_codes", F.expr(codes))
+        .select(
+            "vec_id",
+            F.col("_amax").alias("amax_q"),
+            F.expr(err2).alias("err2_q"),
+            F.posexplode(F.expr("slice(_codes, 1, 8)")).alias("i", "code"),
+        )
+    )
+
+
+SQL_EMBEDDING_INT8 = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 10000000.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+a AS (
+  SELECT vec_id, qv,
+         CAST(COALESCE(list_max(list_transform(qv, x -> abs(x))), 0)
+              AS BIGINT) AS amax
+  FROM q
+),
+c AS (
+  SELECT vec_id, qv, amax,
+         list_transform(qv, x -> CASE WHEN amax = 0 THEN 0 ELSE
+           CAST(floor(CAST(x * 127 AS DOUBLE) / CAST(amax AS DOUBLE) + 0.5)
+                AS INTEGER) END) AS codes
+  FROM a
+),
+e AS (
+  SELECT vec_id, amax, codes,
+         CAST(COALESCE(list_sum(list_transform(
+           range(1, len(qv) + 1),
+           i -> (qv[i] * 127 - CAST(codes[i] AS BIGINT) * amax)
+                * (qv[i] * 127 - CAST(codes[i] AS BIGINT) * amax))), 0)
+           AS BIGINT) AS err2
+  FROM c
+)
+SELECT vec_id, amax AS amax_q, err2 AS err2_q,
+       CAST(i - 1 AS INTEGER) AS i, codes[i] AS code
+FROM e, generate_series(1, 8) g(i)
+"""
+
+
 # --- dedup cluster representative selection --------------------------------
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End of the dedup pipeline: candidates → verify → connected
@@ -939,4 +1014,5 @@ def specs():
             "embedding_normalize", q_embedding_normalize, SQL_EMBEDDING_NORMALIZE
         ),
         QuerySpec("dedup_keep_best", q_dedup_keep_best, _sql_keep_best()),
+        QuerySpec("embedding_int8", q_embedding_int8, SQL_EMBEDDING_INT8),
     ]

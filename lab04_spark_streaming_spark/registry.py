@@ -105,13 +105,13 @@ _STAMP_FIRST: list[str] = [
     "char_entropy",
     "word_cooccurrence",
     "word_repetition",
-    # -- r04-stamped cohort: 6 rotate in now, the rest next round --
+    "bm25_topk",
+    "embedding_int8",
+    # -- r04-stamped cohort: 4 rotate in now, the rest next round --
     "ann_srp_buckets",
     "decontamination_pairs",
     "dedup_embedding_pairs",
     "dedup_exact",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh_pairs",
 ]
 
 

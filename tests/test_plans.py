@@ -591,3 +591,22 @@ def test_r6_wave2_corpus_plan_hygiene(spark, sf_dir):
 
     rep = plan_of(cp.q_word_repetition(spark, sf_dir))
     assert "CartesianProduct" not in rep
+
+
+def test_bm25_and_int8_plan_hygiene(spark, sf_dir):
+    """BM25: the global top-20 must be a TakeOrderedAndProject (no
+    single-partition sort over the scored relation) and the corpus
+    stats / df sides must broadcast. int8 quantization: zero shuffle,
+    pure per-row projection reading only (vec_id, embedding)."""
+    from lab04_spark_streaming_spark.plans import corpus as cp
+    from lab04_spark_streaming_spark.plans import pipeline_extras as px
+
+    bm = plan_of(cp.q_bm25_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in bm
+    assert "CartesianProduct" not in bm
+    assert bm.count("BroadcastExchange") >= 2  # corpus stats + df
+
+    i8 = plan_of(px.q_embedding_int8(spark, sf_dir))
+    assert "Exchange" not in i8
+    read = [l for l in i8.splitlines() if "ReadSchema" in l]
+    assert read and all("label" not in l for l in read), read
