@@ -276,3 +276,53 @@ def enrich_stream(
     LLM data feed with source/tenant/license metadata before
     dedup/quality filtering."""
     return stream.join(F.broadcast(dim), list(on), how)
+
+
+def ohlc_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming twin of the batch hourly OHLC bars
+    (plans/timeseries.q_ohlc_bars) — and deliberately the DECLARATIVE
+    kind of twin: min_by/max_by/min/max/count/sum are all built-in
+    aggregates Structured Streaming supports incrementally, so unlike
+    the TWAP twin no applyInPandasWithState is needed; the state per
+    (key, hour) is one constant-size aggregation buffer, bounded by
+    keys × pending hours regardless of event rate. Append mode emits a
+    bar only when the watermark passes its hour end, at which point it
+    equals the batch bar on on-time data (asserted in
+    tests/test_streaming.py). The hour's value sum runs in exact
+    decimal, same as batch."""
+    w = F.window(F.col(ts_col), "1 hour")
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), w.alias("_w"))
+        .agg(
+            F.expr(f"min_by({value_col}, struct({ts_col}, {order_col}))").alias(
+                "open"
+            ),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.expr(f"max_by({value_col}, struct({ts_col}, {order_col}))").alias(
+                "close"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(10,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("_w.start").alias("h"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -703,3 +703,65 @@ def test_twap_stream_matches_batch(spark, tmp_path):
         assert expected[k] == v, (k, expected[k], v)
     # the final (unfinalizable) hour of each user stays in state
     assert len(streamed) >= len(expected) - 2
+
+
+def test_ohlc_stream_matches_batch(spark, tmp_path):
+    """Declarative streaming OHLC bars must equal the batch
+    q_ohlc_bars aggregate for every watermark-finalized hour — same
+    min_by/max_by open/close semantics, same exact-decimal sum."""
+    from pyspark.sql.types import DoubleType as _D
+
+    from lab04_spark_streaming_spark.streaming.pipeline import ohlc_stream
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+            StructField("value", _D()),
+        ]
+    )
+    rows = []
+    eid = 0
+    for user in (1, 2):
+        t = T0 + dt.timedelta(minutes=2 * user)
+        for i in range(50):
+            rows.append((user, t, eid, round(9.0 + ((eid * 41) % 90) / 9.0, 2)))
+            eid += 1
+            t += dt.timedelta(seconds=400 + 11 * user)  # spans ~5 hours
+    path = str(tmp_path / "ohlc_src")
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.parquet(path)
+
+    stream = file_stream(spark, path, schema)
+    out = ohlc_stream(stream)
+    memory_sink_once(out, "ohlc_out", "append")
+    streamed = {
+        (r.user_id, r.h): (r.open, r.high, r.low, r.close, r.n_events, r.sum_value)
+        for r in spark.table("ohlc_out").collect()
+    }
+    assert streamed, "streaming OHLC emitted nothing"
+
+    batch = df.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "ts",
+        "event_id",
+        "value",
+    ).groupBy("user_id", "h").agg(
+        F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(10,2)")).cast("double").alias("sum_value"),
+    )
+    expected = {
+        (r.user_id, r.h): (r.open, r.high, r.low, r.close, r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    for k, v in streamed.items():
+        assert k in expected, k
+        assert expected[k] == v, (k, expected[k], v)
+    # only the last (unfinalizable) hour per user may be withheld
+    assert len(streamed) >= len(expected) - 2
