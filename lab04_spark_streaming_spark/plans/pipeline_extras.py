@@ -285,6 +285,47 @@ FROM n, generate_series(1, 8) g(i)
 """
 
 
+# --- ANN recall evaluation --------------------------------------------------
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation as a first-class query — the
+    measure-don't-guess step of any ANN deployment: recall@10 of the
+    trained-codebook IVF search against the exact brute-force top-10.
+    Both sides are already-oracled operators (ann_ivf_trained_topk,
+    knn_cosine_topk); their id sets join on vec_id and the global
+    count is one row. Because every cosine on both engines is derived
+    from the same integer moments, the two engines rank — and
+    therefore intersect — identically, so even this meta-metric is
+    hash-exact. At scale the join is top-k × top-k per query: free."""
+    from lab04_spark_streaming_spark.operators.similarity import (
+        cosine_topk_vs_id_fold,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cent = kmeans_centroids(emb, k=8, updates=1)
+    ivf = ivf_topk(
+        emb, query_id=0, k=10, n_cells=8, n_probe=2, centroids=cent
+    ).select("vec_id")
+    exact = cosine_topk_vs_id_fold(emb, query_id=0, k=10).select("vec_id")
+    return ivf.join(exact, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.count(F.lit(1)) / 10.0).alias("recall_at_k"),
+    )
+
+
+def _sql_ann_recall() -> str:
+    from lab04_spark_streaming_spark.plans.llm import SQL_KNN_COSINE_TOPK
+
+    return f"""
+WITH ivf AS (SELECT vec_id FROM ({SQL_ANN_IVF_TRAINED_TOPK}) t),
+ex AS (SELECT vec_id FROM ({SQL_KNN_COSINE_TOPK}) t)
+SELECT 10 AS k, COUNT(*) AS n_hits, COUNT(*) / 10.0 AS recall_at_k
+FROM ivf JOIN ex USING (vec_id)
+"""
+
+
 # --- int8 scalar quantization ----------------------------------------------
 def q_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 scalar quantization — the 4× memory
@@ -1015,4 +1056,5 @@ def specs():
         ),
         QuerySpec("dedup_keep_best", q_dedup_keep_best, _sql_keep_best()),
         QuerySpec("embedding_int8", q_embedding_int8, SQL_EMBEDDING_INT8),
+        QuerySpec("ann_recall_at_k", q_ann_recall_at_k, _sql_ann_recall()),
     ]

@@ -107,11 +107,11 @@ _STAMP_FIRST: list[str] = [
     "word_repetition",
     "bm25_topk",
     "embedding_int8",
-    # -- r04-stamped cohort: 4 rotate in now, the rest next round --
+    "ann_recall_at_k",
+    # -- r04-stamped cohort: 3 rotate in now, the rest next round --
     "ann_srp_buckets",
     "decontamination_pairs",
     "dedup_embedding_pairs",
-    "dedup_exact",
 ]
 
 
