@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lab04_spark_streaming_spark.operators.textops import (
+    expr_hash_int,
     expr_tokens,
     sql_tokens,
 )
@@ -378,6 +379,103 @@ SELECT doc_id, bm25, rank FROM (
 """
 
 
+# --- count-min-sketch heavy hitters ----------------------------------------
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+_CMS_TOPK = 20
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (public: Cormode & Muthukrishnan
+    2005) with the estimate itself hash-checked: 4 rows × 256 buckets
+    of md5-derived universal hashes (the cross-engine expr_hash_int
+    base), counters built by bucketing the PRE-AGGREGATED word counts
+    (map-side combine: the ×depth stack expands the vocab-sized
+    relation, never the token stream), estimates = min over rows of
+    the hit counters, reported for the exact top-20 words next to
+    their true counts. Every value is exact integer arithmetic on
+    identical md5 hex — the sketch's overestimate is deterministic, so
+    the oracle matches it bit for bit (same pattern as the
+    error-bound sketch oracles in plans/analytics.py)."""
+    w_, d_ = _CMS_WIDTH, _CMS_DEPTH
+    wc = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr(_SPARK_TOKS)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stack_args = ", ".join(
+        f"{j}, {expr_hash_int('w', seed=j)} % {w_}" for j in range(d_)
+    )
+    hashes = wc.select(
+        "w",
+        "cnt",
+        F.expr(f"stack({d_}, {stack_args}) as (j, bucket)"),
+    )
+    counters = hashes.groupBy("j", "bucket").agg(F.sum("cnt").alias("c"))
+    top = (
+        wc.orderBy(F.desc("cnt"), "w")
+        .limit(_CMS_TOPK)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), "w"))
+            .cast("int"),
+        )
+    )
+    est = (
+        top.join(hashes.select("w", "j", "bucket"), "w")
+        .join(counters, ["j", "bucket"])
+        .groupBy("w", "cnt", "rank")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        F.col("w").alias("word"),
+        F.col("cnt").alias("true_cnt"),
+        "cms_est",
+        "rank",
+    )
+
+
+def _sql_cms() -> str:
+    w_, d_, k_ = _CMS_WIDTH, _CMS_DEPTH, _CMS_TOPK
+    # sql_hash_int's twin with the seed spliced per-row from the
+    # generate_series j (the helper only takes literal seeds):
+    # concat(CAST(j AS VARCHAR), '|', w) == the Spark side's
+    # concat('<j>|', w) for each unrolled literal j.
+    h = (
+        "CAST(('0x' || substring(md5(concat(CAST(j AS VARCHAR), '|', w)), "
+        "1, 8)) AS BIGINT)"
+    )
+    return f"""
+WITH wc AS (
+  SELECT w, COUNT(*) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+  GROUP BY 1
+),
+hashes AS (
+  SELECT w, cnt, j, {h} % {w_} AS bucket
+  FROM wc, generate_series(0, {d_ - 1}) g(j)
+),
+counters AS (
+  SELECT j, bucket, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM hashes GROUP BY 1, 2
+),
+top AS (
+  SELECT w, cnt, rank FROM (
+    SELECT w, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, w) AS INTEGER) AS rank
+    FROM wc
+  ) WHERE rank <= {k_}
+)
+SELECT t.w AS word, t.cnt AS true_cnt, MIN(c.c) AS cms_est, t.rank
+FROM top t
+JOIN hashes h ON h.w = t.w
+JOIN counters c ON c.j = h.j AND c.bucket = h.bucket
+GROUP BY 1, 2, 4
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -387,4 +485,5 @@ def specs():
         QuerySpec("word_cooccurrence", q_word_cooccurrence, SQL_WORD_COOCCURRENCE),
         QuerySpec("word_repetition", q_word_repetition, SQL_WORD_REPETITION),
         QuerySpec("bm25_topk", q_bm25_topk, _sql_bm25()),
+        QuerySpec("heavy_hitters_cms", q_heavy_hitters_cms, _sql_cms()),
     ]

@@ -681,6 +681,58 @@ GROUP BY 1, 2
 """
 
 
+# --- rolling active users --------------------------------------------------
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day WAU per activity day — the canonical
+    engagement rollup. Shaped for scale: the raw stream reduces to the
+    distinct (user, day) relation first (one shuffle, days×users
+    bound), each row then fans out to its 7 contributing grid days (a
+    CONSTANT ×7 expansion of the small relation, never of the event
+    stream), and the count-distinct groups by day. Exact integers
+    throughout."""
+    ev = _events(spark, sf_dir)
+    du = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(d, d + interval 6 days, interval 1 day)")
+        ).alias("gday"),
+    )
+    days = du.select("d").distinct()
+    wau = (
+        contrib.join(days, contrib["gday"] == days["d"])
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("wau_7d"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(F.col("d").alias("day"), "dau", "wau_7d")
+    )
+
+
+SQL_ROLLING_ACTIVE_USERS = """
+WITH du AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+  FROM events
+),
+dau AS (SELECT d, COUNT(*) AS dau FROM du GROUP BY 1),
+contrib AS (
+  SELECT user_id,
+         unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS gday
+  FROM du
+),
+days AS (SELECT DISTINCT d FROM du)
+SELECT days.d AS day, dau.dau, COUNT(DISTINCT c.user_id) AS wau_7d
+FROM contrib c
+JOIN days ON c.gday = days.d
+JOIN dau ON dau.d = days.d
+GROUP BY 1, 2
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -696,4 +748,9 @@ def specs():
         QuerySpec("ohlc_bars", q_ohlc_bars, SQL_OHLC_BARS),
         QuerySpec("autocorr_lag1", q_autocorr_lag1, SQL_AUTOCORR_LAG1),
         QuerySpec("event_type_corr", q_event_type_corr, SQL_EVENT_TYPE_CORR),
+        QuerySpec(
+            "rolling_active_users",
+            q_rolling_active_users,
+            SQL_ROLLING_ACTIVE_USERS,
+        ),
     ]

@@ -108,10 +108,10 @@ _STAMP_FIRST: list[str] = [
     "bm25_topk",
     "embedding_int8",
     "ann_recall_at_k",
-    # -- r04-stamped cohort: 3 rotate in now, the rest next round --
+    "rolling_active_users",
+    "heavy_hitters_cms",
+    # -- r04-stamped cohort: 1 rotates in now, the rest next round --
     "ann_srp_buckets",
-    "decontamination_pairs",
-    "dedup_embedding_pairs",
 ]
 
 
