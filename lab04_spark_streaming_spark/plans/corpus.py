@@ -379,6 +379,130 @@ SELECT doc_id, bm25, rank FROM (
 """
 
 
+# --- dedup observability: cluster-size distribution ------------------------
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability for the dedup stage: the distribution of
+    near-dup component sizes (how much mass the dedup pass removes and
+    how it clusters). Composes the already-oracled connected components
+    (llm.q_dedup_clusters) with two tiny counting aggregates — the
+    second groups a relation bounded by the distinct size count. Exact
+    integers."""
+    from lab04_spark_streaming_spark.plans.llm import q_dedup_clusters
+
+    comp = q_dedup_clusters(spark, sf_dir)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+    )
+
+
+def _sql_cluster_sizes() -> str:
+    from lab04_spark_streaming_spark.plans.llm import SQL_DEDUP_CLUSTERS
+
+    return f"""
+WITH comp AS (SELECT * FROM ({SQL_DEDUP_CLUSTERS}) t),
+s AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM s GROUP BY 1
+"""
+
+
+# --- decontamination observability: per-source contamination rate ----------
+def q_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination rate — the report a decontamination
+    pass ships with: the fraction of each source's documents that
+    share ≥3 distinct 5-grams with a document of ANOTHER source.
+    Composes the oracled cross-source pair query; the contaminated-id
+    set is a distinct union of the pair columns, then one broadcastable
+    membership join back to (doc_id, source). Rate is a single exact
+    integer division."""
+    from lab04_spark_streaming_spark.plans.llm import q_decontamination_pairs
+
+    pairs = q_decontamination_pairs(spark, sf_dir)
+    contaminated = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        d.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_hit").alias("n_contaminated"),
+            (F.count("_hit") / F.count(F.lit(1)).cast("double")).alias(
+                "contamination_rate"
+            ),
+        )
+    )
+
+
+def _sql_contamination_rate() -> str:
+    from lab04_spark_streaming_spark.plans.llm import SQL_DECONTAMINATION_PAIRS
+
+    return f"""
+WITH p AS (SELECT * FROM ({SQL_DECONTAMINATION_PAIRS}) t),
+c AS (
+  SELECT id_a AS doc_id FROM p
+  UNION
+  SELECT id_b AS doc_id FROM p
+)
+SELECT d.source, COUNT(*) AS n_docs, COUNT(c.doc_id) AS n_contaminated,
+       COUNT(c.doc_id) / CAST(COUNT(*) AS DOUBLE) AS contamination_rate
+FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+GROUP BY 1
+"""
+
+
+# --- token-budget packing ---------------------------------------------------
+_TOKEN_BUDGET = 5000
+
+
+def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation per source — the sampling step that
+    fills each domain's slice of a pretraining mix: documents are
+    admitted longest-first (deterministic (n_tokens DESC, doc_id)
+    order) until the source's running token total exceeds the budget.
+    One window shuffle on the source key; the cumulative sum is exact
+    integers, so the cut is reproducible under any partitioning."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.expr(f"cast(size({_SPARK_TOKS}) as bigint)").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_tokens"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+    )
+
+
+SQL_TOKEN_BUDGET_PACK = f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT source, doc_id, n_tokens,
+       SUM(n_tokens) OVER (PARTITION BY source
+                           ORDER BY n_tokens DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cum_tokens
+FROM t
+QUALIFY cum_tokens <= {_TOKEN_BUDGET}
+"""
+
+
 # --- count-min-sketch heavy hitters ----------------------------------------
 _CMS_DEPTH = 4
 _CMS_WIDTH = 256
@@ -486,4 +610,13 @@ def specs():
         QuerySpec("word_repetition", q_word_repetition, SQL_WORD_REPETITION),
         QuerySpec("bm25_topk", q_bm25_topk, _sql_bm25()),
         QuerySpec("heavy_hitters_cms", q_heavy_hitters_cms, _sql_cms()),
+        QuerySpec(
+            "dedup_cluster_sizes", q_dedup_cluster_sizes, _sql_cluster_sizes()
+        ),
+        QuerySpec(
+            "contamination_rate", q_contamination_rate, _sql_contamination_rate()
+        ),
+        QuerySpec(
+            "token_budget_pack", q_token_budget_pack, SQL_TOKEN_BUDGET_PACK
+        ),
     ]

@@ -110,8 +110,10 @@ _STAMP_FIRST: list[str] = [
     "ann_recall_at_k",
     "rolling_active_users",
     "heavy_hitters_cms",
-    # -- r04-stamped cohort: 1 rotates in now, the rest next round --
-    "ann_srp_buckets",
+    "contamination_rate",
+    # (window full — dedup_cluster_sizes, token_budget_pack, and the
+    # remaining r4-stamped cohort rotate into the r7 window; all are
+    # covered every round by the local harness regardless.)
 ]
 
 
