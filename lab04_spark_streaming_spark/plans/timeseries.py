@@ -733,6 +733,145 @@ GROUP BY 1, 2
 """
 
 
+# --- winsorization ---------------------------------------------------------
+def q_winsorize_p01_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization — the robust-preprocessing step before
+    any mean-based modeling: per event type, values are clipped to the
+    exact [p01, p99] band and the clip counts + clipped-mean are
+    reported. Two passes like the MAD profile: one grouped exact
+    percentile (the shared lower+(upper-lower)·frac interpolation),
+    broadcast of the tiny per-type bounds, then one aggregate. The
+    clipped mean uses the exact decimal-sum/count contract — clipped
+    values are either raw 2-decimal inputs or the percentile bounds,
+    so a decimal(14,6) per-row cast is exact and the final double is
+    bit-identical cross-engine."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").withColumn(
+        "_cv",
+        F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.first("p01").alias("p01"),
+        F.first("p99").alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") < F.col("p01"), 1).otherwise(0)).alias(
+            "n_clipped_low"
+        ),
+        F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0)).alias(
+            "n_clipped_high"
+        ),
+        (
+            F.sum(F.col("_cv").cast("decimal(14,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("clipped_mean"),
+    )
+
+
+SQL_WINSORIZE_P01_P99 = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS p01,
+         quantile_cont(value, 0.99) AS p99
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, b.p01, b.p99, COUNT(*) AS n,
+       SUM(CASE WHEN e.value < b.p01 THEN 1 ELSE 0 END) AS n_clipped_low,
+       SUM(CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END) AS n_clipped_high,
+       CAST(SUM(CAST(least(greatest(e.value, b.p01), b.p99)
+                     AS DECIMAL(14,6))) AS DOUBLE) / COUNT(*) AS clipped_mean
+FROM events e JOIN b ON e.event_type = b.event_type
+GROUP BY 1, 2, 3
+"""
+
+
+# --- per-user OLS trend ----------------------------------------------------
+def q_user_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of value over time — regr_slope/
+    regr_intercept re-derived from EXACT integer moments so the
+    result is bit-identical cross-engine (the built-in regr_* are
+    summation-order-dependent doubles): x = whole seconds since the
+    user's first event (≤ 2.6e6 for a 30-day span), y = exact cents;
+    Σx, Σy, Σxy, Σx² are integer sums (< 2^63 per user), the n·Σxy −
+    Σx·Σy style cross terms run in decimal(38,0) (exact, scale 0 → the
+    final cast to double is a single correctly-rounded conversion in
+    both engines), and slope/intercept are the same two IEEE divisions
+    everywhere. One shuffle on the user key (min-ts pass + moment pass
+    share it)."""
+    ev = _events(spark, sf_dir)
+    t0 = ev.groupBy("user_id").agg(F.min("ts").alias("_t0"))
+    base = ev.join(t0, "user_id").select(
+        "user_id",
+        # div, not `/`: the µs offset is not a whole second multiple,
+        # and double-divide-then-cast truncates in Spark but rounds in
+        # DuckDB — integer floor division is identical in both.
+        F.expr("(unix_micros(ts) - unix_micros(_t0)) div 1000000")
+        .cast("bigint")
+        .alias("x"),
+        (F.col("value").cast("decimal(10,2)") * 100)
+        .cast("bigint")
+        .alias("y_cents"),
+    )
+    m = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y_cents").alias("sy"),
+        F.sum(F.col("x") * F.col("y_cents")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    num = (dec("n") * dec("sxy") - dec("sx") * dec("sy")).cast("double")
+    den = (dec("n") * dec("sxx") - dec("sx") * dec("sx")).cast("double")
+    slope_cents = num / den  # cents per second
+    return m.select(
+        "user_id",
+        "n",
+        (slope_cents / 100.0).alias("slope_per_s"),
+        (
+            (
+                F.col("sy").cast("double")
+                - slope_cents * F.col("sx").cast("double")
+            )
+            / F.col("n")
+            / 100.0
+        ).alias("intercept"),
+    )
+
+
+SQL_USER_TREND_OLS = """
+WITH t0 AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY 1),
+base AS (
+  SELECT e.user_id,
+         CAST((epoch_us(e.ts) - epoch_us(t0.t0)) // 1000000 AS BIGINT) AS x,
+         CAST(CAST(e.value AS DECIMAL(10,2)) * 100 AS BIGINT) AS y_cents
+  FROM events e JOIN t0 ON e.user_id = t0.user_id
+),
+m AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y_cents) AS BIGINT) AS sy,
+         CAST(SUM(x * y_cents) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM base GROUP BY 1
+)
+SELECT user_id, n,
+       CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy
+            AS DOUBLE)
+       / CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx
+              AS DOUBLE) / 100.0 AS slope_per_s,
+       (CAST(sy AS DOUBLE)
+        - (CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+           / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                  - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+          * CAST(sx AS DOUBLE))
+       / n / 100.0 AS intercept
+FROM m
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -753,4 +892,8 @@ def specs():
             q_rolling_active_users,
             SQL_ROLLING_ACTIVE_USERS,
         ),
+        QuerySpec(
+            "winsorize_p01_p99", q_winsorize_p01_p99, SQL_WINSORIZE_P01_P99
+        ),
+        QuerySpec("user_trend_ols", q_user_trend_ols, SQL_USER_TREND_OLS),
     ]
