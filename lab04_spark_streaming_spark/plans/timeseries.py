@@ -872,6 +872,174 @@ FROM m
 """
 
 
+# --- session association rules --------------------------------------------
+def q_session_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over behavioral sessions:
+    baskets are the 30-min gap sessions (same construction as
+    sessionize_gap30m, hash-proven), items are the distinct event
+    types per session; for every item pair the support counts,
+    directional confidences, and lift are reported. The itemized
+    relation is sessions×items; item/pair/total aggregates are all
+    |types|-bounded (tiny at any scale, broadcast where joined).
+    Confidences are exact integer divisions; lift multiplies exact
+    ints BEFORE its single double division — bit-identical
+    cross-engine, no rounding."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            > 1800,
+            1,
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    sess = gap.withColumn(
+        "session_id",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    items = sess.select("user_id", "session_id", "event_type").distinct()
+    totals = items.select(
+        F.count_distinct("user_id", "session_id").alias("n_sessions")
+    )
+    per_item = items.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a = items.select(
+        "user_id", "session_id", F.col("event_type").alias("item_a")
+    )
+    b = items.select(
+        "user_id", "session_id", F.col("event_type").alias("item_b")
+    )
+    both = (
+        a.join(b, ["user_id", "session_id"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = per_item.select(
+        F.col("event_type").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    nb = per_item.select(
+        F.col("event_type").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        both.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "item_a",
+            "item_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            "n_sessions",
+            (F.col("n_both") / F.col("n_a").cast("double")).alias(
+                "conf_a_to_b"
+            ),
+            (F.col("n_both") / F.col("n_b").cast("double")).alias(
+                "conf_b_to_a"
+            ),
+            (
+                (F.col("n_both") * F.col("n_sessions"))
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_SESSION_ASSOC_RULES = """
+WITH with_gap AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch(ts)::BIGINT
+                   - lag(epoch(ts)::BIGINT) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_type,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM with_gap
+),
+items AS (SELECT DISTINCT user_id, session_id, event_type FROM sess),
+totals AS (
+  SELECT COUNT(*) AS n_sessions
+  FROM (SELECT DISTINCT user_id, session_id FROM items)
+),
+per_item AS (
+  SELECT event_type, COUNT(*) AS n_item FROM items GROUP BY 1
+),
+pair_counts AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b, COUNT(*) AS n_both
+  FROM items a
+  JOIN items b ON a.user_id = b.user_id AND a.session_id = b.session_id
+              AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, na.n_item AS n_a, nb.n_item AS n_b, n_both,
+       t.n_sessions,
+       n_both / CAST(na.n_item AS DOUBLE) AS conf_a_to_b,
+       n_both / CAST(nb.n_item AS DOUBLE) AS conf_b_to_a,
+       (n_both * t.n_sessions) / CAST(na.n_item * nb.n_item AS DOUBLE) AS lift
+FROM pair_counts
+JOIN per_item na ON na.event_type = item_a
+JOIN per_item nb ON nb.event_type = item_b
+CROSS JOIN totals t
+"""
+
+
+# --- funnel conversion summary ---------------------------------------------
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row report on top of the ordered funnel: stage counts
+    and conversion rates. Composes the oracled funnel_steps; rates are
+    exact integer divisions with NULL on empty denominators."""
+    f = q_funnel_steps(spark, sf_dir)
+    rate = lambda num, den: F.when(
+        F.col(den) > 0, F.col(num) / F.col(den).cast("double")
+    ).otherwise(F.lit(None).cast("double"))
+    agg = f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("view_ts").alias("n_view"),
+        F.count("click_ts").alias("n_click"),
+        F.count("purchase_ts").alias("n_purchase"),
+    )
+    return agg.select(
+        "n_users",
+        "n_view",
+        "n_click",
+        "n_purchase",
+        rate("n_view", "n_users").alias("rate_view"),
+        rate("n_click", "n_view").alias("rate_click_given_view"),
+        rate("n_purchase", "n_click").alias("rate_purchase_given_click"),
+    )
+
+
+SQL_FUNNEL_CONVERSION = f"""
+WITH f AS ({SQL_FUNNEL_STEPS})
+SELECT COUNT(*) AS n_users,
+       COUNT(view_ts) AS n_view,
+       COUNT(click_ts) AS n_click,
+       COUNT(purchase_ts) AS n_purchase,
+       CASE WHEN COUNT(*) > 0
+            THEN COUNT(view_ts) / CAST(COUNT(*) AS DOUBLE) END AS rate_view,
+       CASE WHEN COUNT(view_ts) > 0
+            THEN COUNT(click_ts) / CAST(COUNT(view_ts) AS DOUBLE)
+       END AS rate_click_given_view,
+       CASE WHEN COUNT(click_ts) > 0
+            THEN COUNT(purchase_ts) / CAST(COUNT(click_ts) AS DOUBLE)
+       END AS rate_purchase_given_click
+FROM f
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -896,4 +1064,12 @@ def specs():
             "winsorize_p01_p99", q_winsorize_p01_p99, SQL_WINSORIZE_P01_P99
         ),
         QuerySpec("user_trend_ols", q_user_trend_ols, SQL_USER_TREND_OLS),
+        QuerySpec(
+            "session_assoc_rules",
+            q_session_assoc_rules,
+            SQL_SESSION_ASSOC_RULES,
+        ),
+        QuerySpec(
+            "funnel_conversion", q_funnel_conversion, SQL_FUNNEL_CONVERSION
+        ),
     ]
