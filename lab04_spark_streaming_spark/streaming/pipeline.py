@@ -326,3 +326,31 @@ def ohlc_stream(
             "sum_value",
         )
     )
+
+
+def cms_counters(df: DataFrame, depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-min-sketch counters over a documents relation — batch OR
+    stream (design rule #1: one operator body, two modes). The token
+    stream fans out ×depth through the md5 universal-hash stack and
+    reduces to the depth×width counter grid with one sum aggregate —
+    exactly the shape Structured Streaming maintains incrementally
+    (complete/update mode, constant state: depth×width longs), which
+    is the whole point of a sketch: the batch corpus query
+    (plans/corpus.q_heavy_hitters_cms) pre-aggregates word counts
+    first as a map-side optimization, but chained aggregations are
+    unsupported in streaming — the per-token stack here lands on the
+    IDENTICAL counters (asserted in tests/test_streaming.py)."""
+    from lab04_spark_streaming_spark.operators.textops import (
+        expr_hash_int,
+        expr_tokens,
+    )
+
+    stack_args = ", ".join(
+        f"{j}, {expr_hash_int('w', seed=j)} % {width}" for j in range(depth)
+    )
+    return (
+        df.select(F.explode(F.expr(expr_tokens("text"))).alias("w"))
+        .select(F.expr(f"stack({depth}, {stack_args}) as (j, bucket)"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )

@@ -765,3 +765,34 @@ def test_ohlc_stream_matches_batch(spark, tmp_path):
         assert expected[k] == v, (k, expected[k], v)
     # only the last (unfinalizable) hour per user may be withheld
     assert len(streamed) >= len(expected) - 2
+
+
+def test_cms_counters_stream_matches_batch(spark, tmp_path):
+    """The CMS counter grid maintained incrementally by a streaming
+    aggregation (complete mode, constant depth×width state) must equal
+    the batch counters over the same documents — and therefore every
+    min-over-rows estimate the batch heavy-hitters query derives."""
+    from pyspark.sql.types import StringType
+
+    from lab04_spark_streaming_spark.streaming.pipeline import cms_counters
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    words = ["spark", "join", "merge", "table", "row", "data", "fast"]
+    rows = [
+        (i, " ".join(words[(i * 7 + k) % len(words)] for k in range(1 + i % 9)))
+        for i in range(60)
+    ]
+    path = str(tmp_path / "cms_src")
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.parquet(path)
+
+    stream = file_stream(spark, path, schema)
+    memory_sink_once(cms_counters(stream), "cms_out", "complete")
+    streamed = {
+        (r.j, r.bucket): r.c for r in spark.table("cms_out").collect()
+    }
+    expected = {(r.j, r.bucket): r.c for r in cms_counters(df).collect()}
+    assert streamed == expected
+    assert sum(streamed.values()) == sum(len(t.split()) for _, t in rows) * 4
