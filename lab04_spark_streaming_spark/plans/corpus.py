@@ -503,6 +503,169 @@ QUALIFY cum_tokens <= {_TOKEN_BUDGET}
 """
 
 
+# --- incremental NEAR-dup novelty ------------------------------------------
+def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-duplicate leg of the incremental admission pass
+    (dedup_incremental catches byte/normalized copies; this catches
+    paraphrased re-crawls): an incoming document is flagged when ANY
+    of its MinHash-LSH bands collides with a band bucket of the
+    already-curated base corpus. At scale the base's distinct (band,
+    band_hash) relation IS the persisted index — the probe is one
+    equi join on the band key; only 32-char band hashes move. Short
+    docs are excluded before the signature pipeline exactly as in
+    minhash_candidate_pairs (same hot-bucket rationale). Output:
+    flagged incoming ids with the colliding-band count (exact
+    ints)."""
+    from lab04_spark_streaming_spark.operators import dedup as dd
+
+    docs = _docs(spark, sf_dir).filter(
+        F.expr(f"size({_SPARK_TOKS}) >= 3")
+    )
+    bands = dd.lsh_bands(dd.minhash_signatures(docs))
+    base = (
+        bands.filter(F.col("doc_id") % 2 == 0)
+        .select("band", "band_hash")
+        .distinct()
+    )
+    inc = bands.filter(F.col("doc_id") % 2 == 1)
+    return (
+        inc.join(base, ["band", "band_hash"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_bands"))
+    )
+
+
+def _sql_incremental_near() -> str:
+    from lab04_spark_streaming_spark.plans.llm import (
+        _SQL_MINHASH_SIG_LIST,
+        _sql_bands,
+    )
+
+    return f"""
+WITH sigs AS ({_SQL_MINHASH_SIG_LIST.strip()}),
+bands AS (
+  SELECT doc_id, bd.band AS band, bd.band_hash AS band_hash
+  FROM sigs, unnest({_sql_bands()}) u(bd)
+  WHERE sig[1] IS NOT NULL
+),
+base AS (
+  SELECT DISTINCT band, band_hash FROM bands WHERE doc_id % 2 = 0
+),
+inc AS (SELECT * FROM bands WHERE doc_id % 2 = 1)
+SELECT i.doc_id, COUNT(*) AS n_hit_bands
+FROM inc i JOIN base b ON i.band = b.band AND i.band_hash = b.band_hash
+GROUP BY 1
+"""
+
+
+# --- unigram log-probability quality ---------------------------------------
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram cross-entropy per document — the SQL-able analog of the
+    CCNet perplexity filter (Wenzek et al. 2020, public): avg −log2 of
+    each token's corpus frequency; low = stereotyped/boilerplate, high
+    = rare-token gibberish. Corpus tf and N are exact integers, each
+    p = tf/N is one exact division (identical doubles), the per-doc
+    mean over ~doc-length log2 terms is summation-order dependent at
+    ~1e-15 → stable_round(4). The token→frequency join broadcasts the
+    vocabulary relation (vocab-bounded, corpus-size-independent)."""
+    from lab04_spark_streaming_spark.functions.guards import stable_round
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf").alias("n_total"))
+    return (
+        toks.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            stable_round(
+                -F.avg(F.log2(F.col("tf") / F.col("n_total").cast("double"))),
+                4,
+            ).alias("avg_neg_log2p"),
+        )
+    )
+
+
+SQL_UNIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS tf FROM toks GROUP BY 1),
+total AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM freq)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       floor(-AVG(log2(f.tf / CAST(tt.n_total AS DOUBLE))) * 10000.0 + 0.5)
+         / 10000.0 AS avg_neg_log2p
+FROM toks t
+JOIN freq f ON t.w = f.w
+CROSS JOIN total tt
+GROUP BY 1
+"""
+
+
+# --- BPE-style adjacent-pair counts ----------------------------------------
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of byte-pair-encoding vocabulary induction
+    (public: Sennrich et al. 2016): adjacent character-pair
+    frequencies over the corpus, weighted by word frequency — the
+    top-ranked pair is BPE's first merge. Works on the word-count
+    relation (vocab-bounded), fanning each word out to its len−1
+    pairs; the pair aggregate is alphabet²-bounded. Exact integers,
+    deterministic rank (count DESC, pair)."""
+    wc = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr(_SPARK_TOKS)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("n_occurrences"), "pair")
+    )
+    return (
+        pairs.withColumn("rank", rk.cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("pair", "n_occurrences", "rank")
+    )
+
+
+SQL_BPE_PAIR_COUNTS = f"""
+WITH wc AS (
+  SELECT w, COUNT(*) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+  GROUP BY 1
+),
+p AS (
+  SELECT substring(w, i, 2) AS pair, CAST(SUM(cnt) AS BIGINT)
+           AS n_occurrences
+  FROM wc, unnest(range(1, length(w))) u(i)
+  WHERE length(w) >= 2
+  GROUP BY 1
+)
+SELECT pair, n_occurrences, rank FROM (
+  SELECT pair, n_occurrences,
+         CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair)
+              AS INTEGER) AS rank
+  FROM p
+) WHERE rank <= 20
+"""
+
+
 # --- count-min-sketch heavy hitters ----------------------------------------
 _CMS_DEPTH = 4
 _CMS_WIDTH = 256
@@ -619,4 +782,11 @@ def specs():
         QuerySpec(
             "token_budget_pack", q_token_budget_pack, SQL_TOKEN_BUDGET_PACK
         ),
+        QuerySpec(
+            "dedup_incremental_near",
+            q_dedup_incremental_near,
+            _sql_incremental_near(),
+        ),
+        QuerySpec("unigram_logprob", q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+        QuerySpec("bpe_pair_counts", q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     ]

@@ -1040,6 +1040,102 @@ FROM f
 """
 
 
+# --- CUSUM changepoint -----------------------------------------------------
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per user: the (ts, event_id)-ordered index t
+    maximizing |Σ_{i≤t}(y_i − ȳ)| — the classic single-changepoint
+    locator. Computed ENTIRELY in scaled integers so the running sum
+    is associative-exact (a double running sum would differ between
+    Spark's incremental frame and DuckDB's segment-tree window
+    association): dev'_t = n·cum_cents(t) − t·sum_cents ≡ n·Σ(y_i−ȳ)
+    in cents. One window shuffle on the user key; the per-user argmax
+    is a (|dev| DESC, t) rank. The normalized magnitude is one exact
+    double division at the end."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(10,2)") * 100)
+        .cast("bigint")
+        .alias("_cents"),
+    )
+    cum = base.select(
+        "user_id",
+        "ts",
+        F.row_number().over(w).cast("bigint").alias("_t"),
+        F.sum("_cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_cum"),
+        F.sum("_cents")
+        .over(
+            Window.partitionBy("user_id").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("_sum"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy("user_id").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("_n"),
+    )
+    dev = cum.withColumn(
+        "_dev", F.col("_n") * F.col("_cum") - F.col("_t") * F.col("_sum")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.abs(F.col("_dev")).desc(), "_t"
+        )
+    )
+    return (
+        dev.withColumn("_rk", rk)
+        .filter(F.col("_rk") == 1)
+        .select(
+            "user_id",
+            F.col("_n").alias("n"),
+            F.col("_t").alias("changepoint_t"),
+            F.col("ts").alias("changepoint_ts"),
+            (
+                F.abs(F.col("_dev")).cast("double")
+                / (F.col("_n").cast("double") * 100.0)
+            ).alias("max_abs_cusum"),
+        )
+    )
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+cum AS (
+  SELECT user_id, ts,
+         CAST(row_number() OVER w AS BIGINT) AS t,
+         SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cents) OVER (PARTITION BY user_id) AS total,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+dev AS (
+  SELECT user_id, ts, t, n,
+         CAST(n * cum - t * total AS BIGINT) AS d,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY abs(n * cum - t * total) DESC, t) AS rk
+  FROM cum
+)
+SELECT user_id, n, t AS changepoint_t, ts AS changepoint_ts,
+       CAST(abs(d) AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS max_abs_cusum
+FROM dev WHERE rk = 1
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -1071,5 +1167,8 @@ def specs():
         ),
         QuerySpec(
             "funnel_conversion", q_funnel_conversion, SQL_FUNNEL_CONVERSION
+        ),
+        QuerySpec(
+            "cusum_changepoint", q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT
         ),
     ]
