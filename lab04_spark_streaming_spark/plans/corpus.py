@@ -666,6 +666,131 @@ SELECT pair, n_occurrences, rank FROM (
 """
 
 
+# --- Bloom-filter membership -----------------------------------------------
+_BLOOM_BITS = 4096
+_BLOOM_K = 3
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe for the incremental admission
+    pass — the constant-size alternative to shipping the full base
+    digest index to every ingest worker (public: Bloom 1970). The
+    4096-bit filter lives as 64 one-long words built with bit_or over
+    the base digests' k=3 md5-derived positions; incoming digests test
+    all k bits via a broadcast join of the word relation. Every bit
+    position derives from the same md5 hex in both engines, so the
+    filter — including WHICH probes come back as false positives — is
+    deterministic and hash-checked (the exact membership and the
+    false-positive flag are both emitted). At scale the filter is the
+    broadcast side (bits/8 bytes, corpus-size-independent); only the
+    filter build touches the base."""
+    m, k = _BLOOM_BITS, _BLOOM_K
+    docs = _docs(spark, sf_dir)
+    base = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.expr(_SPARK_NORM_H).alias("digest"))
+        .distinct()
+    )
+    inc = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.expr(_SPARK_NORM_H).alias("digest")
+    )
+    pos = ", ".join(
+        f"{expr_hash_int('digest', seed=j)} % {m}" for j in range(k)
+    )
+    words = (
+        base.select(F.explode(F.expr(f"array({pos})")).alias("_p"))
+        .select(
+            F.expr("_p div 32").alias("word_ix"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(_p % 32 as int))"
+            ).alias("_bit"),
+        )
+        .groupBy("word_ix")
+        .agg(F.expr("bit_or(_bit)").alias("word"))
+    )
+    probes = inc.select(
+        "doc_id",
+        "digest",
+        F.explode(F.expr(f"array({pos})")).alias("_p"),
+    ).select(
+        "doc_id",
+        "digest",
+        F.expr("_p div 32").alias("word_ix"),
+        F.expr("shiftleft(cast(1 as bigint), cast(_p % 32 as int))").alias(
+            "_mask"
+        ),
+    )
+    hit = (
+        probes.join(F.broadcast(words), "word_ix", "left")
+        .withColumn(
+            "_bit_set",
+            (
+                F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("_mask"))
+                != 0
+            ),
+        )
+        .groupBy("doc_id", "digest")
+        .agg(F.expr("bool_and(_bit_set)").alias("bloom_hit"))
+    )
+    in_base = base.withColumn("_in", F.lit(True))
+    return (
+        hit.join(in_base, "digest", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("_in"), F.lit(False)).alias("in_base"),
+            (
+                F.col("bloom_hit")
+                & ~F.coalesce(F.col("_in"), F.lit(False))
+            ).alias("is_false_positive"),
+        )
+    )
+
+
+def _sql_bloom() -> str:
+    m, k = _BLOOM_BITS, _BLOOM_K
+    def h(j):
+        return (
+            f"CAST(('0x' || substring(md5(concat('{j}|', digest)), 1, 8)) "
+            f"AS BIGINT) % {m}"
+        )
+
+    pos = ", ".join(h(j) for j in range(k))
+    return f"""
+WITH base AS (
+  SELECT DISTINCT {_SQL_NORM_H} AS digest
+  FROM documents WHERE doc_id % 2 = 0
+),
+inc AS (
+  SELECT doc_id, {_SQL_NORM_H} AS digest
+  FROM documents WHERE doc_id % 2 = 1
+),
+bpos AS (
+  SELECT unnest([{pos}]) AS p FROM base
+),
+words AS (
+  SELECT p // 32 AS word_ix,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS word
+  FROM bpos GROUP BY 1
+),
+probes AS (
+  SELECT doc_id, digest, unnest([{pos}]) AS p FROM inc
+),
+hits AS (
+  SELECT pr.doc_id, pr.digest,
+         bool_and((COALESCE(w.word, 0)
+                   & (CAST(1 AS BIGINT) << CAST(pr.p % 32 AS INTEGER)))
+                  <> 0) AS bloom_hit
+  FROM probes pr LEFT JOIN words w ON pr.p // 32 = w.word_ix
+  GROUP BY 1, 2
+)
+SELECT h.doc_id, h.bloom_hit,
+       (b.digest IS NOT NULL) AS in_base,
+       (h.bloom_hit AND b.digest IS NULL) AS is_false_positive
+FROM hits h LEFT JOIN base b ON h.digest = b.digest
+"""
+
+
 # --- count-min-sketch heavy hitters ----------------------------------------
 _CMS_DEPTH = 4
 _CMS_WIDTH = 256
@@ -789,4 +914,5 @@ def specs():
         ),
         QuerySpec("unigram_logprob", q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
         QuerySpec("bpe_pair_counts", q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+        QuerySpec("bloom_membership", q_bloom_membership, _sql_bloom()),
     ]

@@ -1136,6 +1136,46 @@ FROM dev WHERE rk = 1
 """
 
 
+# --- key-skew profile ------------------------------------------------------
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics as a query — the number every
+    partitioning decision in this repo (salting, AQE skew-join) is
+    made from: per-key cardinality summary + Herfindahl concentration
+    of the user key. HHI is computed as Σn_i² / N² — exact integer
+    numerator and denominator, ONE double division — not as a sum of
+    per-key double shares (order-dependent). Two tiny aggregations;
+    the key-count relation is |keys|-bounded."""
+    ev = _events(spark, sf_dir)
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_i"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_i").alias("n_rows"),
+        F.max("n_i").alias("max_key_rows"),
+        (
+            F.sum(F.col("n_i") * F.col("n_i")).cast("double")
+            / (F.sum("n_i") * F.sum("n_i")).cast("double")
+        ).alias("hhi"),
+        (
+            F.max("n_i")
+            / F.sum("n_i").cast("double")
+        ).alias("top1_share"),
+    )
+
+
+SQL_KEY_SKEW_PROFILE = """
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS n_i FROM events GROUP BY 1
+)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(n_i) AS BIGINT) AS n_rows,
+       MAX(n_i) AS max_key_rows,
+       CAST(SUM(n_i * n_i) AS DOUBLE)
+         / CAST(SUM(n_i) * SUM(n_i) AS DOUBLE) AS hhi,
+       MAX(n_i) / CAST(SUM(n_i) AS DOUBLE) AS top1_share
+FROM per_key
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -1170,5 +1210,8 @@ def specs():
         ),
         QuerySpec(
             "cusum_changepoint", q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT
+        ),
+        QuerySpec(
+            "key_skew_profile", q_key_skew_profile, SQL_KEY_SKEW_PROFILE
         ),
     ]
