@@ -791,6 +791,119 @@ FROM hits h LEFT JOIN base b ON h.digest = b.digest
 """
 
 
+# --- TextRank keywords ------------------------------------------------------
+_TR_SCALE = 10**12
+_TR_ITERS = 3
+_TR_TOPK = 10
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (public: Mihalcea & Tarau 2004) —
+    damped PageRank over the word co-occurrence graph, and the repo's
+    iterative-graph-algorithm exemplar alongside connected components
+    and Lloyd k-means. The power iteration runs ENTIRELY in scaled
+    integers (pr in 1e-12 units; contribution = pr div deg, update =
+    (15·SCALE) div (100·N) + (85·Σcontrib) div 100 — floor divisions
+    are identical in both engines), so THREE chained iterations stay
+    bit-exact where a double power method would compound
+    summation-order error. Graph relations are vocab-bounded: nodes,
+    degrees and per-iteration rank vectors are tiny at any corpus
+    size; each iteration is one join + one aggregate on the word
+    key."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({_SPARK_TOKS})")).alias("w"),
+    )
+    und = (
+        t.alias("a")
+        .join(t.alias("b"), "doc_id")
+        .filter(F.col("a.w") != F.col("b.w"))
+        .select(F.col("a.w").alias("src"), F.col("b.w").alias("dst"))
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("w"), "deg")
+    # Graph size as a broadcast 1-row relation — never a driver-side
+    # count(); the whole iteration stays one lazy plan.
+    nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "w",
+        "deg",
+        "n_nodes",
+        F.expr(f"cast({_TR_SCALE} as bigint) div n_nodes").alias("pr"),
+    )
+    for _ in range(_TR_ITERS):
+        contrib = pr.select(
+            F.col("w").alias("src"),
+            F.expr("pr div deg").alias("_c"),
+        )
+        agg = (
+            und.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(agg.select(F.col("dst").alias("w"), "_s"), "w", "left")
+            .select(
+                "w",
+                "deg",
+                "n_nodes",
+                F.expr(
+                    f"cast(15 * {_TR_SCALE} as bigint) div (100 * n_nodes) "
+                    f"+ (85 * coalesce(_s, cast(0 as bigint))) div 100"
+                ).alias("pr"),
+            )
+        )
+    rk = F.row_number().over(Window.orderBy(F.desc("pr"), "w"))
+    return (
+        pr.select("w", "pr")
+        .withColumn("rank", rk.cast("int"))
+        .filter(F.col("rank") <= _TR_TOPK)
+        .select(F.col("w").alias("word"), F.col("pr").alias("textrank_q"), "rank")
+    )
+
+
+def _sql_textrank() -> str:
+    iters = "".join(
+        f""",
+c{i} AS (
+  SELECT e.dst AS w, CAST(SUM(p.pr // p.deg) AS BIGINT) AS s
+  FROM edges e JOIN p{i - 1} p ON e.src = p.w
+  GROUP BY 1
+),
+p{i} AS (
+  SELECT n.w, n.deg,
+         CAST((15 * {_TR_SCALE}) // (100 * (SELECT n FROM nn))
+              + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN c{i} c ON n.w = c.w
+)"""
+        for i in range(1, _TR_ITERS + 1)
+    )
+    return f"""
+WITH t AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+),
+edges AS (
+  SELECT DISTINCT a.w AS src, b.w AS dst
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.w <> b.w
+),
+nodes AS (SELECT src AS w, COUNT(*) AS deg FROM edges GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+p0 AS (
+  SELECT w, deg,
+         CAST({_TR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS pr
+  FROM nodes
+){iters}
+SELECT word, textrank_q, rank FROM (
+  SELECT w AS word, pr AS textrank_q,
+         CAST(row_number() OVER (ORDER BY pr DESC, w) AS INTEGER) AS rank
+  FROM p{_TR_ITERS}
+) WHERE rank <= {_TR_TOPK}
+"""
+
+
 # --- count-min-sketch heavy hitters ----------------------------------------
 _CMS_DEPTH = 4
 _CMS_WIDTH = 256
@@ -915,4 +1028,7 @@ def specs():
         QuerySpec("unigram_logprob", q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
         QuerySpec("bpe_pair_counts", q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
         QuerySpec("bloom_membership", q_bloom_membership, _sql_bloom()),
+        QuerySpec(
+            "textrank_keywords", q_textrank_keywords, _sql_textrank()
+        ),
     ]
