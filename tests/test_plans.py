@@ -610,3 +610,43 @@ def test_bm25_and_int8_plan_hygiene(spark, sf_dir):
     assert "Exchange" not in i8
     read = [l for l in i8.splitlines() if "ReadSchema" in l]
     assert read and all("label" not in l for l in read), read
+
+
+def test_r6_wave3_plan_hygiene(spark, sf_dir):
+    """Every query added in the round-6 third wave: no CartesianProduct
+    anywhere; BroadcastNestedLoopJoin only where a 1-row scalar
+    relation is deliberately broadcast (corpus stats / totals / graph
+    size), mirroring the TPC-H scalar-threshold allowance."""
+    from lab04_spark_streaming_spark.registry import all_specs
+
+    wave = [
+        "rolling_active_users",
+        "heavy_hitters_cms",
+        "dedup_cluster_sizes",
+        "contamination_rate",
+        "token_budget_pack",
+        "winsorize_p01_p99",
+        "user_trend_ols",
+        "session_assoc_rules",
+        "funnel_conversion",
+        "cusum_changepoint",
+        "key_skew_profile",
+        "dedup_incremental_near",
+        "unigram_logprob",
+        "bpe_pair_counts",
+        "bloom_membership",
+        "textrank_keywords",
+        "ann_recall_at_k",
+    ]
+    scalar_bcast = {
+        "session_assoc_rules",  # totals (1 row)
+        "unigram_logprob",  # corpus N (1 row)
+        "textrank_keywords",  # graph size (1 row)
+        "ann_recall_at_k",  # query-vector scalars inside IVF/exact
+    }
+    specs = {s.name: s for s in all_specs()}
+    for name in wave:
+        plan = plan_of(specs[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        if name not in scalar_bcast:
+            assert "BroadcastNestedLoopJoin" not in plan, name
