@@ -796,3 +796,62 @@ def test_cms_counters_stream_matches_batch(spark, tmp_path):
     expected = {(r.j, r.bucket): r.c for r in cms_counters(df).collect()}
     assert streamed == expected
     assert sum(streamed.values()) == sum(len(t.split()) for _, t in rows) * 4
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join (band ±30 s): matched left rows
+    carry the right payload; unmatched ones are emitted with NULLs
+    once a later file advances the watermark past their bound —
+    nothing is silently dropped, unlike the inner stage-3 join."""
+    from pyspark.sql.types import DoubleType as _D
+
+    from lab04_spark_streaming_spark.streaming.pipeline import (
+        join_streams_left_outer,
+    )
+
+    lschema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("lts", TimestampType()),
+            StructField("lval", _D()),
+        ]
+    )
+    rschema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("rts", TimestampType()),
+            StructField("tag", LongType()),
+        ]
+    )
+    lpath, rpath = str(tmp_path / "lo_l"), str(tmp_path / "lo_r")
+    # File 1: left rows at t=0..4 min; rights only for even minutes.
+    l1 = [(1, T0 + dt.timedelta(minutes=i), float(i)) for i in range(5)]
+    r1 = [(1, T0 + dt.timedelta(minutes=i), 100 + i) for i in (0, 2, 4)]
+    spark.createDataFrame(l1, lschema).coalesce(1).write.mode("append").parquet(lpath)
+    spark.createDataFrame(r1, rschema).coalesce(1).write.mode("append").parquet(rpath)
+    # File 2: far-future sentinels push both watermarks past file 1.
+    far = T0 + dt.timedelta(hours=6)
+    spark.createDataFrame([(9, far, -1.0)], lschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(lpath)
+    spark.createDataFrame([(9, far, -1)], rschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(rpath)
+
+    out = join_streams_left_outer(
+        file_stream(spark, lpath, lschema, max_files_per_trigger=1),
+        file_stream(spark, rpath, rschema, max_files_per_trigger=1),
+        "user_id",
+        "lts",
+        "rts",
+    )
+    memory_sink_once(out, "lo_out", "append")
+    got = {
+        (r.user_id, r.lts.minute): (r.tag)
+        for r in spark.table("lo_out").collect()
+        if r.user_id == 1
+    }
+    # Even minutes matched their tag; odd minutes emitted with NULL.
+    assert got.get((1, 0)) == 100 and got.get((1, 2)) == 102
+    assert (1, 1) in got and got[(1, 1)] is None
+    assert (1, 3) in got and got[(1, 3)] is None
