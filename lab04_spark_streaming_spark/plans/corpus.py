@@ -791,6 +791,112 @@ FROM hits h LEFT JOIN base b ON h.digest = b.digest
 """
 
 
+# --- curation master report -------------------------------------------------
+def q_curation_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one declarative plan — the
+    end-to-end showcase a pipeline owner actually reviews: per
+    (language, semantic cluster), how many documents exist, how many
+    pass the quality gate, how many survive exact dedup, and how many
+    are admitted (quality ∧ unique). Composes three already-oracled
+    stages on the shared doc_id==vec_id key: Lloyd k-means semantic
+    assignment (embeddings), the text-metrics quality thresholds
+    (quality_filter_pipeline's exact gates), and normalized-digest
+    representative selection. Catalyst fuses it into one DAG: the
+    digest window and the metric projection share the documents scan,
+    the cluster join broadcasts nothing heavier than the n×(id, cell)
+    assignment, and the output is |langs|×k rows of exact integers."""
+    from lab04_spark_streaming_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(emb, k=8, iters=2).select(
+        F.col("vec_id").alias("doc_id"), F.col("cluster").alias("kcluster")
+    )
+    toks = _SPARK_TOKS
+    stop = "array('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+    keep = (
+        f"size({toks}) >= 10 "
+        f"AND (CASE WHEN size({toks}) = 0 THEN 0.0 ELSE "
+        f"aggregate({toks}, 0, (a, t) -> a + length(t)) / size({toks}) END)"
+        f" >= 3.0 "
+        f"AND (CASE WHEN size({toks}) = 0 THEN 0.0 ELSE "
+        f"size(filter({toks}, t -> array_contains({stop}, t))) / size({toks})"
+        f" END) >= 0.01 "
+        f"AND length(regexp_replace(text, '[^0-9]', '')) "
+        f"/ greatest(length(text), 1) <= 0.2"
+    )
+    w = Window.partitionBy("_digest")
+    flags = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(keep).alias("_keep"),
+            F.expr(_SPARK_NORM_H).alias("_digest"),
+        )
+        .withColumn("_rep", F.col("doc_id") == F.min("doc_id").over(w))
+    )
+    return (
+        flags.join(assign, "doc_id")
+        .groupBy("lang", "kcluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_quality"),
+            F.sum(F.when(F.col("_rep"), 1).otherwise(0)).alias("n_unique"),
+            F.sum(
+                F.when(F.col("_keep") & F.col("_rep"), 1).otherwise(0)
+            ).alias("n_admitted"),
+        )
+    )
+
+
+def _sql_curation_master() -> str:
+    from lab04_spark_streaming_spark.plans.pipeline_extras import (
+        _SQL_KMEANS_C1,
+    )
+
+    return f"""
+WITH {_SQL_KMEANS_C1},
+d2 AS (
+  SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dist
+  FROM pos p JOIN c1 c ON p.pos = c.pos
+  GROUP BY 1, 2
+),
+a2 AS (
+  SELECT vec_id AS doc_id, cid AS kcluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1
+),
+tok AS (
+  SELECT doc_id, lang, text, {_TOKS} AS toks, {_SQL_NORM_H} AS digest
+  FROM documents
+),
+flags AS (
+  SELECT doc_id, lang,
+         (len(toks) >= 10
+          AND (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+               list_sum(list_transform(toks, t -> length(t))) / len(toks) END)
+              >= 3.0
+          AND (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+               len(list_filter(toks, t -> list_contains(
+                 ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'], t)))
+               / len(toks) END) >= 0.01
+          AND length(regexp_replace(text, '[^0-9]', '', 'g'))
+              / greatest(length(text), 1) <= 0.2) AS keep,
+         (doc_id = MIN(doc_id) OVER (PARTITION BY digest)) AS rep
+  FROM tok
+)
+SELECT f.lang, a2.kcluster,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN f.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN f.rep THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(SUM(CASE WHEN f.keep AND f.rep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_admitted
+FROM flags f JOIN a2 ON f.doc_id = a2.doc_id
+GROUP BY 1, 2
+"""
+
+
 # --- TextRank keywords ------------------------------------------------------
 _TR_SCALE = 10**12
 _TR_ITERS = 3
@@ -1030,5 +1136,8 @@ def specs():
         QuerySpec("bloom_membership", q_bloom_membership, _sql_bloom()),
         QuerySpec(
             "textrank_keywords", q_textrank_keywords, _sql_textrank()
+        ),
+        QuerySpec(
+            "curation_master", q_curation_master, _sql_curation_master()
         ),
     ]
