@@ -66,3 +66,66 @@ def test_jaccard_stop_shingle_cap_bounds_hot_bucket(spark, tmp_path):
     got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
     assert set(got) == {(0, 1)}  # only the true near-dup survives
     assert got[(0, 1)] == 1.0  # recounted over capped sets: exact dup
+
+
+def test_cooccurrence_pair_walk_bounded_by_distinct_words(spark, tmp_path):
+    """A pathological mega-doc (10k tokens, 20 distinct words) must not
+    blow up the co-occurrence pair walk: the distinct-word projection
+    caps its contribution at C(20,2) pairs regardless of token count."""
+    from lab04_spark_streaming_spark.plans.corpus import q_word_cooccurrence
+
+    words = [f"w{i:02d}" for i in range(20)]
+    mega = " ".join(words[i % 20] for i in range(10_000))
+    df = spark.createDataFrame(
+        [(0, mega, "en", "src0", len(mega))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = q_word_cooccurrence(spark, str(tmp_path)).collect()
+    # top-20 of the 190 possible pairs, every pair with n_docs == 1
+    assert len(rows) == 20
+    assert all(r.n_docs == 1 for r in rows)
+
+
+def test_token_budget_pack_tie_stability(spark, tmp_path):
+    """All-equal-length docs: the budget cut must fall deterministically
+    by doc_id (the declared tie-break), independent of partitioning."""
+    from lab04_spark_streaming_spark.plans.corpus import q_token_budget_pack
+
+    text = " ".join(["tok"] * 100)  # 100 tokens each
+    df = spark.createDataFrame(
+        [(i, text, "en", "srcA", len(text)) for i in range(80)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.repartition(8).write.parquet(str(tmp_path / "documents.parquet"))
+    kept = sorted(
+        r.doc_id for r in q_token_budget_pack(spark, str(tmp_path)).collect()
+    )
+    # budget 5000 → exactly the 50 lowest doc_ids admitted
+    assert kept == list(range(50))
+
+
+def test_textrank_disconnected_components(spark, tmp_path):
+    """Two disjoint co-occurrence components: ranks must still be a
+    contiguous 1..k and every node's score positive — the damping base
+    term keeps isolated components from starving."""
+    from lab04_spark_streaming_spark.plans.corpus import q_textrank_keywords
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma", "en", "s", 10),
+            (1, "alpha beta", "en", "s", 10),
+            (2, "delta epsilon", "en", "s", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = sorted(
+        q_textrank_keywords(spark, str(tmp_path)).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r.textrank_q > 0 for r in rows)
+    # the triangle's hub words outrank the isolated pair's
+    top2 = {rows[0].word, rows[1].word}
+    assert top2 <= {"alpha", "beta", "gamma"}
