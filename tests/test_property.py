@@ -242,3 +242,42 @@ def test_random_embeddings_ann_cross_engine_parity(
             compare_query(spark, con, s.fn, s.sql, d)
     finally:
         con.close()
+
+
+_R6_CORPUS_QUERIES = "char_entropy word_repetition word_cooccurrence bpe_pair_counts heavy_hitters_cms dedup_incremental bloom_membership textrank_keywords".split()
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_CORPUS)
+def test_r6_corpus_queries_random_parity(spark, tmp_path_factory, corpus):
+    """Round-6 corpus surface through random corpora (empty docs,
+    unicode, punctuation runs): every new query must hold cross-engine
+    parity on shapes the fixtures never produce."""
+    from lab04_spark_streaming_spark.registry import all_specs
+
+    d = str(tmp_path_factory.mktemp("r6propdocs"))
+    rows = [(i, t, "en", "src", len(t)) for i, t in enumerate(corpus)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    specs = {s.name: s for s in all_specs()}
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        for name in _R6_CORPUS_QUERIES:
+            s = specs[name]
+            try:
+                compare_query(spark, con, s.fn, s.sql, d)
+            except AssertionError as e:
+                raise AssertionError(f"{name}: {e}") from e
+    finally:
+        con.close()
