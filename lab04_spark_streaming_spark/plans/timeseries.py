@@ -1176,6 +1176,84 @@ FROM per_key
 """
 
 
+# --- RANGE-frame trailing sum ----------------------------------------------
+def q_range_frame_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour sum/count via a RANGE window frame —
+    the value-based frame kind (peers included by ORDER-BY value, not
+    row position) that neither the ROWS-frame queries nor the
+    ``window()`` bucketing exercise. Ordering key is whole epoch
+    seconds in BOTH engines, so frame membership (including second-
+    level ties, where RANGE takes all peers) is identical; the sum
+    runs in exact decimal → order-free, bit-identical."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(10,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_1h_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
+    )
+
+
+SQL_RANGE_FRAME_TRAILING_1H = """
+SELECT user_id, event_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) OVER w AS DOUBLE)
+         AS trailing_1h_sum,
+       COUNT(*) OVER w AS trailing_1h_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- deterministic mode ----------------------------------------------------
+def q_mode_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent whole-unit value per event type with an explicit
+    (count DESC, value ASC) tie-break — the built-in mode() is
+    tie-UNSPECIFIED in both engines, so the deterministic form is the
+    only oracle-able one. Two |types|×|buckets|-bounded aggregates."""
+    ev = _events(spark, sf_dir)
+    counts = (
+        ev.select("event_type", F.floor("value").cast("long").alias("v"))
+        .groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.desc("cnt"), "v")
+    )
+    return (
+        counts.withColumn("_rk", rk)
+        .filter(F.col("_rk") == 1)
+        .select(
+            "event_type",
+            F.col("v").alias("mode_value"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+SQL_MODE_PER_TYPE = """
+WITH counts AS (
+  SELECT event_type, CAST(floor(value) AS BIGINT) AS v, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, v AS mode_value, cnt AS mode_count FROM (
+  SELECT event_type, v, cnt,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, v) AS rk
+  FROM counts
+) WHERE rk = 1
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -1214,4 +1292,10 @@ def specs():
         QuerySpec(
             "key_skew_profile", q_key_skew_profile, SQL_KEY_SKEW_PROFILE
         ),
+        QuerySpec(
+            "range_frame_trailing_1h",
+            q_range_frame_trailing_1h,
+            SQL_RANGE_FRAME_TRAILING_1H,
+        ),
+        QuerySpec("mode_per_type", q_mode_per_type, SQL_MODE_PER_TYPE),
     ]
