@@ -1010,6 +1010,103 @@ SELECT word, textrank_q, rank FROM (
 """
 
 
+# --- triangle counting / clustering coefficient ----------------------------
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the word
+    co-occurrence graph — the canonical distributed-graph benchmark op
+    (node-iterator join form): oriented edges (src < dst) self-join on
+    the shared low endpoint to enumerate wedges, then a semi-check
+    against the edge set closes triangles; wedges come from the exact
+    degree moments. All counts are exact integers; the coefficient
+    3T/W is one double division. Edge/degree relations are
+    vocab²-bounded — tiny at any corpus scale."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({_SPARK_TOKS})")).alias("w"),
+    )
+    edges = (
+        t.alias("a")
+        .join(t.alias("b"), "doc_id")
+        .filter(F.col("a.w") < F.col("b.w"))
+        .select(F.col("a.w").alias("src"), F.col("b.w").alias("dst"))
+        .distinct()
+    )
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges_abc = e1.join(e2, "a").filter(F.col("b") < F.col("c"))
+    tri = wedges_abc.join(
+        edges,
+        (F.col("b") == F.col("src")) & (F.col("c") == F.col("dst")),
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    deg = (
+        edges.select(F.col("src").alias("w"))
+        .union(edges.select(F.col("dst").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    ecnt = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(ecnt))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                (3 * F.col("n_triangles"))
+                / F.col("n_wedges").cast("double"),
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+SQL_GRAPH_TRIANGLES = f"""
+WITH t AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+),
+edges AS (
+  SELECT DISTINCT a.w AS src, b.w AS dst
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.w < b.w
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles FROM (
+    SELECT e1.a, e1.b, e2.c
+    FROM (SELECT src AS a, dst AS b FROM edges) e1
+    JOIN (SELECT src AS a, dst AS c FROM edges) e2
+      ON e1.a = e2.a AND e1.b < e2.c
+    WHERE EXISTS (SELECT 1 FROM edges e
+                  WHERE e.src = e1.b AND e.dst = e2.c)
+  )
+),
+deg AS (
+  SELECT w, COUNT(*) AS deg FROM (
+    SELECT src AS w FROM edges UNION ALL SELECT dst FROM edges
+  ) GROUP BY 1
+),
+stats AS (
+  SELECT COUNT(*) AS n_nodes,
+         CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+  FROM deg
+),
+ec AS (SELECT COUNT(*) AS n_edges FROM edges)
+SELECT s.n_nodes, ec.n_edges, tri.n_triangles, s.n_wedges,
+       CASE WHEN s.n_wedges > 0
+            THEN (3 * tri.n_triangles) / CAST(s.n_wedges AS DOUBLE) END
+         AS clustering_coeff
+FROM stats s, ec, tri
+"""
+
+
 # --- count-min-sketch heavy hitters ----------------------------------------
 _CMS_DEPTH = 4
 _CMS_WIDTH = 256
@@ -1140,4 +1237,5 @@ def specs():
         QuerySpec(
             "curation_master", q_curation_master, _sql_curation_master()
         ),
+        QuerySpec("graph_triangles", q_graph_triangles, SQL_GRAPH_TRIANGLES),
     ]

@@ -1254,6 +1254,39 @@ SELECT event_type, v AS mode_value, cnt AS mode_count FROM (
 """
 
 
+# --- Z-order (Morton) layout key -------------------------------------------
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) interleave of (user_id, time) — the
+    space-filling-curve clustering key behind multi-dimensional data
+    skipping: sorting storage by this key co-locates rows close in
+    BOTH dimensions, so min/max file statistics prune either
+    predicate. 16 bits of each dimension interleave into a 32-bit key
+    via a pure higher-order integer fold (shift/mask/sum of disjoint
+    powers ≡ OR) — zero shuffle, exact integers, bit-identical
+    cross-engine."""
+    ev = _events(spark, sf_dir)
+    x = "cast(user_id % 65536 as bigint)"
+    y = "cast((unix_micros(ts) div 1000000) % 65536 as bigint)"
+    morton = (
+        f"aggregate(sequence(0, 15), cast(0 as bigint), (acc, j) -> "
+        f"acc + shiftleft(({x} >> j) & 1, 2 * j) "
+        f"+ shiftleft(({y} >> j) & 1, 2 * j + 1))"
+    )
+    return ev.select(
+        "event_id", "user_id", "ts", F.expr(morton).alias("zkey")
+    )
+
+
+SQL_ZORDER_KEYS = """
+SELECT event_id, user_id, ts,
+       CAST(list_sum(list_transform(range(0, 16), j ->
+         (((user_id % 65536) >> j) & 1) * (1::BIGINT << (2 * j))
+         + ((((epoch_us(ts) // 1000000) % 65536) >> j) & 1)
+           * (1::BIGINT << (2 * j + 1)))) AS BIGINT) AS zkey
+FROM events
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -1298,4 +1331,5 @@ def specs():
             SQL_RANGE_FRAME_TRAILING_1H,
         ),
         QuerySpec("mode_per_type", q_mode_per_type, SQL_MODE_PER_TYPE),
+        QuerySpec("zorder_keys", q_zorder_keys, SQL_ZORDER_KEYS),
     ]
