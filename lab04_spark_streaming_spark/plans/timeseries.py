@@ -1256,34 +1256,56 @@ SELECT event_type, v AS mode_value, cnt AS mode_count FROM (
 
 # --- Z-order (Morton) layout key -------------------------------------------
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton) interleave of (user_id, time) — the
+    """Z-order (Morton) layout key over (user_id, time) — the
     space-filling-curve clustering key behind multi-dimensional data
-    skipping: sorting storage by this key co-locates rows close in
-    BOTH dimensions, so min/max file statistics prune either
-    predicate. 16 bits of each dimension interleave into a 32-bit key
-    via a pure higher-order integer fold (shift/mask/sum of disjoint
-    powers ≡ OR) — zero shuffle, exact integers, bit-identical
-    cross-engine."""
+    skipping: sort storage by this key and min/max file statistics
+    prune EITHER predicate dimension. Like production z-ordering
+    (Delta's OPTIMIZE ZORDER interleaves range-ranks, not raw
+    values), each dimension is first min-max-scaled to a 4-bit bucket
+    index — interleaving raw unbalanced bit widths degenerates to a
+    single-dimension sort (a 15-value key contributes only low-order
+    bits that never reach the curve's top). Bounds come from one tiny
+    broadcast aggregate; bucketing and the 8-bit interleave are exact
+    integer arithmetic — zero shuffle on the data path, bit-identical
+    cross-engine. The layout win is quantified in
+    tests/test_storage_layout.py."""
     ev = _events(spark, sf_dir)
-    x = "cast(user_id % 65536 as bigint)"
-    y = "cast((unix_micros(ts) div 1000000) % 65536 as bigint)"
-    morton = (
-        f"aggregate(sequence(0, 15), cast(0 as bigint), (acc, j) -> "
-        f"acc + shiftleft(({x} >> j) & 1, 2 * j) "
-        f"+ shiftleft(({y} >> j) & 1, 2 * j + 1))"
+    bounds = ev.agg(
+        F.min("user_id").alias("_minu"),
+        F.max("user_id").alias("_maxu"),
+        F.expr("min(unix_micros(ts) div 1000000)").alias("_mint"),
+        F.expr("max(unix_micros(ts) div 1000000)").alias("_maxt"),
     )
-    return ev.select(
+    xb = "((user_id - _minu) * 16) div (_maxu - _minu + 1)"
+    yb = (
+        "(((unix_micros(ts) div 1000000) - _mint) * 16) "
+        "div (_maxt - _mint + 1)"
+    )
+    morton = (
+        f"aggregate(sequence(0, 3), cast(0 as bigint), (acc, j) -> "
+        f"acc + shiftleft((({xb}) >> j) & 1, 2 * j) "
+        f"+ shiftleft((({yb}) >> j) & 1, 2 * j + 1))"
+    )
+    return ev.crossJoin(F.broadcast(bounds)).select(
         "event_id", "user_id", "ts", F.expr(morton).alias("zkey")
     )
 
 
 SQL_ZORDER_KEYS = """
+WITH b AS (
+  SELECT MIN(user_id) AS minu, MAX(user_id) AS maxu,
+         MIN(epoch_us(ts) // 1000000) AS mint,
+         MAX(epoch_us(ts) // 1000000) AS maxt
+  FROM events
+)
 SELECT event_id, user_id, ts,
-       CAST(list_sum(list_transform(range(0, 16), j ->
-         (((user_id % 65536) >> j) & 1) * (1::BIGINT << (2 * j))
-         + ((((epoch_us(ts) // 1000000) % 65536) >> j) & 1)
+       CAST(list_sum(list_transform(range(0, 4), j ->
+         (((((user_id - b.minu) * 16) // (b.maxu - b.minu + 1)) >> j) & 1)
+           * (1::BIGINT << (2 * j))
+         + ((((((epoch_us(ts) // 1000000) - b.mint) * 16)
+              // (b.maxt - b.mint + 1)) >> j) & 1)
            * (1::BIGINT << (2 * j + 1)))) AS BIGINT) AS zkey
-FROM events
+FROM events, b
 """
 
 

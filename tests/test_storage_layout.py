@@ -81,3 +81,67 @@ def test_star_table_schema_contract(spark, sf_dir):
         df = load_table(spark, sf_dir, name)
         got = tuple((f.name, f.dataType.simpleString()) for f in df.schema.fields)
         assert got == STAR_TABLE_CONTRACT[name], name
+
+
+def test_zorder_layout_narrows_file_stats(spark, sf_dir, tmp_path):
+    """Writing events sorted by the Morton key must make per-file
+    (min, max) spans narrow in BOTH dimensions simultaneously — the
+    property min/max data skipping prunes on. Quantified against the
+    time-sorted layout: time-sort makes ts spans narrow but leaves
+    every file spanning (almost) the full user range; z-sort must cut
+    the mean per-file user span to a fraction of that while keeping a
+    bounded ts span."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from lab04_spark_streaming_spark.plans.timeseries import q_zorder_keys
+
+    from pyspark.sql import functions as F
+
+    # epoch-seconds column instead of the raw timestamp: Spark writes
+    # timestamps as INT96 by default, which carries no parquet min/max
+    # statistics to measure.
+    zed = q_zorder_keys(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("tsec"),
+        "zkey",
+    )
+
+    def spans(path):
+        us, ts = [], []
+        for f in _glob.glob(f"{path}/*.parquet"):
+            md = _pq.read_metadata(f)
+            umin, umax = None, None
+            tmin, tmax = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    st = col.statistics
+                    if st is None:
+                        continue
+                    if col.path_in_schema == "user_id":
+                        umin = st.min if umin is None else min(umin, st.min)
+                        umax = st.max if umax is None else max(umax, st.max)
+                    if col.path_in_schema == "tsec":
+                        tmin = st.min if tmin is None else min(tmin, st.min)
+                        tmax = st.max if tmax is None else max(tmax, st.max)
+            us.append(umax - umin)
+            ts.append(tmax - tmin)
+        return sum(us) / len(us), sum(ts) / len(ts)
+
+    n_files = 16
+    tpath = str(tmp_path / "by_time")
+    zpath = str(tmp_path / "by_zkey")
+    zed.repartitionByRange(n_files, "tsec").write.parquet(tpath)
+    zed.repartitionByRange(n_files, "zkey").write.parquet(zpath)
+
+    t_uspan, t_tspan = spans(tpath)
+    z_uspan, z_tspan = spans(zpath)
+    # Time layout: every file spans ~the whole user range.
+    assert t_uspan > 10
+    # Z layout: mean user span per file must shrink dramatically while
+    # the ts span stays bounded (not the whole month in every file).
+    assert z_uspan <= t_uspan / 2, (z_uspan, t_uspan)
+    assert z_tspan < 31 * 86400
