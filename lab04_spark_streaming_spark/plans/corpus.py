@@ -1107,6 +1107,141 @@ FROM stats s, ec, tri
 """
 
 
+# --- HyperLogLog distinct estimate ------------------------------------------
+_HLL_M = 64  # buckets (b = 6 index bits); std error ≈ 1.04/√64 ≈ 13%
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual HyperLogLog (public: Flajolet et al. 2007) with the
+    estimate itself hash-checked — completing the deterministic sketch
+    family (CMS, Bloom, MinHash, SimHash, SRP, PQ): 64 registers of
+    max-rank over md5-derived 32-bit hashes of the normalized document
+    digests. The raw-estimate indicator Σ2^−reg is computed as an
+    EXACT integer rational (Σ2^(maxreg−reg) / 2^maxreg — numerator
+    < 2^53), so the harmonic mean is one deterministic double
+    division, not an order-dependent float sum; the small-range
+    linear-counting correction's ln() lands under stable_round(4).
+    The register build is one 64-group aggregate with map-side
+    max-combine — the mergeable-sketch shape that makes HLL the
+    distributed count-distinct at 100 TB. Exact count emitted
+    alongside for the error-bound read-off."""
+    m = _HLL_M
+    docs = _docs(spark, sf_dir).select(
+        F.expr(_SPARK_NORM_H).alias("digest")
+    )
+    h = "cast(conv(substring(md5(concat('hll|', digest)), 1, 8), 16, 10) as bigint)"
+    regs = (
+        docs.select(
+            F.expr(f"{h} % {m}").alias("bucket"),
+            F.expr(
+                f"CASE WHEN ({h} div {m}) = 0 THEN 27 "
+                f"ELSE 27 - length(bin({h} div {m})) END"
+            ).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    # Buckets never hit keep register 0 — left join a literal grid.
+    grid = regs.sparkSession.range(m).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    full = grid.join(regs, "bucket", "left").select(
+        "bucket", F.coalesce("reg", F.lit(0)).alias("reg")
+    )
+    mx = full.agg(F.max("reg").alias("_maxreg"))
+    num = full.crossJoin(F.broadcast(mx)).agg(
+        F.sum(
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(_maxreg - reg as int))"
+            )
+        ).alias("_num"),
+        F.first("_maxreg").alias("_maxreg"),
+        F.count(F.when(F.col("reg") == 0, 1)).alias("_zeros"),
+    )
+    exact = docs.agg(F.count_distinct("digest").alias("n_exact"))
+    # D-suffixed literals: Spark SQL parses bare decimal literals as
+    # DecimalType, which would silently turn the whole estimate (and
+    # floor-round) into decimal arithmetic the oracle's doubles can't
+    # match.
+    alpha_m2 = 0.709 * m * m  # alpha_64 = 0.709 (Flajolet et al.)
+    est_raw = (
+        f"cast({alpha_m2} as double) * cast(shiftleft(cast(1 as bigint), "
+        f"cast(_maxreg as int)) as double) / cast(_num as double)"
+    )
+    est = (
+        f"CASE WHEN ({est_raw}) <= cast(2.5 as double) * {m} AND _zeros > 0 "
+        f"THEN cast({m} as double) * ln(cast({m} as double) / _zeros) "
+        f"ELSE ({est_raw}) END"
+    )
+    return (
+        num.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(m).alias("m"),
+            "n_exact",
+            F.expr(
+                f"floor(({est}) * cast(10000.0 as double) "
+                f"+ cast(0.5 as double)) / cast(10000.0 as double)"
+            ).alias("hll_est"),
+        )
+        .select(
+            "m",
+            "n_exact",
+            "hll_est",
+            (
+                F.abs(F.col("hll_est") - F.col("n_exact"))
+                / F.col("n_exact").cast("double")
+                <= 0.35
+            ).alias("within_bound"),
+        )
+    )
+
+
+def _sql_hll() -> str:
+    m = _HLL_M
+    h = (
+        "CAST(('0x' || substring(md5(concat('hll|', digest)), 1, 8)) "
+        "AS BIGINT)"
+    )
+    alpha_m2 = 0.709 * m * m
+    est_raw = (
+        f"{alpha_m2} * CAST((1::BIGINT << CAST(maxreg AS INTEGER)) AS DOUBLE)"
+        f" / CAST(num AS DOUBLE)"
+    )
+    est = (
+        f"CASE WHEN ({est_raw}) <= 2.5 * {m} AND zeros > 0 "
+        f"THEN {m}.0 * ln({m}.0 / zeros) ELSE ({est_raw}) END"
+    )
+    return f"""
+WITH d AS (SELECT {_SQL_NORM_H} AS digest FROM documents),
+hashes AS (
+  SELECT {h} % {m} AS bucket,
+         CASE WHEN ({h} // {m}) = 0 THEN 27
+              ELSE 27 - length(bin({h} // {m})) END AS rho
+  FROM d
+),
+regs AS (SELECT bucket, MAX(rho) AS reg FROM hashes GROUP BY 1),
+grid AS (SELECT unnest(range(0, {m})) AS bucket),
+full_regs AS (
+  SELECT g.bucket, COALESCE(r.reg, 0) AS reg
+  FROM grid g LEFT JOIN regs r ON g.bucket = r.bucket
+),
+mm AS (SELECT MAX(reg) AS maxreg FROM full_regs),
+agg AS (
+  SELECT CAST(SUM(1::BIGINT << CAST(mm.maxreg - reg AS INTEGER)) AS BIGINT)
+           AS num,
+         ANY_VALUE(mm.maxreg) AS maxreg,
+         COUNT(*) FILTER (reg = 0) AS zeros
+  FROM full_regs, mm
+),
+exact AS (SELECT COUNT(DISTINCT digest) AS n_exact FROM d)
+SELECT {m} AS m, e.n_exact,
+       floor(({est}) * 10000.0 + 0.5) / 10000.0 AS hll_est,
+       (abs(floor(({est}) * 10000.0 + 0.5) / 10000.0 - e.n_exact)
+        / CAST(e.n_exact AS DOUBLE) <= 0.35) AS within_bound
+FROM agg, exact e
+"""
+
+
 # --- count-min-sketch heavy hitters ----------------------------------------
 _CMS_DEPTH = 4
 _CMS_WIDTH = 256
@@ -1238,4 +1373,5 @@ def specs():
             "curation_master", q_curation_master, _sql_curation_master()
         ),
         QuerySpec("graph_triangles", q_graph_triangles, SQL_GRAPH_TRIANGLES),
+        QuerySpec("hll_distinct", q_hll_distinct, _sql_hll()),
     ]
