@@ -111,9 +111,16 @@ _STAMP_FIRST: list[str] = [
     "rolling_active_users",
     "heavy_hitters_cms",
     "contamination_rate",
-    # (window full — dedup_cluster_sizes, token_budget_pack, and the
-    # remaining r4-stamped cohort rotate into the r7 window; all are
-    # covered every round by the local harness regardless.)
+    # (window full. r7 rotation plan: the ~17 round-6 queries landed
+    # after this window filled — session_assoc_rules, funnel_conversion,
+    # cusum_changepoint, key_skew_profile, dedup_incremental_near,
+    # unigram_logprob, bpe_pair_counts, bloom_membership,
+    # textrank_keywords, curation_master, range_frame_trailing_1h,
+    # mode_per_type, zorder_keys, graph_triangles, hll_distinct,
+    # dedup_cluster_sizes, token_budget_pack — go first, then the
+    # remaining r4-stamped cohort; together they fit one 50-slot
+    # window. All are covered every round by the local harness and
+    # were driver-sim verified at sf0.01 regardless.)
 ]
 
 

@@ -11,8 +11,6 @@ from __future__ import annotations
 import datetime as dt
 import math
 
-import pytest
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
