@@ -538,3 +538,103 @@ def twap_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+class EwmaTwsProcessor:
+    """StatefulProcessor for ewma_stream_tws, defined module-level so
+    its recursion logic is unit-testable WITHOUT the streaming runtime
+    (tests/test_streaming.py drives handleInputRows with a stubbed
+    ValueState): this container lacks google.protobuf, which the
+    transformWithState driver worker imports, so the full-plumbing
+    test skips — the same environment-gap pattern as the Kafka jars
+    (PARITY.md S4). Inherits StatefulProcessor lazily inside
+    ewma_stream_tws to keep this module importable everywhere."""
+
+    def __init__(self, ts_col, key_col, value_col, alpha):
+        self._ts = ts_col
+        self._key = key_col
+        self._val = value_col
+        self._alpha = alpha
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("ewma", "ewma double")
+
+    def handleInputRows(self, key, rows, timer_values):
+        prev = None
+        if self._state.exists():
+            prev = self._state.get()[0]
+        for pdf in rows:
+            pdf = pdf.sort_values([self._ts, "event_id"])
+            out = []
+            for x in pdf[self._val]:
+                prev = (
+                    float(x)
+                    if prev is None
+                    else (1.0 - self._alpha) * prev + self._alpha * float(x)
+                )
+                out.append(prev)
+            pdf = pdf.assign(ewma=out)
+            yield pdf[[self._key, "event_id", self._ts, self._val, "ewma"]]
+        if prev is not None:
+            self._state.update((prev,))
+
+    def close(self) -> None:
+        pass
+
+    def handleInitialState(self, key, initialState, timer_values) -> None:
+        pass
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter(())
+
+
+def ewma_stream_tws(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    alpha: float = 0.1,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Recursive streaming EWMA on the Spark 4 arbitrary-state v2 API
+    (``transformWithStateInPandas`` + ``StatefulProcessor`` with a
+    typed ``ValueState``) — the API generation AFTER
+    applyInPandasWithState (which the sessionize/first-crossing/TWAP
+    twins use): typed state handles, per-state TTL, timers, and the
+    RocksDB state store as a requirement rather than an option. The
+    TRULY recursive EWMA y_t = (1−α)·y_{t−1} + α·x_t is the op that
+    needs arbitrary state — it is inherently sequential per key, which
+    is exactly why the BATCH surface ships the bounded-depth form
+    (plans/timeseries.q_ewma_smoothing) instead; here the sequential
+    carry is one scalar per key, the canonical streaming shape.
+
+    Ordering contract: rows are processed in (ts, event_id) order
+    WITHIN each micro-batch (sorted in the processor) and across
+    batches in arrival order — late rows beyond the watermark are
+    dropped upstream; in-watermark stragglers fold in arrival order
+    (the trade every arbitrary-state streaming op makes).
+
+    Environment: needs google.protobuf (the transformWithState driver
+    worker imports it) and the RocksDB state store
+    (session.rocksdb_state_conf()); where protobuf is absent the
+    recursion logic is still covered by the stubbed-state unit test."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    out_schema = (
+        f"{key_col} bigint, event_id bigint, {ts_col} timestamp, "
+        f"{value_col} double, ewma double"
+    )
+
+    class _Proc(EwmaTwsProcessor, StatefulProcessor):
+        pass
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=_Proc(ts_col, key_col, value_col, alpha),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
+        )
+    )

@@ -855,3 +855,133 @@ def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
     assert got.get((1, 0)) == 100 and got.get((1, 2)) == 102
     assert (1, 1) in got and got[(1, 1)] is None
     assert (1, 3) in got and got[(1, 3)] is None
+
+
+def test_ewma_tws_processor_recursion_with_stubbed_state():
+    """The transformWithState EWMA processor's recursion — including
+    the cross-batch ValueState carry — verified by driving
+    handleInputRows directly with a stubbed state (google.protobuf,
+    which the real transformWithState driver worker imports, is absent
+    from this container; the full-plumbing test below skips — same
+    environment-gap pattern as the Kafka jars)."""
+    import pandas as pd
+
+    from lab04_spark_streaming_spark.streaming.state import EwmaTwsProcessor
+
+    class StubState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class StubHandle:
+        def __init__(self):
+            self.state = StubState()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+    proc = EwmaTwsProcessor("ts", "user_id", "value", alpha=0.1)
+    handle = StubHandle()
+    proc.init(handle)
+
+    t0 = dt.datetime(2024, 6, 1)
+    vals1 = [3.0, 9.0, 6.0, 0.0]
+    vals2 = [12.0, 3.0]
+    pdf1 = pd.DataFrame(
+        {
+            "user_id": [1] * 4,
+            # deliberately unsorted: the processor must sort by (ts, event_id)
+            "ts": [t0 + dt.timedelta(seconds=s_) for s_ in (30, 0, 20, 10)],
+            "event_id": [3, 0, 2, 1],
+            "value": [vals1[3], vals1[0], vals1[2], vals1[1]],
+        }
+    )
+    out1 = pd.concat(list(proc.handleInputRows((1,), iter([pdf1]), None)))
+    pdf2 = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "ts": [t0 + dt.timedelta(seconds=s_) for s_ in (40, 50)],
+            "event_id": [4, 5],
+            "value": vals2,
+        }
+    )
+    out2 = pd.concat(list(proc.handleInputRows((1,), iter([pdf2]), None)))
+
+    prev = None
+    expected = []
+    for v in vals1 + vals2:
+        prev = v if prev is None else 0.9 * prev + 0.1 * v
+        expected.append(prev)
+    got = list(out1.sort_values("event_id")["ewma"]) + list(out2["ewma"])
+    assert len(got) == 6
+    for g, e in zip(got, expected):
+        assert abs(g - e) < 1e-12, (g, e)
+    # the carry survived in state for the next batch
+    assert abs(handle.state.get()[0] - expected[-1]) < 1e-12
+
+
+def _protobuf_available() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState driver worker needs google.protobuf "
+    "(absent from this container; recursion covered by the stubbed-"
+    "state unit test above)",
+)
+def test_ewma_tws_end_to_end(spark, tmp_path):
+    """Full transformWithStateInPandas plumbing (RocksDB-backed) —
+    runs wherever protobuf is installed."""
+    from pyspark.sql.types import DoubleType as _D
+
+    from lab04_spark_streaming_spark.session import rocksdb_state_conf
+    from lab04_spark_streaming_spark.streaming.state import ewma_stream_tws
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+            StructField("value", _D()),
+        ]
+    )
+    rows = [
+        (1, T0 + dt.timedelta(seconds=5 * i), i, float(i % 7)) for i in range(10)
+    ]
+    path = str(tmp_path / "ewma_tws_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+    conf = rocksdb_state_conf()
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        out = ewma_stream_tws(file_stream(spark, path, schema), alpha=0.1)
+        memory_sink_once(out, "ewma_tws_e2e", "append")
+        got = {
+            r.event_id: r.ewma for r in spark.table("ewma_tws_e2e").collect()
+        }
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    prev = None
+    for i in range(10):
+        v = float(i % 7)
+        prev = v if prev is None else 0.9 * prev + 0.1 * v
+        assert abs(got[i] - prev) < 1e-12
