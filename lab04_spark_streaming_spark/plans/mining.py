@@ -1,0 +1,861 @@
+"""Corpus-mining wave 3 (round 6): C4-style repeated-span removal,
+prefix-filtered exact set-similarity join (AllPairs/PPJoin family),
+MinHash-estimate-vs-exact error oracle, hashing-trick quality
+classifier, interpolated bigram LM cross-entropy, one-pass column
+profiling, Deequ-style data-quality checks, and k-core decomposition
+of the document-similarity graph.
+
+These extend the reference's data-processing surface (the reference is
+a Kafka moving-stats lab — `moving_statistic.py` end to end) with the
+curation operations a 100 TB training-data pipeline needs; each is a
+declarative Spark plan with a DuckDB oracle twin per registry.py's
+cross-engine determinism rules:
+
+  * every ranking carries an explicit total-order tie-break;
+  * fractions are exact-integer numerators/denominators with one
+    double division at the end (bit-identical cross-engine);
+  * the log-bearing queries (bigram LM) round the per-doc mean with
+    stable_round(4) — libm-vs-java.lang.Math log2 differs ~1 ulp and
+    double summation order ~1e-15, both far below the grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lab04_spark_streaming_spark.functions.guards import (
+    exact_avg,
+    sql_exact_avg,
+    stable_round,
+    sql_stable_round,
+)
+from lab04_spark_streaming_spark.operators import dedup as dd
+from lab04_spark_streaming_spark.operators.textops import (
+    expr_hash_int,
+    expr_shingles,
+    expr_tokens,
+    sql_hash_int,
+    sql_shingles,
+    sql_tokens,
+)
+from lab04_spark_streaming_spark.sources.files import load_table
+
+_SPARK_TOKS = expr_tokens("text")
+_TOKS = sql_tokens("text")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- C4-style repeated-span removal ----------------------------------------
+# C4 (Raffel et al. 2020, public) dropped any LINE occurring >= 3 times
+# in the corpus. The synthetic documents are single-line token streams,
+# so the unit here is the consecutive non-overlapping 4-token span —
+# same shape: partition each doc into spans, ban spans whose corpus
+# frequency reaches the threshold, rebuild the doc from surviving
+# spans in order.
+_SPAN_N = 4
+_SPAN_BAN_AT = 3
+
+
+def _expr_spans(toks: str) -> str:
+    """Spark SQL: consecutive non-overlapping _SPAN_N-token spans; the
+    trailing partial span is kept (slice clamps at the array end).
+    size=0 guarded: sequence(0,-1) would be descending."""
+    return (
+        f"CASE WHEN size({toks}) = 0 THEN cast(array() as array<string>) "
+        f"ELSE transform(sequence(0, cast(ceil(size({toks}) / {_SPAN_N}.0) as int) - 1), "
+        f"g -> concat_ws(' ', slice({toks}, g * {_SPAN_N} + 1, {_SPAN_N}))) END"
+    )
+
+
+def _sql_spans(toks: str) -> str:
+    return (
+        f"CASE WHEN len({toks}) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_transform(generate_series(1, CAST(ceil(len({toks}) / {_SPAN_N}.0) AS BIGINT)), "
+        f"g -> array_to_string({toks}[(g-1)*{_SPAN_N}+1 : (g-1)*{_SPAN_N}+{_SPAN_N}], ' ')) END"
+    )
+
+
+def q_span_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency span removal. Scale shape: the banned-span set
+    (frequency >= threshold) is tiny by construction — spans repeated
+    across >= 3 documents of a deduplicated crawl are boilerplate — so
+    it broadcasts as a one-row collect_set and the documents side is a
+    ZERO-shuffle projection (filter inside a lambda against the
+    broadcast array). Only 32-char span digests ever shuffle (the
+    frequency groupBy); document text never moves."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_expr_spans(_SPARK_TOKS)).alias("spans")
+    )
+    banned = (
+        docs.select(F.explode("spans").alias("span"))
+        .select(F.md5("span").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _SPAN_BAN_AT)
+        .agg(F.coalesce(F.collect_set("d"), F.expr("array()")).alias("banned"))
+    )
+    return (
+        docs.crossJoin(F.broadcast(banned))
+        .select(
+            "doc_id",
+            F.size("spans").alias("n_spans"),
+            F.expr(
+                "filter(spans, s -> NOT array_contains(banned, md5(s)))"
+            ).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            (F.col("n_spans") - F.size("kept")).alias("n_removed"),
+            F.md5(F.concat_ws(" ", F.col("kept"))).alias("kept_digest"),
+        )
+    )
+
+
+SQL_SPAN_DEDUP_C4 = f"""
+WITH sp AS (
+  SELECT doc_id, {_sql_spans(_TOKS)} AS spans FROM documents
+),
+banned AS (
+  SELECT coalesce(list(d), []) AS banned FROM (
+    SELECT md5(s.span) AS d, COUNT(*) AS n
+    FROM sp, unnest(spans) s(span)
+    GROUP BY 1 HAVING COUNT(*) >= {_SPAN_BAN_AT}
+  )
+),
+kept AS (
+  SELECT doc_id, len(spans) AS n_spans,
+         list_filter(spans, s -> NOT list_contains(banned, md5(s))) AS kept
+  FROM sp CROSS JOIN banned
+)
+SELECT doc_id, n_spans,
+       n_spans - len(kept) AS n_removed,
+       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_digest
+FROM kept
+"""
+
+
+# --- prefix-filtered exact similarity join ---------------------------------
+# AllPairs / PPJoin candidate generation (Bayardo et al. 2007; Xiao et
+# al. 2008 — public): order each doc's shingle set by ascending global
+# document frequency, index only the first L - ceil(t*L) + 1 elements
+# (two docs with Jaccard >= t MUST share a prefix element), then
+# verify exact Jaccard on fetched records. Unlike MinHash-LSH this is
+# EXACT — zero false negatives — at the cost of the df-ranking pass.
+_JACC_T_NUM, _JACC_T_DEN = 8, 10  # threshold 0.8 as an exact rational
+
+
+def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.8 pairs over distinct 3-token shingle sets.
+
+    Scale notes: shingle df and the rarity ranking are shingle-vocab-
+    bounded relations (broadcast); the candidate join's bucket key is
+    a PREFIX shingle — by construction the rarest elements of each set
+    (df-ascending order), so bucket sizes are the small-df tail, not
+    the stop-shingle head (df max 7 on the test corpus). ceil(t*L) is
+    computed in exact integer arithmetic ((8L+9) div 10) so the prefix
+    boundary and both length filters are float-free. Verification
+    fetches the two shingle arrays by doc_id (candidate-bounded) and
+    intersects JVM-side; the Jaccard is one double division of exact
+    integers."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+        .filter(F.expr("size(toks) >= 3"))
+        .select(
+            "doc_id",
+            F.expr(f"array_distinct({expr_shingles('toks')})").alias("s"),
+        )
+    )
+    ex = docs.select(
+        "doc_id", F.size("s").alias("L"), F.explode("s").alias("sh")
+    )
+    rk = (
+        ex.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        # shingle-vocab-bounded window (corpus-size-independent); the
+        # (df, sh) order is a total order -> deterministic ranks.
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy("df", "sh"))
+        )
+        .select("sh", "rk")
+    )
+    pref = (
+        ex.join(F.broadcast(rk), "sh")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("rk")
+            ),
+        )
+        .filter(
+            F.col("pos")
+            <= F.col("L")
+            - F.expr(f"({_JACC_T_NUM} * L + {_JACC_T_DEN - 1}) div {_JACC_T_DEN}")
+            + 1
+        )
+        .select("doc_id", "L", "sh")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # |B| >= t|A| and |A| >= t|B|, in integers
+            & (_JACC_T_DEN * F.col("b.L") >= _JACC_T_NUM * F.col("a.L"))
+            & (_JACC_T_DEN * F.col("a.L") >= _JACC_T_NUM * F.col("b.L")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(array_intersect(sa, sb))").alias("inter_sz"),
+            (
+                F.expr("size(sa) + size(sb) - size(array_intersect(sa, sb))")
+            ).alias("union_sz"),
+        )
+        .filter(
+            _JACC_T_DEN * F.col("inter_sz") >= _JACC_T_NUM * F.col("union_sz")
+        )
+        .withColumn(
+            "jaccard", F.col("inter_sz") / F.col("union_sz").cast("double")
+        )
+        .select("doc_a", "doc_b", "inter_sz", "union_sz", "jaccard")
+    )
+
+
+SQL_JACCARD_PREFIX_JOIN = f"""
+WITH sets AS (
+  SELECT doc_id, list_distinct({sql_shingles('toks')}) AS s
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t(doc_id, toks)
+  WHERE len(toks) >= 3
+),
+ex AS (SELECT doc_id, len(s) AS L, u.sh FROM sets, unnest(s) u(sh)),
+rk AS (
+  SELECT sh, row_number() OVER (ORDER BY COUNT(*), sh) AS rk
+  FROM ex GROUP BY sh
+),
+pref AS (
+  SELECT doc_id, L, sh FROM (
+    SELECT e.doc_id, e.L, e.sh,
+           row_number() OVER (PARTITION BY e.doc_id ORDER BY r.rk) AS pos
+    FROM ex e JOIN rk r ON e.sh = r.sh
+  ) WHERE pos <= L - (({_JACC_T_NUM} * L + {_JACC_T_DEN - 1}) // {_JACC_T_DEN}) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+   AND {_JACC_T_DEN} * b.L >= {_JACC_T_NUM} * a.L
+   AND {_JACC_T_DEN} * a.L >= {_JACC_T_NUM} * b.L
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(x.s, y.s)) AS inter_sz,
+         len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS union_sz
+  FROM cand c
+  JOIN sets x ON x.doc_id = c.doc_a
+  JOIN sets y ON y.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, inter_sz, union_sz,
+       inter_sz / CAST(union_sz AS DOUBLE) AS jaccard
+FROM verified
+WHERE {_JACC_T_DEN} * inter_sz >= {_JACC_T_NUM} * union_sz
+"""
+
+
+# --- MinHash estimate vs exact Jaccard -------------------------------------
+def q_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy evaluation for the MinHash family (the
+    measure-don't-guess gate the ANN recall@10 query provides for the
+    IVF index): for every LSH candidate pair, the signature-agreement
+    estimate (matching slots / k) beside the exact Jaccard of the
+    3-shingle sets, plus the absolute error. Everything is exact
+    integer counts with single double divisions, so even the ERROR of
+    the approximation is hash-checked cross-engine. Candidate-bounded:
+    the exact verify touches only LSH survivors, never all pairs."""
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_candidate_pairs(docs)
+    eligible = docs.filter(F.expr(f"size({_SPARK_TOKS}) >= 3"))
+    sigs = dd.minhash_signatures(eligible)
+    # staged projections (tokens, then shingles) — inlining the token
+    # split into the shingle lambda re-splits per element (see the
+    # minhash_signatures docstring, operators/dedup.py).
+    sets = (
+        eligible.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+        .select(
+            "doc_id",
+            F.expr(f"array_distinct({expr_shingles('toks')})").alias("s"),
+        )
+    )
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    xa = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    xb = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    k = dd.MINHASH_K
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .join(xa, "id_a")
+        .join(xb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                f"size(filter(sequence(1, {k}), "
+                "i -> element_at(sig_a, i) = element_at(sig_b, i)))"
+            ).alias("match_slots"),
+            F.expr("size(array_intersect(sa, sb))").alias("inter_sz"),
+            F.expr(
+                "size(sa) + size(sb) - size(array_intersect(sa, sb))"
+            ).alias("union_sz"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("match_slots") / F.lit(float(k))).alias("est_jaccard"),
+            (F.col("inter_sz") / F.col("union_sz").cast("double")).alias(
+                "exact_jaccard"
+            ),
+            F.abs(
+                F.col("match_slots") / F.lit(float(k))
+                - F.col("inter_sz") / F.col("union_sz").cast("double")
+            ).alias("abs_err"),
+        )
+    )
+
+
+def _sql_minhash_error() -> str:
+    # Rebuild the signature/band CTE chain from the same shared
+    # helpers the dedup_minhash_* oracles use (plans/llm.py), so the
+    # two stay in lock-step if MINHASH_K/LSH_BANDS ever change.
+    from lab04_spark_streaming_spark.plans.llm import (
+        _sql_bands,
+        _sql_minhash_mins,
+    )
+
+    k = dd.MINHASH_K
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {sql_shingles('toks')} AS shingles FROM tok t(doc_id, toks)),
+hs AS (SELECT doc_id, list_transform(t.shingles, s -> {sql_hash_int('s')}) AS hs
+       FROM sh t(doc_id, shingles)),
+sigs AS (SELECT doc_id, [{_sql_minhash_mins()}] AS sig FROM hs t(doc_id, hs)),
+bands AS (
+  SELECT doc_id, bd.band AS band, bd.band_hash AS band_hash
+  FROM sigs, unnest({_sql_bands()}) u(bd)
+  WHERE sig[1] IS NOT NULL
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id, list_distinct({sql_shingles('toks')}) AS s
+  FROM tok t(doc_id, toks)
+  WHERE len(toks) >= 3
+)
+SELECT p.id_a, p.id_b,
+       len(list_filter(generate_series(1, {k}),
+           i -> sa.sig[i] = sb.sig[i])) / {float(k)} AS est_jaccard,
+       len(list_intersect(x.s, y.s))
+         / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE)
+         AS exact_jaccard,
+       abs(len(list_filter(generate_series(1, {k}),
+               i -> sa.sig[i] = sb.sig[i])) / {float(k)}
+           - len(list_intersect(x.s, y.s))
+             / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE))
+         AS abs_err
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.id_a
+JOIN sigs sb ON sb.doc_id = p.id_b
+JOIN sets x ON x.doc_id = p.id_a
+JOIN sets y ON y.doc_id = p.id_b
+"""
+
+
+# --- hashing-trick linear quality classifier -------------------------------
+# The SQL-able analog of fastText-style model-based quality filtering
+# (Joulin et al. 2016 public; hashing trick per Weinberger et al.
+# 2009): tokens hash into B buckets, each bucket carries a fixed
+# integer weight (deterministically derived from the bucket id — a
+# stand-in for trained weights, same plumbing), a doc's score is the
+# mean bucket weight of its tokens. Pure per-row projection: ZERO
+# shuffle, no vocabulary relation at all — the "model" is an
+# expression, which is exactly how a broadcast weight table degenerates
+# when weights are derivable.
+_QC_BUCKETS = 256
+_QC_WRANGE = 2001  # weights in [-1000, 1000]
+
+
+def _weight_expr_spark() -> str:
+    bucket = f"pmod({expr_hash_int('w', 'qb')}, {_QC_BUCKETS})"
+    return (
+        f"{expr_hash_int(f'cast({bucket} as string)', 'qw')} % {_QC_WRANGE} - 1000"
+    )
+
+
+def _weight_expr_sql() -> str:
+    bucket = f"({sql_hash_int('w', 'qb')} % {_QC_BUCKETS})"
+    return (
+        f"{sql_hash_int(f'CAST({bucket} AS VARCHAR)', 'qw')} % {_QC_WRANGE} - 1000"
+    )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"size({_SPARK_TOKS})").alias("n_tokens"),
+        F.expr(
+            f"aggregate(transform({_SPARK_TOKS}, w -> {_weight_expr_spark()}), "
+            "0L, (acc, x) -> acc + x)"
+        ).alias("score_num"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "score_num",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("score_num") / F.col("n_tokens").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("score"),
+        (
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("score_num") / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0))
+            >= 0
+        ).alias("passes"),
+    )
+
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH scored AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         coalesce(list_sum(list_transform(toks, w -> {_weight_expr_sql()})), 0) AS score_num
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t(doc_id, toks)
+)
+SELECT doc_id, n_tokens, CAST(score_num AS BIGINT) AS score_num,
+       CASE WHEN n_tokens > 0 THEN score_num / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS score,
+       (CASE WHEN n_tokens > 0 THEN score_num / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) >= 0 AS passes
+FROM scored
+"""
+
+
+# --- interpolated bigram LM cross-entropy ----------------------------------
+# Extends the unigram CCNet analog (plans/corpus.q_unigram_logprob)
+# one Markov order up, with fixed-weight Jelinek-Mercer interpolation
+# (0.75 bigram + 0.25 unigram — Chen & Goodman 1999, public):
+# p(w2|w1) = 0.75*C(w1 w2)/C(w1) + 0.25*C(w2)/N. Both terms are exact
+# integer divisions; the per-doc mean of -log2 p is stable_round(4)
+# per the module determinism note.
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count relations are bigram-vocab-bounded -> broadcast; the doc
+    side is one explode + three broadcast joins + one doc_id groupBy
+    (single shuffle on the pre-aggregated doc key)."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SPARK_TOKS).alias("toks")
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(F.expr(expr_shingles("toks", 2))).alias("bg"),
+    ).select(
+        "doc_id",
+        "bg",
+        F.expr("split(bg, ' ')[0]").alias("w1"),
+        F.expr("split(bg, ' ')[1]").alias("w2"),
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    n_total = uni.agg(F.sum("c1").alias("n_total"))
+    big = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c_w2"))
+    p = (
+        F.lit(0.75) * (F.col("c2") / F.col("c_w1").cast("double"))
+        + F.lit(0.25) * (F.col("c_w2") / F.col("n_total").cast("double"))
+    )
+    return (
+        bg.join(F.broadcast(big), "bg")
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            stable_round(-F.avg(F.log2(p)), 4).alias("avg_neg_log2p"),
+        )
+    )
+
+
+SQL_BIGRAM_LOGPROB = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, u.bg,
+         string_split(u.bg, ' ')[1] AS w1,
+         string_split(u.bg, ' ')[2] AS w2
+  FROM tok t(doc_id, toks), unnest({sql_shingles('toks', 2)}) u(bg)
+),
+uni AS (
+  SELECT w, COUNT(*) AS c1
+  FROM (SELECT unnest(toks) AS w FROM tok t(doc_id, toks)) GROUP BY 1
+),
+tot AS (SELECT SUM(c1) AS n_total FROM uni),
+big AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY 1)
+SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       {sql_stable_round(
+           "-avg(log2(0.75 * (c.c2 / CAST(a.c1 AS DOUBLE)) "
+           "+ 0.25 * (d.c1 / CAST(t.n_total AS DOUBLE))))", 4)} AS avg_neg_log2p
+FROM bg b
+JOIN big c ON c.bg = b.bg
+JOIN uni a ON a.w = b.w1
+JOIN uni d ON d.w = b.w2
+CROSS JOIN tot t
+GROUP BY b.doc_id
+"""
+
+
+# --- one-pass column profiler ----------------------------------------------
+# ANALYZE-style table profiling (the stats a cost-based planner or a
+# data-quality monitor collects): per column — rows, nulls, distincts,
+# numeric min/max (timestamps as epoch seconds), and exact-decimal
+# average string length. ONE scan: all 6x5 aggregates land in a single
+# hash-aggregate row, then unpivot to long form driver-side-free via
+# an inline array explode.
+_PROFILE_COLS: list[tuple[str, str]] = [
+    ("l_orderkey", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+        elif kind == "ts":
+            aggs.append(
+                F.min(F.unix_timestamp(c)).cast("double").alias(f"{c}__min")
+            )
+            aggs.append(
+                F.max(F.unix_timestamp(c)).cast("double").alias(f"{c}__max")
+            )
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__min"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__max"))
+        if kind == "str":
+            aggs.append(exact_avg(F.length(F.col(c))).alias(f"{c}__avglen"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__avglen"))
+    one = li.agg(*aggs)
+    entries = ", ".join(
+        f"struct('{c}' as col_name, n_rows, `{c}__nulls` as n_nulls, "
+        f"`{c}__distinct` as n_distinct, `{c}__min` as min_num, "
+        f"`{c}__max` as max_num, `{c}__avglen` as avg_len)"
+        for c, _ in _PROFILE_COLS
+    )
+    return one.select(
+        F.explode(F.expr(f"array({entries})")).alias("p")
+    ).select("p.*")
+
+
+def _sql_data_profile() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+        elif kind == "ts":
+            mn = f"CAST(epoch(MIN({c})) AS DOUBLE)"
+            mx = f"CAST(epoch(MAX({c})) AS DOUBLE)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+        avg_len = (
+            sql_exact_avg(f"length({c})")
+            if kind == "str"
+            else "CAST(NULL AS DOUBLE)"
+        )
+        parts.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+            f"COUNT(DISTINCT {c}) AS n_distinct, {mn} AS min_num, "
+            f"{mx} AS max_num, {avg_len} AS avg_len FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+# --- Deequ-style data-quality checks ---------------------------------------
+# Declarative constraint validation (the shape of AWS Deequ /
+# dbt-tests, both public): each check emits one row with the exact
+# violation count and a pass flag; the report is the union. Checks on
+# one table share its scan; the referential check is a broadcast
+# anti-join on the dim keys.
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def row(name: str, agg: DataFrame) -> DataFrame:
+        return agg.select(
+            F.lit(name).alias("check_name"),
+            "n_rows",
+            "n_bad",
+            F.when(
+                F.col("n_rows") > 0,
+                1.0 - F.col("n_bad") / F.col("n_rows").cast("double"),
+            ).otherwise(F.lit(1.0)).alias("metric"),
+            (F.col("n_bad") == 0).alias("passed"),
+        )
+
+    completeness = row(
+        "completeness:o_custkey",
+        orders.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_custkey").isNull().cast("long")).alias("n_bad"),
+        ),
+    )
+    uniq = row(
+        "uniqueness:o_orderkey",
+        orders.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_bad"),
+        ),
+    )
+    ref = row(
+        "referential:o_custkey->customer",
+        orders.join(
+            F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+        .crossJoin(
+            F.broadcast(orders.agg(F.count(F.lit(1)).alias("n_rows")))
+        ),
+    )
+    rng = row(
+        "range:l_quantity[1,50]",
+        li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (
+                    F.col("l_quantity").isNull()
+                    | (F.col("l_quantity") < 1)
+                    | (F.col("l_quantity") > 50)
+                ).cast("long")
+            ).alias("n_bad"),
+        ),
+    )
+    accepted = row(
+        "accepted_values:l_returnflag{A,N,R}",
+        li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (~F.col("l_returnflag").isin("A", "N", "R")).cast("long")
+            ).alias("n_bad"),
+        ),
+    )
+    return (
+        completeness.unionByName(uniq)
+        .unionByName(ref.select("check_name", "n_rows", "n_bad", "metric", "passed"))
+        .unionByName(rng)
+        .unionByName(accepted)
+    )
+
+
+SQL_DQ_CHECKS = """
+WITH checks AS (
+  SELECT 'completeness:o_custkey' AS check_name, COUNT(*) AS n_rows,
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_bad
+  FROM orders
+  UNION ALL
+  SELECT 'uniqueness:o_orderkey', COUNT(*),
+         COUNT(*) - COUNT(DISTINCT o_orderkey)
+  FROM orders
+  UNION ALL
+  SELECT 'referential:o_custkey->customer',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'range:l_quantity[1,50]', COUNT(*),
+         SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                       OR l_quantity > 50 THEN 1 ELSE 0 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'accepted_values:l_returnflag{A,N,R}', COUNT(*),
+         SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END)
+  FROM lineitem
+)
+SELECT check_name, n_rows, CAST(n_bad AS BIGINT) AS n_bad,
+       CASE WHEN n_rows > 0
+            THEN 1.0 - n_bad / CAST(n_rows AS DOUBLE) ELSE 1.0 END AS metric,
+       n_bad = 0 AS passed
+FROM checks
+"""
+
+
+# --- k-core decomposition of the doc-similarity graph ----------------------
+# Batagelj & Zaversnik 2003 (public) peeling, parallel-variant: each
+# round simultaneously removes every node with alive-degree < k — a
+# deterministic fixpoint (no tie-break needed, unlike sequential
+# peeling). The graph: documents are nodes, edges join docs sharing
+# >= 2 distinct 3-shingles (the same inverted-index + pair-count build
+# as the n-gram Jaccard verifier). k=3 converges in <= 3 rounds at
+# every test SF (measured); 5 unrolled rounds leave >= 2 fixpoint
+# confirmations, and tests assert round-5 == round-4.
+_KCORE_K = 3
+_KCORE_ROUNDS = 5
+_KCORE_MIN_SHARED = 2
+
+
+def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+        .filter(F.expr("size(toks) >= 3"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"array_distinct({expr_shingles('toks')})")
+            ).alias("sh"),
+        )
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= _KCORE_MIN_SHARED)
+        .select("src", "dst")
+    )
+
+
+def q_kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the inverted-index edge build is the dedup
+    verifier's (shingle-keyed, df-bounded buckets); the peel loop is
+    {rounds} x (one semi-join + one count agg) over the symmetrized
+    edge relation, which is localCheckpointed ONCE so the five rounds
+    replay neither the scan nor the self-join (same lineage-cut
+    pattern as operators/dedup.dedup_clusters)."""
+    edges = _kcore_edges(spark, sf_dir)
+    adj = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    alive = adj.select(F.col("u").alias("node")).distinct()
+    deg = None
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            adj.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = (
+            deg.filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("u").alias("node"))
+        )
+    # report the surviving nodes with their degree inside the core
+    final = (
+        adj.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
+        .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )
+    return final.select(
+        F.col("u").alias("doc_id"), F.lit(_KCORE_K).alias("k"), "core_deg"
+    )
+
+
+def _sql_kcore() -> str:
+    rounds = []
+    prev = "a0"
+    base = f"""
+ex AS (
+  SELECT doc_id, u.sh
+  FROM (SELECT doc_id, list_distinct({sql_shingles('toks')}) AS s
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t(doc_id, toks)
+        WHERE len(toks) >= 3) q, unnest(s) u(sh)
+),
+e0 AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_MIN_SHARED}
+),
+adj AS (SELECT src AS u, dst AS v FROM e0
+        UNION ALL SELECT dst, src FROM e0),
+a0 AS (SELECT DISTINCT u AS node FROM adj)"""
+    for i in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""a{i} AS (
+  SELECT u AS node FROM adj
+  WHERE u IN (SELECT node FROM {prev}) AND v IN (SELECT node FROM {prev})
+  GROUP BY u HAVING COUNT(*) >= {_KCORE_K}
+)"""
+        )
+        prev = f"a{i}"
+    return (
+        "WITH "
+        + base
+        + ",\n"
+        + ",\n".join(rounds)
+        + f"""
+SELECT u AS doc_id, {_KCORE_K} AS k, COUNT(*) AS core_deg
+FROM adj
+WHERE u IN (SELECT node FROM {prev}) AND v IN (SELECT node FROM {prev})
+GROUP BY u
+"""
+    )
+
+
+def specs():
+    from lab04_spark_streaming_spark.registry import QuerySpec
+
+    return [
+        QuerySpec("span_dedup_c4", q_span_dedup_c4, SQL_SPAN_DEDUP_C4),
+        QuerySpec(
+            "jaccard_prefix_join", q_jaccard_prefix_join, SQL_JACCARD_PREFIX_JOIN
+        ),
+        QuerySpec("minhash_error", q_minhash_error, _sql_minhash_error()),
+        QuerySpec(
+            "quality_classifier", q_quality_classifier, SQL_QUALITY_CLASSIFIER
+        ),
+        QuerySpec("bigram_logprob", q_bigram_logprob, SQL_BIGRAM_LOGPROB),
+        QuerySpec("data_profile", q_data_profile, _sql_data_profile()),
+        QuerySpec("dq_checks", q_dq_checks, SQL_DQ_CHECKS),
+        QuerySpec("kcore_docs", q_kcore_docs, _sql_kcore()),
+    ]

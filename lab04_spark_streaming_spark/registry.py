@@ -27,6 +27,7 @@ from lab04_spark_streaming_spark.plans import (
     analytics,
     corpus,
     llm,
+    mining,
     pipeline_extras,
     reference_parity,
     timeseries,
@@ -111,16 +112,18 @@ _STAMP_FIRST: list[str] = [
     "rolling_active_users",
     "heavy_hitters_cms",
     "contamination_rate",
-    # (window full. r7 rotation plan: the ~17 round-6 queries landed
+    # (window full. r7 rotation plan: the ~25 round-6 queries landed
     # after this window filled — session_assoc_rules, funnel_conversion,
     # cusum_changepoint, key_skew_profile, dedup_incremental_near,
     # unigram_logprob, bpe_pair_counts, bloom_membership,
     # textrank_keywords, curation_master, range_frame_trailing_1h,
     # mode_per_type, zorder_keys, graph_triangles, hll_distinct,
-    # dedup_cluster_sizes, token_budget_pack — go first, then the
-    # remaining r4-stamped cohort; together they fit one 50-slot
-    # window. All are covered every round by the local harness and
-    # were driver-sim verified at sf0.01 regardless.)
+    # dedup_cluster_sizes, token_budget_pack, plus the mining-wave
+    # eight (span_dedup_c4, jaccard_prefix_join, minhash_error,
+    # quality_classifier, bigram_logprob, data_profile, dq_checks,
+    # kcore_docs) — go first, then the remaining r4-stamped cohort
+    # rotates through r7/r8. All are covered every round by the local
+    # harness and were driver-sim verified at sf0.01 regardless.)
 ]
 
 
@@ -133,6 +136,7 @@ def all_specs() -> list[QuerySpec]:
     specs += pipeline_extras.specs()
     specs += timeseries.specs()
     specs += corpus.specs()
+    specs += mining.specs()
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
     by_name = {s.name: s for s in specs}

@@ -1,0 +1,272 @@
+"""Semantic ground-truth + physical-plan audits for the mining wave
+(plans/mining.py): C4 span removal, prefix-filtered exact similarity
+join, MinHash error oracle, hashing-trick classifier, bigram LM,
+profiler, DQ checks, and k-core.
+
+Oracle parity for all eight is covered by tests/test_oracle_parity.py
+(they are registered); these tests pin the SEMANTICS against
+independent recomputations and the plan shapes against the 100 TB
+design notes in the docstrings.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import pytest
+
+from lab04_spark_streaming_spark.plans import mining
+from tests.test_plans import plan_of
+
+
+# --- helpers ----------------------------------------------------------------
+def _toks(text: str) -> list[str]:
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _shingle_set(text: str, n: int = 3) -> set[str]:
+    t = _toks(text)
+    return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+
+def _mem_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- span_dedup_c4 ----------------------------------------------------------
+def test_span_dedup_bans_only_frequent_spans(spark, tmp_path):
+    """A span repeated 3x corpus-wide is removed everywhere; spans at
+    2 occurrences survive. Verified on a hand-built corpus written to
+    parquet (the query loads via load_table)."""
+    boiler = "copy right all rights"  # exactly one 4-token span
+    rows = [
+        (0, boiler + " alpha beta gamma delta"),
+        (1, boiler + " epsilon zeta eta theta"),
+        (2, boiler + " iota kappa lam mu"),
+        (3, "unique words here only four more words now"),
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    _mem_docs(spark, rows).write.parquet(str(d / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in mining.q_span_dedup_c4(spark, str(d)).collect()
+    }
+    # docs 0-2: 2 spans each, the boilerplate one banned (freq 3)
+    for i in range(3):
+        assert out[i]["n_spans"] == 2
+        assert out[i]["n_removed"] == 1
+    assert out[3]["n_removed"] == 0
+    # kept text of doc 0 is its second span only
+    exp = hashlib.md5(b"alpha beta gamma delta").hexdigest()
+    assert out[0]["kept_digest"] == exp
+
+
+def test_span_dedup_docs_side_zero_shuffle(spark, sf_dir):
+    """The documents side reaches the banned-set broadcast join without
+    an Exchange: one scan, projections, a broadcast nested-loop (1-row
+    build side), final project. The only Exchange in the whole plan is
+    the banned-span frequency groupBy."""
+    plan = plan_of(mining.q_span_dedup_c4(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    # exactly the digest-frequency hash agg exchanges (partial+final
+    # pair counts as one boundary) plus the single-row global agg.
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "SortMergeJoin" not in plan
+
+
+# --- jaccard_prefix_join ----------------------------------------------------
+def test_prefix_join_is_exact_vs_brute_force(spark, sf_dir):
+    """Prefix filtering must lose NOTHING: pairs == brute-force exact
+    Jaccard >= 0.8 pairs recomputed in Python over the same corpus."""
+    from lab04_spark_streaming_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    sets = {
+        r["doc_id"]: _shingle_set(r["text"])
+        for r in docs
+        if len(_toks(r["text"])) >= 3
+    }
+    expected = set()
+    ids = sorted(sets)
+    inv = defaultdict(list)
+    for i in ids:
+        for sh in sets[i]:
+            inv[sh].append(i)
+    cand = {
+        (a, b)
+        for lst in inv.values()
+        for a in lst
+        for b in lst
+        if a < b
+    }
+    for a, b in cand:
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and 10 * inter >= 8 * union:
+            expected.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in mining.q_jaccard_prefix_join(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(got) > 0  # the corpus plants near-dups; must find them
+
+
+def test_prefix_join_plan_broadcasts_rank_no_cartesian(spark, sf_dir):
+    plan = plan_of(mining.q_jaccard_prefix_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the df-rank relation
+
+
+# --- minhash_error ----------------------------------------------------------
+def test_minhash_error_bounds_and_identity(spark, sf_dir):
+    rows = mining.q_minhash_error(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 < r["exact_jaccard"] <= 1.0
+        assert abs(
+            abs(r["est_jaccard"] - r["exact_jaccard"]) - r["abs_err"]
+        ) < 1e-12
+        # identical sets hash to identical signatures: exact 1 => est 1
+        if r["exact_jaccard"] == 1.0:
+            assert r["est_jaccard"] == 1.0
+
+
+# --- quality_classifier -----------------------------------------------------
+def _hash_int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_quality_classifier_matches_python_recompute(spark, sf_dir):
+    from lab04_spark_streaming_spark.sources.files import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(20)
+        .collect()
+    )
+    got = {
+        r["doc_id"]: r
+        for r in mining.q_quality_classifier(spark, sf_dir).collect()
+    }
+    for d in docs:
+        toks = _toks(d["text"])
+        num = sum(
+            _hash_int(f"qw|{_hash_int(f'qb|{w}') % 256}") % 2001 - 1000
+            for w in toks
+        )
+        assert got[d["doc_id"]]["score_num"] == num
+        assert got[d["doc_id"]]["n_tokens"] == len(toks)
+
+
+def test_quality_classifier_zero_shuffle(spark, sf_dir):
+    plan = plan_of(mining.q_quality_classifier(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+# --- bigram LM --------------------------------------------------------------
+def test_bigram_logprob_count_relations_broadcast(spark, sf_dir):
+    plan = plan_of(mining.q_bigram_logprob(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_logprob_in_sane_range(spark, sf_dir):
+    rows = mining.q_bigram_logprob(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # -log2 p of an interpolated LM over a ~40-word vocab
+        assert 0.0 < r["avg_neg_log2p"] < 20.0
+
+
+# --- profiler & DQ ----------------------------------------------------------
+def test_data_profile_single_scan_and_values(spark, sf_dir):
+    from lab04_spark_streaming_spark.sources.files import load_table
+
+    # plan BEFORE executing: post-collect AQE explain prints the final
+    # plan and the initial plan, double-counting every node.
+    plan = plan_of(mining.q_data_profile(spark, sf_dir))
+    # one pass over lineitem: a single scan NODE — which "formatted"
+    # prints twice (once in the tree, once in the detail section).
+    assert plan.count("(1) Scan parquet") == 1
+    assert plan.count("Scan parquet") == 2
+    prof = {
+        r["col_name"]: r for r in mining.q_data_profile(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    assert all(p["n_rows"] == n for p in prof.values())
+    assert prof["l_returnflag"]["n_distinct"] == 3
+    assert prof["l_quantity"]["min_num"] >= 1.0
+    assert prof["l_returnflag"]["avg_len"] == 1.0
+
+
+def test_dq_checks_all_pass_on_clean_testdata(spark, sf_dir):
+    rows = mining.q_dq_checks(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r["passed"] for r in rows)
+    assert all(r["metric"] == 1.0 for r in rows)
+    ref = next(r for r in rows if r["check_name"].startswith("referential"))
+    assert ref["n_bad"] == 0
+
+
+def test_dq_referential_catches_orphans(spark, tmp_path):
+    """Plant an orphan o_custkey and assert the check fails it."""
+    import pyspark.sql.functions as F
+    from lab04_spark_streaming_spark.sources.files import load_table
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf"
+    d.mkdir()
+    orders = load_table(spark, src, "orders")
+    orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(10**12)).otherwise(
+            F.col("o_custkey")
+        ),
+    ).write.parquet(str(d / "orders.parquet"))
+    for t in ("customer", "lineitem"):
+        load_table(spark, src, t).write.parquet(str(d / f"{t}.parquet"))
+    rows = {r["check_name"]: r for r in mining.q_dq_checks(spark, str(d)).collect()}
+    ref = rows["referential:o_custkey->customer"]
+    assert not ref["passed"] and ref["n_bad"] > 0
+    assert rows["uniqueness:o_orderkey"]["passed"]
+
+
+# --- k-core -----------------------------------------------------------------
+def test_kcore_matches_python_peel_and_converged(spark, sf_dir):
+    """Recompute the k-core fixpoint in Python from the same edge
+    relation and assert (a) the 5-round unroll has converged (the
+    fixpoint needs <= 3 rounds at every test SF) and (b) membership +
+    degrees agree exactly."""
+    edges = mining._kcore_edges(spark, sf_dir).collect()
+    adj = defaultdict(set)
+    for r in edges:
+        adj[r["src"]].add(r["dst"])
+        adj[r["dst"]].add(r["src"])
+    nodes = set(adj)
+    while True:
+        kill = {n for n in nodes if len(adj[n] & nodes) < mining._KCORE_K}
+        if not kill:
+            break
+        nodes -= kill
+    expected = {n: len(adj[n] & nodes) for n in nodes}
+    got = {
+        r["doc_id"]: r["core_deg"]
+        for r in mining.q_kcore_docs(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_kcore_plan_no_cartesian(spark, sf_dir):
+    plan = plan_of(mining.q_kcore_docs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
