@@ -858,4 +858,431 @@ def specs():
         QuerySpec("data_profile", q_data_profile, _sql_data_profile()),
         QuerySpec("dq_checks", q_dq_checks, SQL_DQ_CHECKS),
         QuerySpec("kcore_docs", q_kcore_docs, _sql_kcore()),
+        QuerySpec("scd2_intervals", q_scd2_intervals, SQL_SCD2_INTERVALS),
+        QuerySpec("hll_by_source", q_hll_by_source, _sql_hll_by_source()),
+        QuerySpec("snm_candidates", q_snm_candidates, SQL_SNM_CANDIDATES),
+        QuerySpec("lpa_communities", q_lpa_communities, _sql_lpa()),
     ]
+
+
+# ===========================================================================
+# Wave 4: SCD-2 intervals, mergeable per-source HLL, blocked
+# sorted-neighborhood candidates, label-propagation communities.
+# ===========================================================================
+
+
+# --- SCD Type-2 interval build ---------------------------------------------
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build from the event
+    stream — the standard warehouse op: per user, collapse consecutive
+    runs of the same event_type into [valid_from, valid_to) intervals,
+    open-ended (NULL valid_to + is_current) on the latest run.
+
+    Gaps-and-islands: a change flag via lag over the per-user (ts,
+    event_id) total order, a running integer sum for the run id, one
+    groupBy (user, run), then lead(valid_from) for the exclusive upper
+    bound. Every window and the aggregate share the user_id hash
+    partitioning — Catalyst plans ONE exchange for the whole query."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.withColumn(
+            "chg",
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "run",
+            F.sum("chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "run")
+        .agg(
+            F.first("event_type").alias("event_type"),
+            F.min("ts").alias("valid_from"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+SQL_SCD2_INTERVALS = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run
+  FROM flagged
+),
+grouped AS (
+  SELECT user_id, run, MIN(event_type) AS event_type,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM runs GROUP BY user_id, run
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       n_events,
+       lead(valid_from) OVER w2 IS NULL AS is_current
+FROM grouped
+WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+"""
+
+
+# --- mergeable HLL: per-source sketches + register-max merge ---------------
+# The property that makes HLL the 100 TB count-distinct: sketches
+# built on PARTITIONS of the data merge by register-wise max into
+# exactly the sketch of the union. Demonstrated relationally: one
+# (source, bucket) aggregate, per-source estimates, then a merged
+# estimate from max-combined registers — which the tests assert equals
+# the direct whole-corpus estimate bit-for-bit. Estimate arithmetic
+# mirrors plans/corpus.q_hll_distinct (same exact-integer-rational
+# harmonic mean; see its docstring for the determinism argument).
+_HLLM = 64
+_HLL_ALPHA_M2 = 0.709 * _HLLM * _HLLM
+
+
+def _hll_rows(prefix_expr_spark: str):
+    h = (
+        f"cast(conv(substring(md5(concat('hll|', {prefix_expr_spark})), 1, 8), "
+        "16, 10) as bigint)"
+    )
+    return (
+        F.expr(f"{h} % {_HLLM}").alias("bucket"),
+        F.expr(
+            f"CASE WHEN ({h} div {_HLLM}) = 0 THEN 27 "
+            f"ELSE 27 - length(bin({h} div {_HLLM})) END"
+        ).alias("rho"),
+    )
+
+
+def _hll_estimate(full: DataFrame, key: str) -> DataFrame:
+    """(key, hll_est) from a complete (key, bucket, reg) register grid."""
+    mx = full.groupBy(key).agg(F.max("reg").alias("_maxreg"))
+    num = (
+        full.join(F.broadcast(mx), key)
+        .groupBy(key)
+        .agg(
+            F.sum(
+                F.expr(
+                    "shiftleft(cast(1 as bigint), cast(_maxreg - reg as int))"
+                )
+            ).alias("_num"),
+            F.first("_maxreg").alias("_maxreg"),
+            F.count(F.when(F.col("reg") == 0, 1)).alias("_zeros"),
+        )
+    )
+    est_raw = (
+        f"cast({_HLL_ALPHA_M2} as double) * cast(shiftleft(cast(1 as bigint), "
+        f"cast(_maxreg as int)) as double) / cast(_num as double)"
+    )
+    est = (
+        f"CASE WHEN ({est_raw}) <= cast(2.5 as double) * {_HLLM} AND _zeros > 0 "
+        f"THEN cast({_HLLM} as double) * ln(cast({_HLLM} as double) / _zeros) "
+        f"ELSE ({est_raw}) END"
+    )
+    return num.select(
+        key,
+        F.expr(
+            f"floor(({est}) * cast(10000.0 as double) "
+            "+ cast(0.5 as double)) / cast(10000.0 as double)"
+        ).alias("hll_est"),
+    )
+
+
+def q_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lab04_spark_streaming_spark.plans.corpus import _SPARK_NORM_H
+
+    docs = _docs(spark, sf_dir).select(
+        "source", F.expr(_SPARK_NORM_H).alias("digest")
+    )
+    regs = (
+        docs.select("source", *_hll_rows("digest"))
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    srcs = docs.select("source").distinct()
+    grid = srcs.crossJoin(
+        F.broadcast(
+            spark.range(_HLLM).select(F.col("id").cast("bigint").alias("bucket"))
+        )
+    )
+    full = grid.join(regs, ["source", "bucket"], "left").select(
+        "source", "bucket", F.coalesce("reg", F.lit(0)).alias("reg")
+    )
+    # merged sketch: register-wise max across sources on the SAME grid
+    merged_full = full.groupBy("bucket").agg(F.max("reg").alias("reg")).select(
+        F.lit("__merged__").alias("source"), "bucket", "reg"
+    )
+    est = _hll_estimate(full.unionByName(merged_full), "source")
+    exact_src = docs.groupBy("source").agg(
+        F.count_distinct("digest").alias("n_exact")
+    )
+    exact_all = docs.agg(F.count_distinct("digest").alias("n_exact")).select(
+        F.lit("__merged__").alias("source"), "n_exact"
+    )
+    exact = exact_src.unionByName(exact_all)
+    return est.join(exact, "source").select(
+        "source",
+        "n_exact",
+        "hll_est",
+        (
+            F.abs(F.col("hll_est") - F.col("n_exact"))
+            / F.col("n_exact").cast("double")
+            <= 0.35
+        ).alias("within_bound"),
+    )
+
+
+def _sql_hll_by_source() -> str:
+    from lab04_spark_streaming_spark.plans.corpus import _SQL_NORM_H
+
+    m = _HLLM
+    h = "CAST(('0x' || substring(md5('hll|' || digest), 1, 8)) AS BIGINT)"
+    est_raw = (
+        f"{_HLL_ALPHA_M2} * CAST(2 ** _maxreg AS DOUBLE) / CAST(_num AS DOUBLE)"
+    )
+    est = (
+        f"CASE WHEN ({est_raw}) <= 2.5 * {m} AND _zeros > 0 "
+        f"THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / _zeros) "
+        f"ELSE ({est_raw}) END"
+    )
+    return f"""
+WITH d AS (SELECT source, {_SQL_NORM_H} AS digest FROM documents),
+regs AS (
+  SELECT source, {h} % {m} AS bucket,
+         MAX(CASE WHEN ({h} // {m}) = 0 THEN 27
+                  ELSE 27 - length(bin({h} // {m})) END) AS reg
+  FROM d GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.source, g.bucket
+  FROM (SELECT DISTINCT source FROM d) s,
+       generate_series(0, {m - 1}) g(bucket)
+),
+full_regs AS (
+  SELECT g.source, g.bucket, coalesce(r.reg, 0) AS reg
+  FROM grid g LEFT JOIN regs r
+    ON r.source = g.source AND r.bucket = g.bucket
+),
+all_regs AS (
+  SELECT source, bucket, reg FROM full_regs
+  UNION ALL
+  SELECT '__merged__', bucket, MAX(reg) FROM full_regs GROUP BY 2
+),
+moments AS (
+  SELECT source,
+         CAST(SUM(2 ** (mx - reg)) AS BIGINT) AS _num,
+         ANY_VALUE(mx) AS _maxreg,
+         COUNT(CASE WHEN reg = 0 THEN 1 END) AS _zeros
+  FROM (SELECT source, reg, MAX(reg) OVER (PARTITION BY source) AS mx
+        FROM all_regs)
+  GROUP BY source
+),
+est AS (
+  SELECT source,
+         floor(({est}) * 10000.0 + 0.5) / 10000.0 AS hll_est
+  FROM moments
+),
+exact AS (
+  SELECT source, COUNT(DISTINCT digest) AS n_exact FROM d GROUP BY 1
+  UNION ALL
+  SELECT '__merged__', COUNT(DISTINCT digest) FROM d
+)
+SELECT e.source, x.n_exact, e.hll_est,
+       abs(e.hll_est - x.n_exact) / CAST(x.n_exact AS DOUBLE) <= 0.35
+         AS within_bound
+FROM est e JOIN exact x ON x.source = e.source
+"""
+
+
+# --- blocked sorted-neighborhood candidates --------------------------------
+# Sorted-neighborhood method (Hernandez & Stolfo 1995, public) with
+# blocking — the entity-resolution classic: sort records by a
+# normalized key WITHIN blocks, compare each record to its next w
+# neighbors only. Candidate volume is n*w instead of n^2; blocks sort
+# independently (parallel, no global order). Complements the
+# containment/LSH/prefix families with the "clerical" candidate
+# generator real MDM pipelines still run.
+_SNM_WINDOW = 3
+
+
+def q_snm_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates with exact Jaccard attached (no threshold — SNM is a
+    candidate generator; downstream match rules consume the score).
+    Block = first normalized token; sort key = the full normalized
+    text with doc_id tie-break (total order -> deterministic
+    positions). One exchange on the block key serves both the sort
+    window and the neighbor self-join."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+        .filter(F.expr("size(toks) >= 3"))
+        .select(
+            "doc_id",
+            F.expr("element_at(toks, 1)").alias("blk"),
+            F.expr("concat_ws(' ', toks)").alias("skey"),
+            F.expr(f"array_distinct({expr_shingles('toks')})").alias("s"),
+        )
+    )
+    pos = docs.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("blk").orderBy("skey", "doc_id")
+        ),
+    )
+    a, b = pos.alias("a"), pos.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("b.pos") > F.col("a.pos"))
+            & (F.col("b.pos") <= F.col("a.pos") + _SNM_WINDOW),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.expr(
+                "size(array_intersect(a.s, b.s))"
+            ).alias("inter_sz"),
+            F.expr(
+                "size(a.s) + size(b.s) - size(array_intersect(a.s, b.s))"
+            ).alias("union_sz"),
+        )
+        .withColumn(
+            "jaccard", F.col("inter_sz") / F.col("union_sz").cast("double")
+        )
+    )
+
+
+SQL_SNM_CANDIDATES = f"""
+WITH d AS (
+  SELECT doc_id, toks[1] AS blk, array_to_string(toks, ' ') AS skey,
+         list_distinct({sql_shingles('toks')}) AS s
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t(doc_id, toks)
+  WHERE len(toks) >= 3
+),
+pos AS (
+  SELECT doc_id, blk, s,
+         row_number() OVER (PARTITION BY blk ORDER BY skey, doc_id) AS pos
+  FROM d
+)
+SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       greatest(a.doc_id, b.doc_id) AS doc_b,
+       len(list_intersect(a.s, b.s)) AS inter_sz,
+       len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS union_sz,
+       len(list_intersect(a.s, b.s))
+         / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+         AS jaccard
+FROM pos a JOIN pos b
+  ON a.blk = b.blk AND b.pos > a.pos AND b.pos <= a.pos + {_SNM_WINDOW}
+"""
+
+
+# --- label-propagation communities -----------------------------------------
+# Synchronous LPA (Raghavan et al. 2007, public) with a deterministic
+# (count DESC, label ASC) tie-break, 4 unrolled rounds over the same
+# shared-shingle doc graph as k-core. Unlike min-label connected
+# components (operators/dedup.dedup_clusters) LPA splits a connected
+# blob into DENSE communities; sync updates + total-order tie-break
+# make every round bit-reproducible cross-engine (async LPA is not).
+_LPA_ROUNDS = 4
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _kcore_edges(spark, sf_dir)
+    adj = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    labels = adj.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        neigh = (
+            adj.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("lbl").alias("nl")
+                ),
+                "v",
+            )
+            .groupBy("u", "nl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("nl"))
+        labels = (
+            neigh.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), F.col("nl").alias("lbl"))
+        )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size"))
+    return labels.join(F.broadcast(sizes), "lbl").select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("community"),
+        "community_size",
+    )
+
+
+def _sql_lpa() -> str:
+    base = f"""
+ex AS (
+  SELECT doc_id, u.sh
+  FROM (SELECT doc_id, list_distinct({sql_shingles('toks')}) AS s
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t(doc_id, toks)
+        WHERE len(toks) >= 3) q, unnest(s) u(sh)
+),
+e0 AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_MIN_SHARED}
+),
+adj AS (SELECT src AS u, dst AS v FROM e0
+        UNION ALL SELECT dst, src FROM e0),
+l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj)"""
+    rounds = []
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f"""l{i} AS (
+  SELECT node, lbl FROM (
+    SELECT a.u AS node, p.lbl,
+           row_number() OVER (PARTITION BY a.u
+                              ORDER BY COUNT(*) DESC, p.lbl) AS rn
+    FROM adj a JOIN {prev} p ON p.node = a.v
+    GROUP BY a.u, p.lbl
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    return (
+        "WITH "
+        + base
+        + ",\n"
+        + ",\n".join(rounds)
+        + f""",
+sizes AS (SELECT lbl, COUNT(*) AS community_size FROM {prev} GROUP BY 1)
+SELECT p.node AS doc_id, p.lbl AS community, s.community_size
+FROM {prev} p JOIN sizes s ON s.lbl = p.lbl
+"""
+    )

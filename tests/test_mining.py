@@ -270,3 +270,104 @@ def test_kcore_plan_no_cartesian(spark, sf_dir):
     plan = plan_of(mining.q_kcore_docs(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- wave 4: SCD2 / HLL merge / SNM / LPA -----------------------------------
+def test_scd2_intervals_tile_and_alternate(spark, sf_dir):
+    """Per user: intervals tile (valid_to == next valid_from), exactly
+    one open current interval, and consecutive intervals never share
+    an event_type (else they'd be one run)."""
+    rows = mining.q_scd2_intervals(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    assert len(by_user) > 0
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for r in ivs if r["is_current"]) == 1
+        assert ivs[-1]["is_current"] and ivs[-1]["valid_to"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["event_type"] != b["event_type"]
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """All windows + the agg share the user_id partitioning: one
+    shuffle total."""
+    plan = plan_of(mining.q_scd2_intervals(spark, sf_dir))
+    # "formatted" prints each node once in the tree ("Exchange (2)")
+    # and once as a detail header ("(2) Exchange") — count the headers.
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_hll_merge_equals_global_sketch(spark, sf_dir):
+    """THE mergeability property: register-wise max of per-source
+    sketches == the sketch of the whole corpus, so the merged estimate
+    must equal plans/corpus.q_hll_distinct's global estimate
+    bit-for-bit (same m, same hash, same estimator)."""
+    from lab04_spark_streaming_spark.plans.corpus import q_hll_distinct
+
+    by_src = {
+        r["source"]: r for r in mining.q_hll_by_source(spark, sf_dir).collect()
+    }
+    merged = by_src["__merged__"]
+    glob = q_hll_distinct(spark, sf_dir).collect()[0]
+    assert merged["hll_est"] == glob["hll_est"]
+    assert merged["n_exact"] == glob["n_exact"]
+    # per-source sketches exist and are plausible
+    assert len(by_src) >= 3
+    assert all(r["within_bound"] for r in by_src.values())
+
+
+def test_snm_candidate_volume_and_recall(spark, sf_dir):
+    """Candidate volume is bounded by n*w (the SNM point); on this
+    corpus the planted near-dups sort adjacently, so every exact
+    Jaccard>=0.8 pair that shares a first token must be among the
+    candidates."""
+    from lab04_spark_streaming_spark.sources.files import load_table
+
+    cands = mining.q_snm_candidates(spark, sf_dir).collect()
+    n_docs = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "array_remove(split(lower(text), '[^a-z0-9]+'), '') toks")
+        .filter("size(toks) >= 3")
+        .count()
+    )
+    assert len(cands) <= n_docs * mining._SNM_WINDOW
+    high = {(r["doc_a"], r["doc_b"]) for r in cands if r["jaccard"] >= 0.8}
+    assert len(high) > 0
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in mining.q_jaccard_prefix_join(spark, sf_dir).collect()
+    }
+    # SNM found every planted pair on this corpus (first tokens match)
+    assert high == exact
+
+
+def test_lpa_communities_respect_components(spark, sf_dir):
+    """Any two nodes with the same LPA label after 4 sync rounds must
+    be in the same connected component (labels travel only along
+    edges), and communities must be at least as fine as components."""
+    edges = mining._kcore_edges(spark, sf_dir).collect()
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edges:
+        parent[find(r["src"])] = find(r["dst"])
+    rows = mining.q_lpa_communities(spark, sf_dir).collect()
+    comp_of_label = {}
+    n_communities = len({r["community"] for r in rows})
+    for r in rows:
+        c = find(r["doc_id"])
+        lbl = r["community"]
+        assert comp_of_label.setdefault(lbl, c) == c
+        assert r["community_size"] >= 1
+    n_components = len({find(n) for n in parent})
+    assert n_communities >= n_components
