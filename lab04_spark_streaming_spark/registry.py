@@ -119,9 +119,10 @@ _STAMP_FIRST: list[str] = [
     # textrank_keywords, curation_master, range_frame_trailing_1h,
     # mode_per_type, zorder_keys, graph_triangles, hll_distinct,
     # dedup_cluster_sizes, token_budget_pack, plus the mining-wave
-    # eight (span_dedup_c4, jaccard_prefix_join, minhash_error,
+    # twelve (span_dedup_c4, jaccard_prefix_join, minhash_error,
     # quality_classifier, bigram_logprob, data_profile, dq_checks,
-    # kcore_docs) — go first, then the remaining r4-stamped cohort
+    # kcore_docs, scd2_intervals, hll_by_source, snm_candidates,
+    # lpa_communities) — go first, then the remaining r4-stamped cohort
     # rotates through r7/r8. All are covered every round by the local
     # harness and were driver-sim verified at sf0.01 regardless.)
 ]
