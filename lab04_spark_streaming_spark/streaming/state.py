@@ -638,3 +638,138 @@ def ewma_stream_tws(
             timeMode="none",
         )
     )
+
+
+SCD2_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("valid_from", TimestampType()),
+        StructField("valid_to", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def scd2_stream(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    attr_col: str,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming twin of the batch SCD-2 interval build
+    (plans/mining.q_scd2_intervals) for CLOSED intervals: per key,
+    consecutive runs of the same attribute collapse to
+    [valid_from, valid_to) and an interval is emitted exactly when the
+    event-time watermark passes its exclusive upper bound (the next
+    run's first event time). Finality argument: any still-admissible
+    event has ts > wm >= valid_to, so it can neither land inside the
+    closed interval, split it, nor re-order the run boundary — batch
+    and stream agree bit-for-bit on every emitted row. The OPEN current
+    run is intentionally never emitted (it is not final); the batch
+    twin's ``is_current`` row is what you materialize on demand.
+
+    State = the raw (ts, event_id, attr) triples from the first
+    unemitted run onward — bounded by (watermark depth + current run
+    span) x per-key event rate. Raw events (not run summaries) are
+    retained because an admissible arrival may interleave BETWEEN
+    pending events and rewrite the run structure. Runs of one key
+    finalize strictly in valid_from order, so emission order matches
+    the batch ordering with no ordinal counter needed."""
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts_s, eid_s, at_s = state.get
+            evs = list(zip(ts_s, eid_s, at_s))
+        else:
+            evs = []
+        for pdf in batches:
+            evs.extend(
+                (int(t), int(e), str(a))
+                for t, e, a in zip(pdf["_ts_us"], pdf["_eid"], pdf["_attr"])
+            )
+        if not evs:
+            if state.exists:
+                # timeout wake with nothing retained
+                state.remove()
+            return
+        evs.sort()  # (ts_us, event_id, attr) — the batch total order
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        runs: list[list[Any]] = []  # [attr, from_us, n_events]
+        for t, _e, a in evs:
+            if runs and runs[-1][0] == a:
+                runs[-1][2] += 1
+            else:
+                runs.append([a, t, 1])
+
+        out: list[tuple[str, int, int, int]] = []
+        n_emitted_events = 0
+        for i in range(len(runs) - 1):
+            valid_to = runs[i + 1][1]
+            if valid_to <= wm_us:
+                out.append((runs[i][0], runs[i][1], valid_to, runs[i][2]))
+                n_emitted_events += runs[i][2]
+            else:
+                break
+        kept = evs[n_emitted_events:]
+
+        # kept always holds at least the open run's events.
+        state.update(
+            (
+                [t for t, _, _ in kept],
+                [e for _, e, _ in kept],
+                [a for _, _, a in kept],
+            )
+        )
+        n_pending_closed = len(runs) - 1 - len(out)
+        if n_pending_closed > 0:
+            # first still-pending closed run finalizes at the start of
+            # the run after it; wake then (strictly after current wm).
+            next_bound_us = runs[len(out) + 1][1]
+            state.setTimeoutTimestamp(
+                max(next_bound_us // 1000, wm_us // 1000 + 1)
+            )
+        # else: only the open run remains — woken by new data only.
+
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])] * len(out),
+                    "event_type": [a for a, _, _, _ in out],
+                    "valid_from": [
+                        pd.Timestamp(f, unit="us") for _, f, _, _ in out
+                    ],
+                    "valid_to": [
+                        pd.Timestamp(v, unit="us") for _, _, v, _ in out
+                    ],
+                    "n_events": [n for _, _, _, n in out],
+                }
+            )
+
+    prepared = events.select(
+        F.col(key_col).alias("_key"),
+        F.unix_micros(F.col(ts_col)).alias("_ts_us"),
+        F.col("event_id").alias("_eid"),
+        F.col(attr_col).alias("_attr"),
+        F.col(ts_col).alias("_event_time"),
+    ).withWatermark("_event_time", watermark)
+
+    return prepared.groupBy("_key").applyInPandasWithState(
+        fn,
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        stateStructType=StructType(
+            [
+                StructField("ts_us", _array_of(LongType())),
+                StructField("eid", _array_of(LongType())),
+                StructField("attr", _array_of(StringType())),
+            ]
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -985,3 +985,162 @@ def test_ewma_tws_end_to_end(spark, tmp_path):
         v = float(i % 7)
         prev = v if prev is None else 0.9 * prev + 0.1 * v
         assert abs(got[i] - prev) < 1e-12
+
+
+def test_scd2_stream_matches_batch(spark, tmp_path):
+    """Streaming SCD-2 run collapse must reproduce the batch
+    gaps-and-islands build exactly for every interval the watermark
+    has closed: same (event_type, valid_from, valid_to, n_events) per
+    user, in the same order."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from lab04_spark_streaming_spark.streaming.state import scd2_stream
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    rows = []
+    eid = 0
+    for user in (1, 2):
+        t = T0 + dt.timedelta(minutes=user)
+        for run, (etype, n) in enumerate(
+            [("a", 3), ("b", 1), ("a", 4), ("c", 2), ("b", 3)]
+        ):
+            for _ in range(n):
+                rows.append((user, t, eid, etype))
+                eid += 1
+                t += dt.timedelta(seconds=5 * (user + 1))
+        # far-future flush event advances the watermark past every
+        # earlier boundary, closing the first four runs; itself stays
+        # the open current run.
+        rows.append((user, t + dt.timedelta(hours=2), eid, "z"))
+        eid += 1
+    path = str(tmp_path / "scd2")
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.parquet(path)
+
+    stream = file_stream(spark, path, schema)
+    out = scd2_stream(stream, "ts", "user_id", "event_type")
+    memory_sink_once(out, "scd2_out", "append")
+    streamed = sorted(
+        (r.user_id, r.valid_from, r.event_type, r.valid_to, r.n_events)
+        for r in spark.table("scd2_out").collect()
+    )
+    assert streamed, "scd2 stream emitted nothing"
+    # final global watermark: max event time - 10s (default watermark);
+    # only intervals with valid_to <= wm are final. That excludes the
+    # run closed by the globally-latest flush event itself.
+    wm_final = max(r[1] for r in rows) - dt.timedelta(seconds=10)
+    assert len(streamed) == 9
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    batch_closed = (
+        df.withColumn(
+            "chg",
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "run",
+            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "run")
+        .agg(
+            F.first("event_type").alias("event_type"),
+            F.min("ts").alias("valid_from"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            F.lead("valid_from").over(w2).alias("valid_to"),
+            "n_events",
+        )
+        .filter(F.col("valid_to").isNotNull())
+    )
+    expected = sorted(
+        (r.user_id, r.valid_from, r.event_type, r.valid_to, r.n_events)
+        for r in batch_closed.collect()
+        if r.valid_to <= wm_final
+    )
+    assert streamed == expected
+
+
+def test_scd2_stream_interleaved_late_arrival_rewrites_runs(spark, tmp_path):
+    """The reason state retains RAW events: an admissible event that
+    lands between pending events must rewrite the run structure.
+    Batch 1 delivers a@t100 and a@t300 (one pending run); batch 2
+    interleaves b@t200 — the final history must be a|b|a, not a|b."""
+    import os
+    import time as _time
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from lab04_spark_streaming_spark.streaming.state import scd2_stream
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+
+    def at(s):
+        return T0 + dt.timedelta(seconds=s)
+
+    files = [
+        [(1, at(100), 0, "a"), (1, at(300), 1, "a")],
+        [(1, at(200), 2, "b")],  # admissible: wm lag is 300 s
+        [(1, at(5000), 3, "z")],  # flush: closes everything before it
+    ]
+    path = tmp_path / "scd2_late"
+    now = _time.time()
+    for i, rows in enumerate(files):
+        sub = str(path / f"f{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(sub)
+        mtime = now - 700 + i * 100
+        for f in (path / f"f{i}").iterdir():
+            os.utime(f, (mtime, mtime))
+
+    stream = file_stream(
+        spark, str(path / "f*"), schema, max_files_per_trigger=1
+    )
+    out = scd2_stream(stream, "ts", "user_id", "event_type", watermark="300 seconds")
+    memory_sink_once(out, "scd2_late_out", "append")
+    got = sorted(
+        (r.valid_from, r.event_type, r.valid_to, r.n_events)
+        for r in spark.table("scd2_late_out").collect()
+    )
+    # the a@300 run closed at t=5000 stays pending: final wm is
+    # 5000-300 = 4700 < its valid_to. The first two intervals prove the
+    # rewrite: a[100,200) n=1 (NOT a[100,300) n=2) and the interleaved
+    # b[200,300).
+    assert got == [
+        (at(100), "a", at(200), 1),
+        (at(200), "b", at(300), 1),
+    ]
