@@ -102,3 +102,60 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         if os.path.exists(path):
             out[name] = load_table(spark, sf_dir, name)
     return out
+
+
+def parquet_file_stats(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(file, bytes) for every parquet part under ``path`` — the input
+    to compaction planning. Uses the Hadoop FileSystem API (no driver
+    re-listing on re-use: one RPC per directory, same listing the scan
+    itself performs)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith("_"):
+            out.append((st.getPath().toString(), int(st.getLen())))
+    return out
+
+
+def compaction_plan(
+    spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> tuple[int, int, int]:
+    """(n_files, total_bytes, n_output_files) for compacting ``path``
+    so output files land near ``target_bytes``. The small-files
+    problem is the silent scan killer at 100 TB: a million 1 MB files
+    cost a million open/seek/footer reads and a million scheduler
+    tasks where 8k well-sized files cost 8k."""
+    stats = parquet_file_stats(spark, path)
+    total = sum(b for _, b in stats)
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    return len(stats), total, n_out
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite ``path`` into ``n = ceil(total/target)`` files at
+    ``out_path`` and return n. Content-preserving (same rows, same
+    schema — asserted in tests); a round-robin repartition(n), not a
+    coalesce, so output sizes are even regardless of input skew.
+
+    Scale notes: run per partition directory in a date/key-partitioned
+    layout (compact yesterday's partition, not the table) — this
+    function is that per-directory unit of work. Pair with
+    write_partitioned/write_bucketed to preserve layout; z-ordered
+    data should instead be rewritten through the zorder_keys sort so
+    compaction does not destroy the clustering (the two compose:
+    repartitionByRange on the z-key, then write)."""
+    _, _, n_out = compaction_plan(spark, path, target_bytes)
+    df = spark.read.parquet(path)
+    df.repartition(n_out).write.mode("overwrite").parquet(out_path)
+    return n_out

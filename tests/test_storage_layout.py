@@ -145,3 +145,91 @@ def test_zorder_layout_narrows_file_stats(spark, sf_dir, tmp_path):
     # the ts span stays bounded (not the whole month in every file).
     assert z_uspan <= t_uspan / 2, (z_uspan, t_uspan)
     assert z_tspan < 31 * 86400
+
+
+def test_compaction_small_files(spark, sf_dir, tmp_path):
+    """64 tiny part files compact to the planned ceil(total/target)
+    count with identical content — the per-directory maintenance unit
+    for the small-files problem."""
+    from lab04_spark_streaming_spark.sources.files import (
+        compact_parquet,
+        compaction_plan,
+        load_table,
+        parquet_file_stats,
+    )
+
+    src = str(tmp_path / "frag")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    li.repartition(64).write.parquet(src)
+    stats = parquet_file_stats(spark, src)
+    assert len(stats) == 64
+    total = sum(b for _, b in stats)
+    target = total // 3 + 1
+    n_files, total_b, n_out = compaction_plan(spark, src, target)
+    assert (n_files, total_b) == (64, total)
+    assert n_out == 3
+
+    out = str(tmp_path / "compact")
+    assert compact_parquet(spark, src, out, target) == 3
+    assert len(parquet_file_stats(spark, out)) == 3
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(out)
+    assert a.schema == b.schema
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_ivf_codebook_persistence_round_trip(spark, sf_dir, tmp_path):
+    """The trained IVF codebook is a durable artifact: save the
+    (cid, pos, c) relation to parquet, reload, serve — the served
+    top-k must equal the in-memory pipeline exactly (everything is on
+    the integer grid, so persistence is lossless by construction)."""
+    from lab04_spark_streaming_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from lab04_spark_streaming_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=8, updates=1)
+    path = str(tmp_path / "ivf_codebook")
+    cent.write.parquet(path)
+    loaded = spark.read.parquet(path)
+
+    direct = ivf_topk(emb, query_id=0, k=10, n_cells=8, n_probe=2,
+                      centroids=cent).collect()
+    served = ivf_topk(emb, query_id=0, k=10, n_cells=8, n_probe=2,
+                      centroids=loaded).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in served]
+
+
+def test_cell_partitioned_index_prunes_probed_cells(spark, sf_dir, tmp_path):
+    """The serving layout at scale: the assignment written partitioned
+    BY CELL means a probe reads only the probed cells' directories —
+    visible as PartitionFilters on the scan with all other cells
+    pruned."""
+    from lab04_spark_streaming_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+    from lab04_spark_streaming_spark.sources.files import (
+        load_table,
+        write_partitioned,
+    )
+    from tests.test_plans import plan_of
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=8, updates=1)
+    assign = ivf_assign(emb, n_cells=8, centroids=cent)
+    path = str(tmp_path / "ivf_index")
+    write_partitioned(assign, path, ["cell"])
+
+    idx = spark.read.parquet(path)
+    probe = idx.filter(F.col("cell").isin(2, 5))
+    plan = plan_of(probe)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    # only the two probed directories' rows are read
+    expected = assign.filter(F.col("cell").isin(2, 5)).count()
+    assert probe.count() == expected
