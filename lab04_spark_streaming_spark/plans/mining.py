@@ -862,6 +862,17 @@ def specs():
         QuerySpec("hll_by_source", q_hll_by_source, _sql_hll_by_source()),
         QuerySpec("snm_candidates", q_snm_candidates, SQL_SNM_CANDIDATES),
         QuerySpec("lpa_communities", q_lpa_communities, _sql_lpa()),
+        QuerySpec(
+            "attribution_last_touch",
+            q_attribution_last_touch,
+            SQL_ATTRIBUTION_LAST_TOUCH,
+        ),
+        QuerySpec(
+            "reconcile_orders_lineitem",
+            q_reconcile_orders_lineitem,
+            SQL_RECONCILE_ORDERS_LINEITEM,
+        ),
+        QuerySpec("seasonal_factors", q_seasonal_factors, _sql_seasonal()),
     ]
 
 
@@ -1286,3 +1297,200 @@ SELECT p.node AS doc_id, p.lbl AS community, s.community_size
 FROM {prev} p JOIN sizes s ON s.lbl = p.lbl
 """
     )
+
+
+# ===========================================================================
+# Wave 5: marketing attribution, full-outer reconciliation, seasonal
+# factors.
+# ===========================================================================
+
+
+# --- last-touch attribution -------------------------------------------------
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution — the canonical productized
+    as-of lookup: every purchase is credited to the user's most recent
+    click within a 1-hour lookback, NULL-credited (organic) otherwise.
+    Composes operators/asof.asof_join (chunk-parallel union-fill scan —
+    see its module docstring for why this beats a range join at
+    100 TB); clicks pre-aggregate to one row per (user, ts) with a max
+    event_id tie-break so the as-of payload is deterministic."""
+    from lab04_spark_streaming_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        ts_col="ts",
+        by=["user_id"],
+        value_cols=["click_id"],
+        tolerance_s=3600,
+        suffix="_click",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("ts_click").alias("click_ts"),
+        F.col("click_id_click").alias("click_id"),
+        F.col("ts_click").isNotNull().alias("attributed"),
+    )
+
+
+SQL_ATTRIBUTION_LAST_TOUCH = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+  WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       CASE WHEN c.ts >= p.ts - INTERVAL 3600 SECOND THEN c.ts END AS click_ts,
+       CASE WHEN c.ts >= p.ts - INTERVAL 3600 SECOND THEN c.click_id END
+         AS click_id,
+       (CASE WHEN c.ts >= p.ts - INTERVAL 3600 SECOND THEN c.ts END)
+         IS NOT NULL AS attributed
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# --- full-outer reconciliation ----------------------------------------------
+def q_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system reconciliation — the audit query every warehouse
+    runs: per order, the header total (orders.o_totalprice) FULL OUTER
+    joined against the lineitem-derived gross sum; rows classify as
+    both / header_only / lines_only. Sums are exact decimals (cents),
+    so presence and the difference are hash-stable; the diff itself is
+    reported in cents as an exact integer. The full outer join is the
+    one outer-join flavor the rest of the registry doesn't exercise.
+    Output bounded to non-matching or mismatching rows plus a per-class
+    rollup key — the reconciliation report, not a table dump."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.expr(
+            "cast(floor(cast(o_totalprice as decimal(30,4)) * 100) as bigint)"
+        ).alias("header_cents"),
+    )
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(
+            F.expr(
+                "cast(floor(sum(cast(l_extendedprice as decimal(30,4))) * 100) "
+                "as bigint)"
+            ).alias("lines_cents")
+        )
+    )
+    joined = orders.join(lines, "orderkey", "full_outer").select(
+        "orderkey",
+        "header_cents",
+        "lines_cents",
+        F.when(
+            F.col("header_cents").isNotNull()
+            & F.col("lines_cents").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("header_cents").isNotNull(), F.lit("header_only"))
+        .otherwise(F.lit("lines_only"))
+        .alias("presence"),
+    )
+    return joined.groupBy("presence").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.coalesce("header_cents", F.lit(0))).alias("sum_header_cents"),
+        F.sum(F.coalesce("lines_cents", F.lit(0))).alias("sum_lines_cents"),
+    )
+
+
+SQL_RECONCILE_ORDERS_LINEITEM = """
+WITH o AS (
+  SELECT o_orderkey AS orderkey,
+         CAST(floor(CAST(o_totalprice AS DECIMAL(30,4)) * 100) AS BIGINT)
+           AS header_cents
+  FROM orders
+),
+l AS (
+  SELECT l_orderkey AS orderkey,
+         CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) * 100)
+              AS BIGINT) AS lines_cents
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT coalesce(o.orderkey, l.orderkey) AS orderkey,
+         o.header_cents, l.lines_cents,
+         CASE WHEN o.orderkey IS NOT NULL AND l.orderkey IS NOT NULL
+              THEN 'both'
+              WHEN o.orderkey IS NOT NULL THEN 'header_only'
+              ELSE 'lines_only' END AS presence
+  FROM o FULL OUTER JOIN l ON o.orderkey = l.orderkey
+)
+SELECT presence, COUNT(*) AS n_orders,
+       SUM(coalesce(header_cents, 0)) AS sum_header_cents,
+       SUM(coalesce(lines_cents, 0)) AS sum_lines_cents
+FROM j GROUP BY presence
+"""
+
+
+# --- hour-of-day seasonal factors -------------------------------------------
+def q_seasonal_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-index extraction (classical decomposition step 1): per
+    event_type, each hour-of-day's mean value over the overall mean —
+    the multiplicative seasonal profile used for seasonal adjustment
+    and capacity planning. Both means are exact decimal moments
+    (functions/guards rules); the factor is one double division.
+    |types| x 24 output rows; two aggregates share one scan via a
+    rollup-free two-level groupBy."""
+    from lab04_spark_streaming_spark.functions.guards import exact_avg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        "value",
+    )
+    hourly = ev.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_avg(F.col("value")).alias("hourly_mean"),
+    )
+    overall = ev.groupBy("event_type").agg(
+        exact_avg(F.col("value")).alias("overall_mean")
+    )
+    return hourly.join(F.broadcast(overall), "event_type").select(
+        "event_type",
+        "hod",
+        "n_events",
+        "hourly_mean",
+        (F.col("hourly_mean") / F.col("overall_mean")).alias("seasonal_factor"),
+    )
+
+
+def _sql_seasonal() -> str:
+    from lab04_spark_streaming_spark.functions.guards import sql_exact_avg
+
+    return f"""
+WITH base AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hod, value FROM events
+),
+hourly AS (
+  SELECT event_type, hod, COUNT(*) AS n_events,
+         {sql_exact_avg('value')} AS hourly_mean
+  FROM base GROUP BY 1, 2
+),
+overall AS (
+  SELECT event_type, {sql_exact_avg('value')} AS overall_mean
+  FROM base GROUP BY 1
+)
+SELECT h.event_type, h.hod, h.n_events, h.hourly_mean,
+       h.hourly_mean / o.overall_mean AS seasonal_factor
+FROM hourly h JOIN overall o ON o.event_type = h.event_type
+"""

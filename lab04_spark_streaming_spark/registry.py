@@ -122,7 +122,8 @@ _STAMP_FIRST: list[str] = [
     # twelve (span_dedup_c4, jaccard_prefix_join, minhash_error,
     # quality_classifier, bigram_logprob, data_profile, dq_checks,
     # kcore_docs, scd2_intervals, hll_by_source, snm_candidates,
-    # lpa_communities) — go first, then the remaining r4-stamped cohort
+    # lpa_communities, attribution_last_touch,
+    # reconcile_orders_lineitem, seasonal_factors) — go first, then the remaining r4-stamped cohort
     # rotates through r7/r8. All are covered every round by the local
     # harness and were driver-sim verified at sf0.01 regardless.)
 ]

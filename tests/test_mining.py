@@ -381,3 +381,83 @@ def test_readme_registry_count_matches():
     n = len(all_specs())
     readme = open("README.md").read()
     assert f"{n} queries" in readme
+
+
+# --- wave 5: attribution / reconciliation / seasonal ------------------------
+def test_attribution_matches_python_recompute(spark, sf_dir):
+    """Last-touch credit recomputed in Python: for every purchase, the
+    latest click of the same user with click.ts <= purchase.ts and
+    within 3600 s."""
+    from lab04_spark_streaming_spark.sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    clicks = defaultdict(list)
+    for r in ev:
+        if r["event_type"] == "click":
+            clicks[r["user_id"]].append((r["ts"], r["event_id"]))
+    for v in clicks.values():
+        v.sort()
+    got = mining.q_attribution_last_touch(spark, sf_dir).collect()
+    purchases = [r for r in ev if r["event_type"] == "purchase"]
+    assert len(got) == len(purchases)
+    byid = {r["event_id"]: r for r in got}
+    import bisect
+    import datetime as dt
+
+    for p in purchases:
+        row = byid[p["event_id"]]
+        cl = clicks.get(p["user_id"], [])
+        i = bisect.bisect_right(cl, (p["ts"], float("inf"))) - 1
+        if i >= 0 and (p["ts"] - cl[i][0]) <= dt.timedelta(seconds=3600):
+            # deterministic payload: max event_id at that ts
+            best_ts = cl[i][0]
+            best_id = max(e for t, e in cl if t == best_ts)
+            assert row["attributed"] and row["click_ts"] == best_ts
+            assert row["click_id"] == best_id
+        else:
+            assert not row["attributed"] and row["click_ts"] is None
+
+
+def test_reconcile_full_outer_classes(spark, sf_dir):
+    """Clean TPC-H-ish data: every order has lines and every line has
+    an order header -> a single 'both' class... unless the generator
+    orphans some; in any case the class counts must tie out to the
+    table counts."""
+    from lab04_spark_streaming_spark.sources.files import load_table
+
+    rows = {r["presence"]: r for r in
+            mining.q_reconcile_orders_lineitem(spark, sf_dir).collect()}
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    n_line_orders = (
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey").distinct().count()
+    )
+    total_header = sum(
+        r["n_orders"] for k, r in rows.items() if k in ("both", "header_only")
+    )
+    total_lines = sum(
+        r["n_orders"] for k, r in rows.items() if k in ("both", "lines_only")
+    )
+    assert total_header == n_orders
+    assert total_lines == n_line_orders
+    plan = plan_of(mining.q_reconcile_orders_lineitem(spark, sf_dir))
+    assert "FullOuter" in plan
+
+
+def test_seasonal_factors_weighted_mean_is_one(spark, sf_dir):
+    """The event-count-weighted mean of the seasonal factors is exactly
+    the overall mean over the overall mean ~= 1 (up to the double
+    division); also 24 hours per type, all factors positive."""
+    rows = mining.q_seasonal_factors(spark, sf_dir).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r)
+    assert len(by_type) == 5
+    for t, rs in by_type.items():
+        assert len(rs) == 24
+        assert all(r["seasonal_factor"] > 0 for r in rs)
+        n = sum(r["n_events"] for r in rs)
+        weighted = sum(r["hourly_mean"] * r["n_events"] for r in rs) / n
+        overall = rs[0]["hourly_mean"] / rs[0]["seasonal_factor"]
+        assert abs(weighted - overall) < 1e-6 * abs(overall)
