@@ -87,8 +87,13 @@ def q_span_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     ZERO-shuffle projection (filter inside a lambda against the
     broadcast array). Only 32-char span digests ever shuffle (the
     frequency groupBy); document text never moves."""
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.expr(_expr_spans(_SPARK_TOKS)).alias("spans")
+    # span relation feeds the banned-frequency branch AND the rebuild
+    # branch: split-restore + checkpoint = one tokenize/span pass.
+    docs = (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.expr(_expr_spans(_SPARK_TOKS)).alias("spans"))
+        .localCheckpoint(eager=False)
     )
     banned = (
         docs.select(F.explode("spans").alias("span"))
@@ -161,15 +166,27 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary and both length filters are float-free. Verification
     fetches the two shingle arrays by doc_id (candidate-bounded) and
     intersects JVM-side; the Jaccard is one double division of exact
-    integers."""
+    integers.
+
+    The shingle-set relation feeds FIVE consumers (df rank, the prefix
+    index, both sides of the candidate self-join, both verify fetches)
+    — it is repartitioned off the scan (the fixture corpus is a single
+    parquet row-group, i.e. one input split; a production corpus
+    arrives pre-split, so this shuffle of raw ids+arrays exists only to
+    restore split parallelism) and localCheckpointed so the
+    tokenize→shingle→distinct pass runs ONCE (measured 45 s → ~3 s at
+    sf0.1, which was six single-threaded recomputations)."""
+    spark_ = spark
     docs = (
         _docs(spark, sf_dir)
+        .repartition(spark_.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
         .filter(F.expr("size(toks) >= 3"))
         .select(
             "doc_id",
             F.expr(f"array_distinct({expr_shingles('toks')})").alias("s"),
         )
+        .localCheckpoint(eager=False)
     )
     ex = docs.select(
         "doc_id", F.size("s").alias("L"), F.explode("s").alias("sh")
@@ -736,8 +753,13 @@ _KCORE_MIN_SHARED = 2
 
 
 def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Split restoration + one-pass shingling, as in
+    # q_jaccard_prefix_join: the exploded relation feeds both sides of
+    # the pair self-join, so the tokenize→shingle pass is checkpointed
+    # rather than recomputed per side.
     ex = (
         _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
         .filter(F.expr("size(toks) >= 3"))
         .select(
@@ -746,6 +768,7 @@ def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"array_distinct({expr_shingles('toks')})")
             ).alias("sh"),
         )
+        .localCheckpoint(eager=False)
     )
     a, b = ex.alias("a"), ex.alias("b")
     return (
