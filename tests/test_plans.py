@@ -650,3 +650,27 @@ def test_r6_wave3_plan_hygiene(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         if name not in scalar_bcast:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bench_smoke_one_run(spark, sf_dir, monkeypatch):
+    """bench.py must produce its one-line JSON contract end to end —
+    the r4 lesson (a loader crash cost the round's BENCH artifact).
+    One run per query at the test SF keeps it fast; the assert covers
+    the schema the driver parses."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_RUNS", "1")
+    monkeypatch.setattr(bench, "SF_DIR", sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bench.main()
+    line = buf.getvalue().strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["metric"] == "headline_queries_total"
+    assert out["unit"] == "sec" and out["value"] > 0
+    assert set(out["queries"]) == set(bench.HEADLINE)
+    assert all(v >= 0 for v in out["queries"].values())
