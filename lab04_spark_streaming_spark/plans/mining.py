@@ -896,6 +896,7 @@ def specs():
             SQL_RECONCILE_ORDERS_LINEITEM,
         ),
         QuerySpec("seasonal_factors", q_seasonal_factors, _sql_seasonal()),
+        QuerySpec("snm_fuzzy_matches", q_snm_fuzzy_matches, _sql_snm_fuzzy()),
     ]
 
 
@@ -1516,4 +1517,68 @@ overall AS (
 SELECT h.event_type, h.hod, h.n_events, h.hourly_mean,
        h.hourly_mean / o.overall_mean AS seasonal_factor
 FROM hourly h JOIN overall o ON o.event_type = h.event_type
+"""
+
+
+# --- edit-distance fuzzy match verify ---------------------------------------
+# The SNM candidate generator's downstream match rule: classic
+# Levenshtein on a normalized prefix. Both engines implement the
+# textbook DP (Spark's levenshtein == DuckDB's levenshtein, integer
+# edit counts), so the distance — and the match decision — is
+# hash-exact. Distance runs on the first _FUZZY_PREFIX chars: edit
+# distance is O(len²) per pair, and a bounded prefix is how fuzzy
+# matchers cap per-pair cost at scale (candidates are already
+# blocking-bounded to n×w by SNM).
+_FUZZY_PREFIX = 120
+_FUZZY_NUM, _FUZZY_DEN = 2, 10  # match when dist <= 0.2 * max prefix len
+
+
+def q_snm_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = "substring(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), 1, {n})".format(
+        n=_FUZZY_PREFIX
+    )
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(norm).alias("k"))
+        .filter(F.length("k") > 0)
+    )
+    pairs = q_snm_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("k").alias("ka"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("k").alias("kb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ka", "kb").alias("edit_dist"),
+            F.greatest(F.length("ka"), F.length("kb")).alias("max_len"),
+        )
+        .withColumn(
+            "is_match",
+            _FUZZY_DEN * F.col("edit_dist")
+            <= _FUZZY_NUM * F.col("max_len"),
+        )
+    )
+
+
+def _sql_snm_fuzzy() -> str:
+    norm = (
+        "substring(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), "
+        f"1, {_FUZZY_PREFIX})"
+    )
+    return f"""
+WITH cand AS ({SQL_SNM_CANDIDATES.strip()}),
+d AS (
+  SELECT doc_id, {norm} AS k FROM documents
+  WHERE length({norm}) > 0
+)
+SELECT c.doc_a, c.doc_b,
+       levenshtein(x.k, y.k) AS edit_dist,
+       greatest(length(x.k), length(y.k)) AS max_len,
+       {_FUZZY_DEN} * levenshtein(x.k, y.k)
+         <= {_FUZZY_NUM} * greatest(length(x.k), length(y.k)) AS is_match
+FROM cand c
+JOIN d x ON x.doc_id = c.doc_a
+JOIN d y ON y.doc_id = c.doc_b
 """

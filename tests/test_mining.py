@@ -461,3 +461,19 @@ def test_seasonal_factors_weighted_mean_is_one(spark, sf_dir):
         weighted = sum(r["hourly_mean"] * r["n_events"] for r in rs) / n
         overall = rs[0]["hourly_mean"] / rs[0]["seasonal_factor"]
         assert abs(weighted - overall) < 1e-6 * abs(overall)
+
+
+def test_fuzzy_matches_agree_with_exact_jaccard(spark, sf_dir):
+    """Two independent similarity definitions (bounded-prefix edit
+    distance <= 20% vs shingle Jaccard >= 0.8) must agree on this
+    corpus's planted near-dups — a cross-validation of both rules."""
+    fuzzy = {
+        (r["doc_a"], r["doc_b"])
+        for r in mining.q_snm_fuzzy_matches(spark, sf_dir).collect()
+        if r["is_match"]
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in mining.q_jaccard_prefix_join(spark, sf_dir).collect()
+    }
+    assert fuzzy == exact and len(fuzzy) > 0
