@@ -41,6 +41,11 @@ HEADLINE = [
     "semdedup_keep_best",
     # r6: residual IVF-PQ — the two-level trained ANN index end to end.
     "ann_ivfpq_topk",
+    # r6 mining wave: the exact set-similarity join (prefix filter +
+    # verify — the non-probabilistic dedup flagship) and the SCD-2
+    # interval build (events-scale gaps-and-islands, one exchange).
+    "jaccard_prefix_join",
+    "scd2_intervals",
 ]
 
 

@@ -897,6 +897,7 @@ def specs():
         ),
         QuerySpec("seasonal_factors", q_seasonal_factors, _sql_seasonal()),
         QuerySpec("snm_fuzzy_matches", q_snm_fuzzy_matches, _sql_snm_fuzzy()),
+        QuerySpec("contrastive_pairs", q_contrastive_pairs, _sql_contrastive()),
     ]
 
 
@@ -1581,4 +1582,161 @@ SELECT c.doc_a, c.doc_b,
 FROM cand c
 JOIN d x ON x.doc_id = c.doc_a
 JOIN d y ON y.doc_id = c.doc_b
+"""
+
+
+# --- contrastive pair mining ------------------------------------------------
+# Training-pair extraction for contrastive embedding training
+# (SimCSE/E5-style, public): per anchor vector, the most similar
+# within-cell partner ABOVE the duplicate threshold is the positive
+# and the most similar partner BELOW it is the hard negative — the
+# "hardest non-duplicate" that makes contrastive batches informative.
+# Candidate space is the SemDeDup cell bucketing (Σ|cell|²·d, never
+# n²·d); cosines are the same quantized integer folds, so the pairs
+# are hash-checked against the unrolled DuckDB twin.
+_CONTRAST_TAU = 0.4
+
+
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking note: partners are ordered by the raw double cosine
+    (exact-integer moments, one double division → bit-identical
+    cross-engine) with an id tie-break; as with knn_fold_topk_ids, two
+    distinct cosines within double-comparison noise cannot occur
+    because both engines compare the same bit patterns."""
+    from lab04_spark_streaming_spark.operators.similarity import kmeans_assign
+    from lab04_spark_streaming_spark.sources.files import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    assign = (
+        kmeans_assign(emb, k=8, iters=2)
+        .select("vec_id", F.col("cluster").alias("kcluster"))
+        .localCheckpoint(eager=False)
+    )
+    qq = "cast(floor(cast({v} as double) * 10000000.0 + 0.5) as bigint)"
+    n2 = (
+        f"aggregate(embedding, cast(0 as bigint), "
+        f"(acc, x) -> acc + {qq.format(v='x')} * {qq.format(v='x')})"
+    )
+    cells = emb.join(assign, "vec_id").select(
+        "vec_id", "kcluster", "embedding", F.expr(n2).alias("_n2")
+    )
+    a = cells.select(
+        F.col("vec_id").alias("id_a"),
+        "kcluster",
+        F.col("embedding").alias("_ea"),
+        F.col("_n2").alias("_na"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("id_b"),
+        "kcluster",
+        F.col("embedding").alias("_eb"),
+        F.col("_n2").alias("_nb"),
+    )
+    dot = (
+        f"aggregate(zip_with(_ea, _eb, "
+        f"(x, y) -> {qq.format(v='x')} * {qq.format(v='y')}), "
+        f"cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    pairs = (
+        a.join(b, ["kcluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.expr(dot) / (F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb"))),
+        )
+        .select("id_a", "id_b", "cos")
+        .localCheckpoint(eager=False)  # feeds both direction branches
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("other"), "cos"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("anchor"), F.col("id_a").alias("other"), "cos"
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(F.col("cos").desc(), "other")
+    pos = (
+        sym.filter(F.col("cos") >= _CONTRAST_TAU)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor",
+            F.col("other").alias("pos_id"),
+            F.col("cos").alias("pos_cos"),
+        )
+    )
+    neg = (
+        sym.filter(F.col("cos") < _CONTRAST_TAU)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor",
+            F.col("other").alias("neg_id"),
+            F.col("cos").alias("neg_cos"),
+        )
+    )
+    anchors = assign.select(F.col("vec_id").alias("anchor"))
+    return (
+        anchors.join(pos, "anchor", "left")
+        .join(neg, "anchor", "left")
+        .select("anchor", "pos_id", "pos_cos", "neg_id", "neg_cos")
+    )
+
+
+def _sql_contrastive() -> str:
+    from lab04_spark_streaming_spark.plans.pipeline_extras import (
+        _SQL_KMEANS_C1,
+    )
+
+    return f"""
+WITH {_SQL_KMEANS_C1},
+d2 AS (
+  SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dist
+  FROM pos p JOIN c1 c ON p.pos = c.pos
+  GROUP BY 1, 2
+),
+a2 AS (
+  SELECT vec_id, cid AS kcluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1
+),
+norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM pos GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
+  FROM (SELECT p.*, s.kcluster FROM pos p JOIN a2 s ON p.vec_id = s.vec_id) a
+  JOIN (SELECT p.*, s.kcluster FROM pos p JOIN a2 s ON p.vec_id = s.vec_id) b
+    ON a.pos = b.pos AND a.kcluster = b.kcluster AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+cospairs AS (
+  SELECT id_a, id_b,
+         dot / (sqrt(x.n2) * sqrt(y.n2)) AS cos
+  FROM dots
+  JOIN norms x ON x.vec_id = id_a
+  JOIN norms y ON y.vec_id = id_b
+),
+sym AS (
+  SELECT id_a AS anchor, id_b AS other, cos FROM cospairs
+  UNION ALL
+  SELECT id_b, id_a, cos FROM cospairs
+),
+p AS (
+  SELECT anchor, other AS pos_id, cos AS pos_cos FROM (
+    SELECT anchor, other, cos,
+           row_number() OVER (PARTITION BY anchor
+                              ORDER BY cos DESC, other) AS rn
+    FROM sym WHERE cos >= {_CONTRAST_TAU}) WHERE rn = 1
+),
+n AS (
+  SELECT anchor, other AS neg_id, cos AS neg_cos FROM (
+    SELECT anchor, other, cos,
+           row_number() OVER (PARTITION BY anchor
+                              ORDER BY cos DESC, other) AS rn
+    FROM sym WHERE cos < {_CONTRAST_TAU}) WHERE rn = 1
+)
+SELECT a2.vec_id AS anchor, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+FROM a2
+LEFT JOIN p ON p.anchor = a2.vec_id
+LEFT JOIN n ON n.anchor = a2.vec_id
 """

@@ -477,3 +477,25 @@ def test_fuzzy_matches_agree_with_exact_jaccard(spark, sf_dir):
         for r in mining.q_jaccard_prefix_join(spark, sf_dir).collect()
     }
     assert fuzzy == exact and len(fuzzy) > 0
+
+
+def test_contrastive_pairs_semantics(spark, sf_dir):
+    """Positives are above the threshold, hard negatives below it;
+    every anchor row exists; positive partner is the semdedup dup
+    threshold's nearest neighbor within the cell."""
+    rows = mining.q_contrastive_pairs(spark, sf_dir).collect()
+    from lab04_spark_streaming_spark.sources.files import load_table
+
+    assert len(rows) == load_table(spark, sf_dir, "embeddings").count()
+    n_pos = 0
+    for r in rows:
+        if r["pos_id"] is not None:
+            n_pos += 1
+            assert r["pos_cos"] >= mining._CONTRAST_TAU
+            assert r["pos_id"] != r["anchor"]
+        if r["neg_id"] is not None:
+            assert r["neg_cos"] < mining._CONTRAST_TAU
+            assert r["neg_id"] != r["anchor"]
+        if r["pos_id"] is not None and r["neg_id"] is not None:
+            assert r["pos_cos"] > r["neg_cos"]
+    assert n_pos > 0  # planted near-dups must yield positives
