@@ -898,6 +898,9 @@ def specs():
         QuerySpec("seasonal_factors", q_seasonal_factors, _sql_seasonal()),
         QuerySpec("snm_fuzzy_matches", q_snm_fuzzy_matches, _sql_snm_fuzzy()),
         QuerySpec("contrastive_pairs", q_contrastive_pairs, _sql_contrastive()),
+        QuerySpec(
+            "scd2_point_in_time", q_scd2_point_in_time, _sql_scd2_pit()
+        ),
     ]
 
 
@@ -1739,4 +1742,86 @@ SELECT a2.vec_id AS anchor, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
 FROM a2
 LEFT JOIN p ON p.anchor = a2.vec_id
 LEFT JOIN n ON n.anchor = a2.vec_id
+"""
+
+
+# --- point-in-time (temporal) dimension lookup ------------------------------
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correctness — the query SCD-2 tables exist FOR:
+    as-of a probe timestamp grid (6-hour marks), which interval of the
+    user's type-2 history was in effect. A backward as-of on
+    valid_from followed by the valid_to containment check (an interval
+    is in effect iff valid_from <= t AND (valid_to IS NULL OR
+    t < valid_to)); because intervals tile per user, the as-of
+    candidate is the ONLY candidate — no range join needed. The probe
+    grid is a broadcast literal cross join (users × 4 probes/day is a
+    fan-out of the small user relation, never the events)."""
+    hist = q_scd2_intervals(spark, sf_dir).localCheckpoint(eager=False)
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr("min(date_trunc('day', ts))").alias("d0"),
+        F.expr("max(ts)").alias("d1"),
+    )
+    users = hist.select("user_id").distinct()
+    probes = (
+        users.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    "sequence(d0, d1, interval 6 hours)"
+                )
+            ).alias("probe_ts"),
+        )
+    )
+    from lab04_spark_streaming_spark.operators.asof import asof_join
+
+    hist_r = hist.select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        "event_type",
+        "valid_to",
+    )
+    out = asof_join(
+        probes.withColumn("ts", F.col("probe_ts")),
+        hist_r,
+        ts_col="ts",
+        by=["user_id"],
+        value_cols=["event_type", "valid_to"],
+    )
+    return out.select(
+        "user_id",
+        "probe_ts",
+        F.when(
+            F.col("ts_asof").isNotNull()
+            & (
+                F.col("valid_to_asof").isNull()
+                | (F.col("probe_ts") < F.col("valid_to_asof"))
+            ),
+            F.col("event_type_asof"),
+        ).alias("state_at_probe"),
+    )
+
+
+def _sql_scd2_pit() -> str:
+    return f"""
+WITH hist AS ({SQL_SCD2_INTERVALS.strip()}),
+bounds AS (
+  SELECT date_trunc('day', MIN(ts)) AS d0, MAX(ts) AS d1 FROM events
+),
+probes AS (
+  SELECT u.user_id, g.probe_ts
+  FROM (SELECT DISTINCT user_id FROM hist) u
+  CROSS JOIN (
+    SELECT unnest(generate_series(d0, d1, INTERVAL 6 HOUR)) AS probe_ts
+    FROM bounds
+  ) g
+)
+SELECT p.user_id, p.probe_ts,
+       CASE WHEN h.valid_from IS NOT NULL
+                 AND (h.valid_to IS NULL OR p.probe_ts < h.valid_to)
+            THEN h.event_type END AS state_at_probe
+FROM probes p
+ASOF LEFT JOIN hist h
+  ON p.user_id = h.user_id AND p.probe_ts >= h.valid_from
 """

@@ -499,3 +499,24 @@ def test_contrastive_pairs_semantics(spark, sf_dir):
         if r["pos_id"] is not None and r["neg_id"] is not None:
             assert r["pos_cos"] > r["neg_cos"]
     assert n_pos > 0  # planted near-dups must yield positives
+
+
+def test_scd2_point_in_time_matches_interval_scan(spark, sf_dir):
+    """Every probe's state must equal a brute-force containment scan
+    of the intervals (valid_from <= t < valid_to, open current)."""
+    hist = mining.q_scd2_intervals(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in hist:
+        by_user[r["user_id"]].append(r)
+    got = mining.q_scd2_point_in_time(spark, sf_dir).collect()
+    assert len(got) > 0
+    for r in got:
+        t = r["probe_ts"]
+        exp = None
+        for iv in by_user[r["user_id"]]:
+            if iv["valid_from"] <= t and (
+                iv["valid_to"] is None or t < iv["valid_to"]
+            ):
+                exp = iv["event_type"]
+                break
+        assert r["state_at_probe"] == exp, (r, exp)
