@@ -901,6 +901,7 @@ def specs():
         QuerySpec(
             "scd2_point_in_time", q_scd2_point_in_time, _sql_scd2_pit()
         ),
+        QuerySpec("bpe_second_merge", q_bpe_second_merge, _sql_bpe_second()),
     ]
 
 
@@ -1824,4 +1825,103 @@ SELECT p.user_id, p.probe_ts,
 FROM probes p
 ASOF LEFT JOIN hist h
   ON p.user_id = h.user_id AND p.probe_ts >= h.valid_from
+"""
+
+
+# --- BPE second merge iteration ---------------------------------------------
+# Step 2 of byte-pair-encoding induction (Sennrich et al. 2016): APPLY
+# the learned top-1 merge and recount adjacent-symbol pairs — the loop
+# body a tokenizer trainer iterates to a full vocabulary. The greedy
+# leftmost non-overlapping merge is exactly string replace() in both
+# engines (a merged symbol is marked with chr(1), impossible in
+# [a-z0-9] tokens), so the symbol sequences — and the second
+# iteration's ranked pair counts — stay hash-exact.
+def q_bpe_second_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr(_SPARK_TOKS)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    first = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("n"), "pair"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col("pair").alias("merge1"))
+    )
+    merged = wc.crossJoin(F.broadcast(first)).select(
+        "cnt", "merge1", F.expr("replace(w, merge1, chr(1))").alias("w2")
+    )
+    return (
+        merged.filter(F.length("w2") >= 2)
+        .select(
+            "cnt",
+            "merge1",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w2) - 1), "
+                    "i -> replace(substring(w2, i, 2), chr(1), merge1))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("merge1", "pair")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_occurrences"), "pair"))
+            .cast("int"),
+        )
+        .filter(F.col("rank") <= 20)
+        .select("merge1", "pair", "n_occurrences", "rank")
+    )
+
+
+def _sql_bpe_second() -> str:
+    return f"""
+WITH wc AS (
+  SELECT w, COUNT(*) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+  GROUP BY 1
+),
+first AS (
+  SELECT pair AS merge1 FROM (
+    SELECT u.pair, SUM(cnt) AS n,
+           row_number() OVER (ORDER BY SUM(cnt) DESC, u.pair) AS rn
+    FROM wc, unnest(list_transform(generate_series(1, length(w) - 1),
+                    i -> substring(w, i, 2))) u(pair)
+    WHERE length(w) >= 2
+    GROUP BY u.pair
+  ) WHERE rn = 1
+),
+merged AS (
+  SELECT cnt, merge1, replace(w, merge1, chr(1)) AS w2
+  FROM wc CROSS JOIN first
+),
+second AS (
+  SELECT merge1, u.pair, SUM(cnt) AS n_occurrences
+  FROM (SELECT cnt, merge1,
+               list_transform(generate_series(1, length(w2) - 1),
+                 i -> replace(substring(w2, i, 2), chr(1), merge1)) AS ps
+        FROM merged WHERE length(w2) >= 2) m, unnest(ps) u(pair)
+  GROUP BY 1, 2
+)
+SELECT merge1, pair, n_occurrences,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) AS INTEGER)
+         AS rank
+FROM second
+QUALIFY rank <= 20
 """

@@ -124,8 +124,8 @@ _STAMP_FIRST: list[str] = [
     # kcore_docs, scd2_intervals, hll_by_source, snm_candidates,
     # lpa_communities, attribution_last_touch,
     # reconcile_orders_lineitem, seasonal_factors,
-    # snm_fuzzy_matches, contrastive_pairs, scd2_point_in_time) — go
-    # first, then the remaining r4-stamped cohort
+    # snm_fuzzy_matches, contrastive_pairs, scd2_point_in_time,
+    # bpe_second_merge) — go first, then the remaining r4-stamped cohort
     # rotates through r7/r8. All are covered every round by the local
     # harness and were driver-sim verified at sf0.01 regardless.)
 ]

@@ -520,3 +520,41 @@ def test_scd2_point_in_time_matches_interval_scan(spark, sf_dir):
                 exp = iv["event_type"]
                 break
         assert r["state_at_probe"] == exp, (r, exp)
+
+
+def test_bpe_second_merge_matches_python(spark, sf_dir):
+    """Recompute both BPE iterations in Python (greedy leftmost
+    non-overlapping merge) and compare the ranked second-iteration
+    pair counts exactly."""
+    from collections import Counter
+
+    from lab04_spark_streaming_spark.sources.files import load_table
+
+    words = Counter()
+    for r in load_table(spark, sf_dir, "documents").select("text").collect():
+        words.update(_toks(r["text"]))
+    first = Counter()
+    for w, c in words.items():
+        for i in range(len(w) - 1):
+            first[w[i : i + 2]] += c
+    merge1 = sorted(first.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    second = Counter()
+    for w, c in words.items():
+        symbols = []
+        i = 0
+        while i < len(w):
+            if w[i : i + 2] == merge1:
+                symbols.append(merge1)
+                i += 2
+            else:
+                symbols.append(w[i])
+                i += 1
+        for a, b in zip(symbols, symbols[1:]):
+            second[a + b] += c
+    expected = sorted(second.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = sorted(
+        mining.q_bpe_second_merge(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [(r["pair"], r["n_occurrences"]) for r in got] == expected
+    assert all(r["merge1"] == merge1 for r in got)
