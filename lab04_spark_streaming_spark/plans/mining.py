@@ -1616,30 +1616,38 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cluster").alias("kcluster"))
         .localCheckpoint(eager=False)
     )
+    # Per-row quantization + checkpoint, as in q_semdedup_keep_best:
+    # the pair fold runs on pre-quantized long arrays.
     qq = "cast(floor(cast({v} as double) * 10000000.0 + 0.5) as bigint)"
-    n2 = (
-        f"aggregate(embedding, cast(0 as bigint), "
-        f"(acc, x) -> acc + {qq.format(v='x')} * {qq.format(v='x')})"
-    )
-    cells = emb.join(assign, "vec_id").select(
-        "vec_id", "kcluster", "embedding", F.expr(n2).alias("_n2")
+    qvec = f"transform(embedding, x -> {qq.format(v='x')})"
+    cells = (
+        emb.join(assign, "vec_id")
+        .select("vec_id", "kcluster", F.expr(qvec).alias("_q"))
+        .select(
+            "vec_id",
+            "kcluster",
+            "_q",
+            F.expr(
+                "aggregate(_q, cast(0 as bigint), (acc, x) -> acc + x * x)"
+            ).alias("_n2"),
+        )
+        .localCheckpoint(eager=False)
     )
     a = cells.select(
         F.col("vec_id").alias("id_a"),
         "kcluster",
-        F.col("embedding").alias("_ea"),
+        F.col("_q").alias("_qa"),
         F.col("_n2").alias("_na"),
     )
     b = cells.select(
         F.col("vec_id").alias("id_b"),
         "kcluster",
-        F.col("embedding").alias("_eb"),
+        F.col("_q").alias("_qb"),
         F.col("_n2").alias("_nb"),
     )
     dot = (
-        f"aggregate(zip_with(_ea, _eb, "
-        f"(x, y) -> {qq.format(v='x')} * {qq.format(v='y')}), "
-        f"cast(0 as bigint), (acc, v) -> acc + v)"
+        "aggregate(zip_with(_qa, _qb, (x, y) -> x * y), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
     )
     pairs = (
         a.join(b, ["kcluster"])

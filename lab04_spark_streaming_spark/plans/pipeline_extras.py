@@ -735,30 +735,40 @@ def q_semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1. One shuffle on the cell key; per-pair work is a 64-wide JVM
     # fold inside codegen.
     qq = "cast(floor(cast({v} as double) * 10000000.0 + 0.5) as bigint)"
-    n2 = (
-        f"aggregate(embedding, cast(0 as bigint), "
-        f"(acc, x) -> acc + {qq.format(v='x')} * {qq.format(v='x')})"
-    )
+    # Quantize each vector ONCE per row (not once per pair): the fold
+    # below then runs on pre-quantized long arrays, so the per-pair
+    # work is a pure multiply-add with no floor/cast per element —
+    # measured ~2x on the pair stage. cells is checkpointed because it
+    # feeds both sides of the self-join (n x 64 longs — tiny).
+    qvec = f"transform(embedding, x -> {qq.format(v='x')})"
     cells = (
         emb.join(assign, "vec_id")
-        .select("vec_id", "kcluster", "embedding", F.expr(n2).alias("_n2"))
+        .select("vec_id", "kcluster", F.expr(qvec).alias("_q"))
+        .select(
+            "vec_id",
+            "kcluster",
+            "_q",
+            F.expr(
+                "aggregate(_q, cast(0 as bigint), (acc, x) -> acc + x * x)"
+            ).alias("_n2"),
+        )
+        .localCheckpoint(eager=False)
     )
     a = cells.select(
         F.col("vec_id").alias("id_a"),
         "kcluster",
-        F.col("embedding").alias("_ea"),
+        F.col("_q").alias("_qa"),
         F.col("_n2").alias("_na"),
     )
     b = cells.select(
         F.col("vec_id").alias("id_b"),
         "kcluster",
-        F.col("embedding").alias("_eb"),
+        F.col("_q").alias("_qb"),
         F.col("_n2").alias("_nb"),
     )
     dot = (
-        f"aggregate(zip_with(_ea, _eb, "
-        f"(x, y) -> {qq.format(v='x')} * {qq.format(v='y')}), "
-        f"cast(0 as bigint), (acc, v) -> acc + v)"
+        "aggregate(zip_with(_qa, _qb, (x, y) -> x * y), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
     )
     pairs = (
         a.join(b, ["kcluster"])
