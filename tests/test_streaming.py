@@ -1144,3 +1144,68 @@ def test_scd2_stream_interleaved_late_arrival_rewrites_runs(spark, tmp_path):
         (at(100), "a", at(200), 1),
         (at(200), "b", at(300), 1),
     ]
+
+
+def test_quality_classifier_runs_unchanged_as_stream(spark, tmp_path):
+    """Zero-shuffle per-row plans are batch/stream agnostic by
+    construction: the hashing-trick classifier's exact projection runs
+    over a document file stream and must emit the same rows the batch
+    query produces — the unification that makes every stateless
+    curation op in this repo a streaming ingest stage for free."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from lab04_spark_streaming_spark.plans.mining import q_quality_classifier
+    from lab04_spark_streaming_spark.sources.files import load_table
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    load_table(spark, src, "documents").select("doc_id", "text").coalesce(
+        1
+    ).write.parquet(str(d / "documents.parquet"))
+
+    batch = {
+        (r["doc_id"], r["score_num"], r["passes"])
+        for r in q_quality_classifier(spark, str(d)).collect()
+    }
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = file_stream(spark, str(d / "documents.parquet"), schema)
+    assert stream.isStreaming
+    # identical plan builder on the streaming frame: load_table is the
+    # only batch-specific piece, so apply the same projection body.
+    from pyspark.sql import functions as F
+
+    from lab04_spark_streaming_spark.plans import mining as m
+
+    scored = stream.select(
+        "doc_id",
+        F.expr(f"size({m._SPARK_TOKS})").alias("n_tokens"),
+        F.expr(
+            f"aggregate(transform({m._SPARK_TOKS}, w -> {m._weight_expr_spark()}), "
+            "0L, (acc, x) -> acc + x)"
+        ).alias("score_num"),
+    ).select(
+        "doc_id",
+        "score_num",
+        (
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("score_num") / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0))
+            >= 0
+        ).alias("passes"),
+    )
+    memory_sink_once(scored, "qc_stream_out", "append")
+    streamed = {
+        (r.doc_id, r.score_num, r.passes)
+        for r in spark.table("qc_stream_out").collect()
+    }
+    assert streamed == batch
