@@ -1,9 +1,14 @@
-"""Corpus-mining wave 3 (round 6): C4-style repeated-span removal,
+"""Corpus-mining waves (round 6): C4-style repeated-span removal,
 prefix-filtered exact set-similarity join (AllPairs/PPJoin family),
 MinHash-estimate-vs-exact error oracle, hashing-trick quality
 classifier, interpolated bigram LM cross-entropy, one-pass column
-profiling, Deequ-style data-quality checks, and k-core decomposition
-of the document-similarity graph.
+profiling, Deequ-style data-quality checks, k-core decomposition and
+label-propagation communities of the document-similarity graph,
+SCD-2 interval history + point-in-time lookup, mergeable per-source
+HLL, blocked sorted-neighborhood candidates + Levenshtein fuzzy
+matching, last-touch attribution, full-outer reconciliation,
+hour-of-day seasonal factors, contrastive pair mining, and the BPE
+second-merge iteration.
 
 These extend the reference's data-processing surface (the reference is
 a Kafka moving-stats lab — `moving_statistic.py` end to end) with the

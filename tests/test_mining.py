@@ -1,10 +1,10 @@
-"""Semantic ground-truth + physical-plan audits for the mining wave
-(plans/mining.py): C4 span removal, prefix-filtered exact similarity
-join, MinHash error oracle, hashing-trick classifier, bigram LM,
-profiler, DQ checks, and k-core.
+"""Semantic ground-truth + physical-plan audits for the mining waves
+(plans/mining.py — span dedup, similarity joins, classifiers, LM
+scores, profiling/DQ, graph ops, SCD-2, sketches, attribution,
+contrastive pairs, BPE).
 
-Oracle parity for all eight is covered by tests/test_oracle_parity.py
-(they are registered); these tests pin the SEMANTICS against
+Oracle parity for every registered query is covered by
+tests/test_oracle_parity.py; these tests pin the SEMANTICS against
 independent recomputations and the plan shapes against the 100 TB
 design notes in the docstrings.
 """
@@ -558,3 +558,64 @@ def test_bpe_second_merge_matches_python(spark, sf_dir):
     )
     assert [(r["pair"], r["n_occurrences"]) for r in got] == expected
     assert all(r["merge1"] == merge1 for r in got)
+
+
+def test_mining_queries_survive_empty_tables(spark, tmp_path):
+    """Every documents/events-driven mining query must return an empty
+    (or degenerate-but-valid) result on EMPTY input — not throw. Empty
+    partitions are routine at 100 TB (a new date partition, a filtered
+    branch); an operator that crashes on them is not deployable."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    d = tmp_path / "empty_sf"
+    d.mkdir()
+    doc_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    ev_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    spark.createDataFrame([], doc_schema).write.parquet(
+        str(d / "documents.parquet")
+    )
+    spark.createDataFrame([], ev_schema).write.parquet(
+        str(d / "events.parquet")
+    )
+    doc_queries = [
+        mining.q_span_dedup_c4,
+        mining.q_jaccard_prefix_join,
+        mining.q_minhash_error,
+        mining.q_quality_classifier,
+        mining.q_bigram_logprob,
+        mining.q_kcore_docs,
+        mining.q_snm_candidates,
+        mining.q_snm_fuzzy_matches,
+        mining.q_lpa_communities,
+        mining.q_hll_by_source,
+        mining.q_bpe_second_merge,
+    ]
+    for fn in doc_queries:
+        assert fn(spark, str(d)).count() == 0, fn.__name__
+    ev_queries = [mining.q_scd2_intervals, mining.q_seasonal_factors]
+    for fn in ev_queries:
+        assert fn(spark, str(d)).count() == 0, fn.__name__
