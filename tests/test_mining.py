@@ -561,47 +561,24 @@ def test_bpe_second_merge_matches_python(spark, sf_dir):
 
 
 def test_mining_queries_survive_empty_tables(spark, tmp_path):
-    """Every documents/events-driven mining query must return an empty
-    (or degenerate-but-valid) result on EMPTY input — not throw. Empty
+    """Every mining query must return an empty (or
+    degenerate-but-valid) result on EMPTY input — not throw. Empty
     partitions are routine at 100 TB (a new date partition, a filtered
-    branch); an operator that crashes on them is not deployable."""
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-        TimestampType,
-    )
+    branch); an operator that crashes on them is not deployable.
+    Schemas come from the canonical STAR_TABLE_CONTRACT so a testdata
+    schema change updates this sweep automatically."""
+    from lab04_spark_streaming_spark.schemas import STAR_TABLE_CONTRACT
 
     d = tmp_path / "empty_sf"
     d.mkdir()
-    doc_schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("text", StringType()),
-            StructField("lang", StringType()),
-            StructField("source", StringType()),
-            StructField("n_chars", LongType()),
-        ]
-    )
-    ev_schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", TimestampType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
-    spark.createDataFrame([], doc_schema).write.parquet(
-        str(d / "documents.parquet")
-    )
-    spark.createDataFrame([], ev_schema).write.parquet(
-        str(d / "events.parquet")
-    )
-    doc_queries = [
+    for table in ("documents", "events", "embeddings"):
+        ddl = ", ".join(
+            f"{c} {typ}" for c, typ in STAR_TABLE_CONTRACT[table]
+        )
+        spark.createDataFrame([], ddl).write.parquet(
+            str(d / f"{table}.parquet")
+        )
+    queries = [
         mining.q_span_dedup_c4,
         mining.q_jaccard_prefix_join,
         mining.q_minhash_error,
@@ -613,9 +590,13 @@ def test_mining_queries_survive_empty_tables(spark, tmp_path):
         mining.q_lpa_communities,
         mining.q_hll_by_source,
         mining.q_bpe_second_merge,
+        mining.q_scd2_intervals,
+        mining.q_seasonal_factors,
+        # asof-backed paths: empty left AND empty right partitions
+        mining.q_attribution_last_touch,
+        mining.q_scd2_point_in_time,
+        # embeddings-driven
+        mining.q_contrastive_pairs,
     ]
-    for fn in doc_queries:
-        assert fn(spark, str(d)).count() == 0, fn.__name__
-    ev_queries = [mining.q_scd2_intervals, mining.q_seasonal_factors]
-    for fn in ev_queries:
+    for fn in queries:
         assert fn(spark, str(d)).count() == 0, fn.__name__
