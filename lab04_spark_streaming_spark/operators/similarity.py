@@ -947,3 +947,64 @@ def ann_ivfpq_topk(
         .orderBy("adc", id_col)
         .limit(k)
     )
+
+
+def cell_pair_cosines(
+    emb: DataFrame,
+    assign: DataFrame,
+    cell_col: str = "kcluster",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cos) for every within-cell pair (id_a < id_b) —
+    the shared pair stage of SemDeDup and contrastive mining: exact
+    integer-grid cosine (1e-7 quantization, same as the rest of the
+    ANN surface) via a cell-bucketed self-join of pre-quantized long
+    arrays. Each vector is quantized ONCE per row (not once per pair)
+    and the cell relation is checkpointed because it feeds both join
+    sides; the per-pair work is a pure multiply-add fold in codegen.
+    Pair volume is Σ|cell|²·d — bounded by the clustering, never
+    n²·d."""
+    qq = "cast(floor(cast(x as double) * 10000000.0 + 0.5) as bigint)"
+    cells = (
+        emb.join(assign, id_col)
+        .select(
+            id_col,
+            cell_col,
+            F.expr(f"transform({vec_col}, x -> {qq})").alias("_q"),
+        )
+        .select(
+            id_col,
+            cell_col,
+            "_q",
+            F.expr(
+                "aggregate(_q, cast(0 as bigint), (acc, x) -> acc + x * x)"
+            ).alias("_n2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = cells.select(
+        F.col(id_col).alias("id_a"),
+        cell_col,
+        F.col("_q").alias("_qa"),
+        F.col("_n2").alias("_na"),
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"),
+        cell_col,
+        F.col("_q").alias("_qb"),
+        F.col("_n2").alias("_nb"),
+    )
+    dot = (
+        "aggregate(zip_with(_qa, _qb, (x, y) -> x * y), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    return (
+        a.join(b, [cell_col])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.expr(dot) / (F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb"))),
+        )
+        .select("id_a", "id_b", "cos")
+    )

@@ -313,7 +313,9 @@ def q_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = dd.minhash_candidate_pairs(docs)
     eligible = docs.filter(F.expr(f"size({_SPARK_TOKS}) >= 3"))
-    sigs = dd.minhash_signatures(eligible)
+    # sigs and sets each feed BOTH sides of the pair join — checkpoint
+    # so the signature/shingle passes run once per relation.
+    sigs = dd.minhash_signatures(eligible).localCheckpoint(eager=False)
     # staged projections (tokens, then shingles) — inlining the token
     # split into the shingle lambda re-splits per element (see the
     # minhash_signatures docstring, operators/dedup.py).
@@ -323,6 +325,7 @@ def q_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.expr(f"array_distinct({expr_shingles('toks')})").alias("s"),
         )
+        .localCheckpoint(eager=False)
     )
     a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -490,8 +493,14 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count relations are bigram-vocab-bounded -> broadcast; the doc
     side is one explode + three broadcast joins + one doc_id groupBy
     (single shuffle on the pre-aggregated doc key)."""
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.expr(_SPARK_TOKS).alias("toks")
+    # token relation feeds the bigram explode AND the unigram counts:
+    # split-restore + checkpoint = one tokenize pass (same lineage-cut
+    # rationale as q_jaccard_prefix_join).
+    toks = (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+        .localCheckpoint(eager=False)
     )
     bg = toks.select(
         "doc_id",
@@ -613,8 +622,11 @@ def _sql_data_profile() -> str:
         if kind == "num":
             mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
         elif kind == "ts":
-            mn = f"CAST(epoch(MIN({c})) AS DOUBLE)"
-            mx = f"CAST(epoch(MAX({c})) AS DOUBLE)"
+            # floor to whole seconds: the Spark side's unix_timestamp
+            # truncates, and DuckDB's epoch() keeps the fraction —
+            # floor is monotone, so floor(min(epoch)) == min(floor).
+            mn = f"CAST(floor(epoch(MIN({c}))) AS DOUBLE)"
+            mx = f"CAST(floor(epoch(MAX({c}))) AS DOUBLE)"
         else:
             mn = mx = "CAST(NULL AS DOUBLE)"
         avg_len = (
@@ -829,10 +841,12 @@ def q_kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_kcore() -> str:
-    rounds = []
-    prev = "a0"
-    base = f"""
+# Shared doc-similarity-graph base CTEs (k-core + LPA oracles): the
+# inverted-index edge build over distinct 3-shingles with the
+# >= _KCORE_MIN_SHARED pair-count threshold, symmetrized, plus the
+# node set. One definition so the two graph oracles cannot drift.
+def _sql_doc_graph_base() -> str:
+    return f"""
 ex AS (
   SELECT doc_id, u.sh
   FROM (SELECT doc_id, list_distinct({sql_shingles('toks')}) AS s
@@ -845,7 +859,13 @@ e0 AS (
   GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_MIN_SHARED}
 ),
 adj AS (SELECT src AS u, dst AS v FROM e0
-        UNION ALL SELECT dst, src FROM e0),
+        UNION ALL SELECT dst, src FROM e0)"""
+
+
+def _sql_kcore() -> str:
+    rounds = []
+    prev = "a0"
+    base = _sql_doc_graph_base() + """,
 a0 AS (SELECT DISTINCT u AS node FROM adj)"""
     for i in range(1, _KCORE_ROUNDS + 1):
         rounds.append(
@@ -954,7 +974,11 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    # run is the tie-break: two runs of one user share a valid_from
+    # when alternating types carry identical timestamps (in-contract —
+    # the first window breaks such ties on event_id), and lead() over
+    # a non-total order would be engine-arbitrary.
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "run")
     return runs.select(
         "user_id",
         "event_type",
@@ -990,7 +1014,7 @@ SELECT user_id, event_type, valid_from,
        n_events,
        lead(valid_from) OVER w2 IS NULL AS is_current
 FROM grouped
-WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, run)
 """
 
 
@@ -1190,12 +1214,14 @@ def q_snm_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"array_distinct({expr_shingles('toks')})").alias("s"),
         )
     )
+    # pos feeds both sides of the neighbor self-join: checkpoint so the
+    # tokenize/shingle/sort pipeline runs once.
     pos = docs.withColumn(
         "pos",
         F.row_number().over(
             Window.partitionBy("blk").orderBy("skey", "doc_id")
         ),
-    )
+    ).localCheckpoint(eager=False)
     a, b = pos.alias("a"), pos.alias("b")
     return (
         a.join(
@@ -1290,20 +1316,7 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_lpa() -> str:
-    base = f"""
-ex AS (
-  SELECT doc_id, u.sh
-  FROM (SELECT doc_id, list_distinct({sql_shingles('toks')}) AS s
-        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t(doc_id, toks)
-        WHERE len(toks) >= 3) q, unnest(s) u(sh)
-),
-e0 AS (
-  SELECT a.doc_id AS src, b.doc_id AS dst
-  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_MIN_SHARED}
-),
-adj AS (SELECT src AS u, dst AS v FROM e0
-        UNION ALL SELECT dst, src FROM e0),
+    base = _sql_doc_graph_base() + """,
 l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj)"""
     rounds = []
     prev = "l0"
@@ -1481,51 +1494,62 @@ def q_seasonal_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-index extraction (classical decomposition step 1): per
     event_type, each hour-of-day's mean value over the overall mean —
     the multiplicative seasonal profile used for seasonal adjustment
-    and capacity planning. Both means are exact decimal moments
-    (functions/guards rules); the factor is one double division.
-    |types| x 24 output rows; two aggregates share one scan via a
-    rollup-free two-level groupBy."""
-    from lab04_spark_streaming_spark.functions.guards import exact_avg
-
+    and capacity planning. ONE scan: the (type, hod) grain's exact
+    decimal sum + count are the sufficient moments; the per-type
+    overall mean is derived by re-aggregating those ≤ types×24 rows
+    (decimal addition is associative, so the rollup mean equals a
+    direct whole-partition exact_avg bit-for-bit). Both means are one
+    double conversion + one division each."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.hour("ts").alias("hod"),
         "value",
     )
-    hourly = ev.groupBy("event_type", "hod").agg(
+    hourly_m = ev.groupBy("event_type", "hod").agg(
         F.count(F.lit(1)).alias("n_events"),
-        exact_avg(F.col("value")).alias("hourly_mean"),
+        F.sum(F.col("value").cast("decimal(30,4)")).alias("_s"),
     )
-    overall = ev.groupBy("event_type").agg(
-        exact_avg(F.col("value")).alias("overall_mean")
+    overall = hourly_m.groupBy("event_type").agg(
+        (
+            F.sum("_s").cast("double") / F.sum("n_events")
+        ).alias("overall_mean")
     )
-    return hourly.join(F.broadcast(overall), "event_type").select(
-        "event_type",
-        "hod",
-        "n_events",
-        "hourly_mean",
-        (F.col("hourly_mean") / F.col("overall_mean")).alias("seasonal_factor"),
+    return (
+        hourly_m.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            "hod",
+            "n_events",
+            (F.col("_s").cast("double") / F.col("n_events")).alias(
+                "hourly_mean"
+            ),
+            (
+                (F.col("_s").cast("double") / F.col("n_events"))
+                / F.col("overall_mean")
+            ).alias("seasonal_factor"),
+        )
     )
 
 
 def _sql_seasonal() -> str:
-    from lab04_spark_streaming_spark.functions.guards import sql_exact_avg
-
-    return f"""
+    return """
 WITH base AS (
   SELECT event_type, EXTRACT(hour FROM ts) AS hod, value FROM events
 ),
 hourly AS (
   SELECT event_type, hod, COUNT(*) AS n_events,
-         {sql_exact_avg('value')} AS hourly_mean
+         SUM(CAST(value AS DECIMAL(30,4))) AS s
   FROM base GROUP BY 1, 2
 ),
 overall AS (
-  SELECT event_type, {sql_exact_avg('value')} AS overall_mean
-  FROM base GROUP BY 1
+  SELECT event_type,
+         CAST(SUM(s) AS DOUBLE) / SUM(n_events) AS overall_mean
+  FROM hourly GROUP BY 1
 )
-SELECT h.event_type, h.hod, h.n_events, h.hourly_mean,
-       h.hourly_mean / o.overall_mean AS seasonal_factor
+SELECT h.event_type, h.hod, h.n_events,
+       CAST(h.s AS DOUBLE) / h.n_events AS hourly_mean,
+       (CAST(h.s AS DOUBLE) / h.n_events) / o.overall_mean
+         AS seasonal_factor
 FROM hourly h JOIN overall o ON o.event_type = h.event_type
 """
 
@@ -1621,48 +1645,14 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cluster").alias("kcluster"))
         .localCheckpoint(eager=False)
     )
-    # Per-row quantization + checkpoint, as in q_semdedup_keep_best:
-    # the pair fold runs on pre-quantized long arrays.
-    qq = "cast(floor(cast({v} as double) * 10000000.0 + 0.5) as bigint)"
-    qvec = f"transform(embedding, x -> {qq.format(v='x')})"
-    cells = (
-        emb.join(assign, "vec_id")
-        .select("vec_id", "kcluster", F.expr(qvec).alias("_q"))
-        .select(
-            "vec_id",
-            "kcluster",
-            "_q",
-            F.expr(
-                "aggregate(_q, cast(0 as bigint), (acc, x) -> acc + x * x)"
-            ).alias("_n2"),
-        )
-        .localCheckpoint(eager=False)
+    from lab04_spark_streaming_spark.operators.similarity import (
+        cell_pair_cosines,
     )
-    a = cells.select(
-        F.col("vec_id").alias("id_a"),
-        "kcluster",
-        F.col("_q").alias("_qa"),
-        F.col("_n2").alias("_na"),
-    )
-    b = cells.select(
-        F.col("vec_id").alias("id_b"),
-        "kcluster",
-        F.col("_q").alias("_qb"),
-        F.col("_n2").alias("_nb"),
-    )
-    dot = (
-        "aggregate(zip_with(_qa, _qb, (x, y) -> x * y), "
-        "cast(0 as bigint), (acc, v) -> acc + v)"
-    )
+
     pairs = (
-        a.join(b, ["kcluster"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos",
-            F.expr(dot) / (F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb"))),
-        )
-        .select("id_a", "id_b", "cos")
-        .localCheckpoint(eager=False)  # feeds both direction branches
+        cell_pair_cosines(emb, assign)
+        # feeds both direction branches of the symmetrization
+        .localCheckpoint(eager=False)
     )
     sym = pairs.select(
         F.col("id_a").alias("anchor"), F.col("id_b").alias("other"), "cos"
@@ -1790,11 +1780,22 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from lab04_spark_streaming_spark.operators.asof import asof_join
 
-    hist_r = hist.select(
-        "user_id",
-        F.col("valid_from").alias("ts"),
-        "event_type",
-        "valid_to",
+    # asof_join requires right rows unique per (by, ts). Runs sharing
+    # a valid_from (identical-timestamp alternating types) are all
+    # zero-length [T, T) except the last — keep the one row that can
+    # actually contain a probe (valid_to NULL, else the max).
+    wv = Window.partitionBy("user_id", "valid_from").orderBy(
+        F.col("valid_to").isNull().cast("int").desc(), F.col("valid_to").desc()
+    )
+    hist_r = (
+        hist.withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("valid_from").alias("ts"),
+            "event_type",
+            "valid_to",
+        )
     )
     out = asof_join(
         probes.withColumn("ts", F.col("probe_ts")),
@@ -1819,7 +1820,17 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_scd2_pit() -> str:
     return f"""
-WITH hist AS ({SQL_SCD2_INTERVALS.strip()}),
+WITH hist0 AS ({SQL_SCD2_INTERVALS.strip()}),
+hist AS (
+  SELECT user_id, event_type, valid_from, valid_to FROM (
+    SELECT user_id, event_type, valid_from, valid_to,
+           row_number() OVER (
+             PARTITION BY user_id, valid_from
+             ORDER BY CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END DESC,
+                      valid_to DESC) AS rn
+    FROM hist0
+  ) WHERE rn = 1
+),
 bounds AS (
   SELECT date_trunc('day', MIN(ts)) AS d0, MAX(ts) AS d1 FROM events
 ),

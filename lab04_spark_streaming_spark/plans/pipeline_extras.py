@@ -734,50 +734,20 @@ def q_semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (pair × position) aggregation disappears: measured 7.3 s → ~3 s at
     # sf0.1. One shuffle on the cell key; per-pair work is a 64-wide JVM
     # fold inside codegen.
-    qq = "cast(floor(cast({v} as double) * 10000000.0 + 0.5) as bigint)"
-    # Quantize each vector ONCE per row (not once per pair): the fold
-    # below then runs on pre-quantized long arrays, so the per-pair
-    # work is a pure multiply-add with no floor/cast per element —
-    # measured ~2x on the pair stage. cells is checkpointed because it
-    # feeds both sides of the self-join (n x 64 longs — tiny).
-    qvec = f"transform(embedding, x -> {qq.format(v='x')})"
-    cells = (
-        emb.join(assign, "vec_id")
-        .select("vec_id", "kcluster", F.expr(qvec).alias("_q"))
-        .select(
-            "vec_id",
-            "kcluster",
-            "_q",
-            F.expr(
-                "aggregate(_q, cast(0 as bigint), (acc, x) -> acc + x * x)"
-            ).alias("_n2"),
-        )
-        .localCheckpoint(eager=False)
+    # Within-cell pairs via the shared quantized fold
+    # (operators/similarity.cell_pair_cosines — one body for SemDeDup
+    # and contrastive mining): same int64 moments as a positional
+    # explode (bit-identical cosine, the oracle is unchanged) but the
+    # shuffle moves n rows instead of n×dim cells; vectors quantize
+    # once per row and the cell relation is checkpointed for the two
+    # join sides.
+    from lab04_spark_streaming_spark.operators.similarity import (
+        cell_pair_cosines,
     )
-    a = cells.select(
-        F.col("vec_id").alias("id_a"),
-        "kcluster",
-        F.col("_q").alias("_qa"),
-        F.col("_n2").alias("_na"),
-    )
-    b = cells.select(
-        F.col("vec_id").alias("id_b"),
-        "kcluster",
-        F.col("_q").alias("_qb"),
-        F.col("_n2").alias("_nb"),
-    )
-    dot = (
-        "aggregate(zip_with(_qa, _qb, (x, y) -> x * y), "
-        "cast(0 as bigint), (acc, v) -> acc + v)"
-    )
+
     pairs = (
-        a.join(b, ["kcluster"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("_dot", F.expr(dot))
-        .filter(
-            F.col("_dot") / (F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb")))
-            >= 0.4
-        )
+        cell_pair_cosines(emb, assign)
+        .filter(F.col("cos") >= 0.4)
         .select("id_a", "id_b")
         # The component stage symmetrizes pairs via a 2-branch union;
         # cut lineage here so the within-cell self-join runs once.

@@ -112,7 +112,7 @@ _STAMP_FIRST: list[str] = [
     "rolling_active_users",
     "heavy_hitters_cms",
     "contamination_rate",
-    # (window full. r7 rotation plan: the ~25 round-6 queries landed
+    # (window full. r7 rotation plan: the 36 round-6 queries landed
     # after this window filled — session_assoc_rules, funnel_conversion,
     # cusum_changepoint, key_skew_profile, dedup_incremental_near,
     # unigram_logprob, bpe_pair_counts, bloom_membership,

@@ -600,3 +600,43 @@ def test_mining_queries_survive_empty_tables(spark, tmp_path):
     ]
     for fn in queries:
         assert fn(spark, str(d)).count() == 0, fn.__name__
+
+
+def test_scd2_tiebreak_same_timestamp_runs(spark, tmp_path):
+    """Review regression (r6): runs sharing a valid_from (identical
+    timestamps with alternating types) must order deterministically by
+    run id — zero-length intervals tile in event order and only the
+    last same-instant run carries forward."""
+    import datetime as dt
+
+    T = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        (0, T, 1, "a"),
+        (1, T, 1, "b"),
+        (2, T, 1, "a"),
+        (3, T + dt.timedelta(seconds=10), 1, "b"),
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.parquet(str(d / "events.parquet"))
+    got = [
+        (r["event_type"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in sorted(
+            mining.q_scd2_intervals(spark, str(d)).collect(),
+            key=lambda r: (r["valid_from"], r["is_current"], r["event_type"]),
+        )
+    ]
+    T10 = T + dt.timedelta(seconds=10)
+    assert (got[0], got[3]) == (("a", T, T, False), ("b", T10, None, True))
+    # middle two: both start at T; exactly one carries to T10
+    assert {g[0] for g in got[:3]} == {"a", "b"}
+    assert sorted(g[2] for g in got[:3]) == [T, T, T10]
+    # point-in-time query survives the duplicate (user, valid_from)
+    pit = mining.q_scd2_point_in_time(spark, str(d)).collect()
+    for r in pit:
+        if r["probe_ts"] >= T10:
+            assert r["state_at_probe"] == "b"
+        elif r["probe_ts"] >= T:
+            assert r["state_at_probe"] == "a"
