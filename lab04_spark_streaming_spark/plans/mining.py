@@ -927,6 +927,9 @@ def specs():
             "scd2_point_in_time", q_scd2_point_in_time, _sql_scd2_pit()
         ),
         QuerySpec("bpe_second_merge", q_bpe_second_merge, _sql_bpe_second()),
+        QuerySpec(
+            "path_transitions", q_path_transitions, SQL_PATH_TRANSITIONS
+        ),
     ]
 
 
@@ -1948,4 +1951,91 @@ SELECT merge1, pair, n_occurrences,
          AS rank
 FROM second
 QUALIFY rank <= 20
+"""
+
+
+# --- session path transitions -----------------------------------------------
+def q_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix: within each 30-minute-gap
+    session (same construction as sessionize_gap30m), count each
+    consecutive event_type pair and report P(next | current) as an
+    exact rational — the first-order Markov model behind funnel/journey
+    analysis. One window shuffle on the user key builds sessions AND
+    the lag pairs; the transition aggregate is |types|²-bounded. The
+    probability is exact-int n_pair over exact-int n_from with one
+    double division — hash-exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn(
+            "new_s",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.col("ts").cast("long")
+                    - F.lag("ts").over(w).cast("long")
+                    > 1800
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    w2 = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    pairs = sess.select(
+        F.lag("event_type").over(w2).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    froms = counts.groupBy("from_type").agg(F.sum("n_pair").alias("n_from"))
+    return counts.join(F.broadcast(froms), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_pair",
+        "n_from",
+        (F.col("n_pair") / F.col("n_from").cast("double")).alias("p_next"),
+    )
+
+
+SQL_PATH_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(CASE WHEN prev_ts IS NULL
+                       OR epoch(ts)::BIGINT - epoch(prev_ts)::BIGINT > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (
+    SELECT user_id, ts, event_id, event_type,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_ts
+    FROM events
+  )
+),
+pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id, sid
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM s
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n_pair
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+),
+froms AS (
+  SELECT from_type, SUM(n_pair) AS n_from FROM counts GROUP BY 1
+)
+SELECT c.from_type, c.to_type, c.n_pair, f.n_from,
+       c.n_pair / CAST(f.n_from AS DOUBLE) AS p_next
+FROM counts c JOIN froms f ON f.from_type = c.from_type
 """

@@ -112,7 +112,7 @@ _STAMP_FIRST: list[str] = [
     "rolling_active_users",
     "heavy_hitters_cms",
     "contamination_rate",
-    # (window full. r7 rotation plan: the 36 round-6 queries landed
+    # (window full. r7 rotation plan: the 37 round-6 queries landed
     # after this window filled — session_assoc_rules, funnel_conversion,
     # cusum_changepoint, key_skew_profile, dedup_incremental_near,
     # unigram_logprob, bpe_pair_counts, bloom_membership,
@@ -125,7 +125,7 @@ _STAMP_FIRST: list[str] = [
     # lpa_communities, attribution_last_touch,
     # reconcile_orders_lineitem, seasonal_factors,
     # snm_fuzzy_matches, contrastive_pairs, scd2_point_in_time,
-    # bpe_second_merge) — go first, then the remaining r4-stamped cohort
+    # bpe_second_merge, path_transitions) — go first, then the remaining r4-stamped cohort
     # rotates through r7/r8. All are covered every round by the local
     # harness and were driver-sim verified at sf0.01 regardless.)
 ]

@@ -640,3 +640,16 @@ def test_scd2_tiebreak_same_timestamp_runs(spark, tmp_path):
             assert r["state_at_probe"] == "b"
         elif r["probe_ts"] >= T:
             assert r["state_at_probe"] == "a"
+
+
+def test_path_transitions_probabilities_sum_to_one(spark, sf_dir):
+    rows = mining.q_path_transitions(spark, sf_dir).collect()
+    assert rows
+    by_from = defaultdict(list)
+    for r in rows:
+        by_from[r["from_type"]].append(r)
+        assert 0.0 < r["p_next"] <= 1.0
+        assert r["n_pair"] <= r["n_from"]
+    for f, rs in by_from.items():
+        assert sum(r["n_pair"] for r in rs) == rs[0]["n_from"]
+        assert abs(sum(r["p_next"] for r in rs) - 1.0) < 1e-9
