@@ -645,8 +645,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SESSIONIZE = """
 WITH with_gap AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN epoch(ts)::BIGINT
-                   - lag(epoch(ts)::BIGINT) OVER w > 1800
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

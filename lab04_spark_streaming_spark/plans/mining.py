@@ -443,8 +443,11 @@ def _weight_expr_sql() -> str:
     )
 
 
-def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
+def score_documents(docs: DataFrame) -> DataFrame:
+    """The classifier as a frame-in/frame-out builder: works unchanged
+    on a batch relation or a document stream (zero-shuffle per-row
+    projection — asserted batch==stream in tests/test_streaming.py)."""
+    return docs.select(
         "doc_id",
         F.expr(f"size({_SPARK_TOKS})").alias("n_tokens"),
         F.expr(
@@ -467,6 +470,10 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0
         ).alias("passes"),
     )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return score_documents(_docs(spark, sf_dir))
 
 
 SQL_QUALITY_CLASSIFIER = f"""
@@ -1501,8 +1508,11 @@ def q_seasonal_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal sum + count are the sufficient moments; the per-type
     overall mean is derived by re-aggregating those ≤ types×24 rows
     (decimal addition is associative, so the rollup mean equals a
-    direct whole-partition exact_avg bit-for-bit). Both means are one
-    double conversion + one division each."""
+    direct whole-partition mean bit-for-bit). Means use a count(*)
+    denominator in BOTH engines — on a (hypothetical) NULL-bearing
+    value column this is the count-all mean, not exact_avg's
+    non-null-denominator mean. Both means are one double conversion +
+    one division each."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.hour("ts").alias("hod"),
@@ -2010,7 +2020,7 @@ SQL_PATH_TRANSITIONS = """
 WITH s AS (
   SELECT user_id, ts, event_id, event_type,
          SUM(CASE WHEN prev_ts IS NULL
-                       OR epoch(ts)::BIGINT - epoch(prev_ts)::BIGINT > 1800
+                       OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS sid

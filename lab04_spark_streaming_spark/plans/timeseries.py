@@ -956,8 +956,8 @@ def q_session_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SESSION_ASSOC_RULES = """
 WITH with_gap AS (
   SELECT user_id, event_id, ts, event_type,
-         CASE WHEN epoch(ts)::BIGINT
-                   - lag(epoch(ts)::BIGINT) OVER w > 1800
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1209,7 +1209,7 @@ SELECT user_id, event_id, ts,
          AS trailing_1h_sum,
        COUNT(*) OVER w AS trailing_1h_n
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """
 

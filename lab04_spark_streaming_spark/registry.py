@@ -112,7 +112,14 @@ _STAMP_FIRST: list[str] = [
     "rolling_active_users",
     "heavy_hitters_cms",
     "contamination_rate",
-    # (window full. r7 rotation plan: the 37 round-6 queries landed
+    # (window full. r7 rotation plan: FIRST sessionize_gap30m — its
+    # DuckDB twin's gap cast was hardened epoch()::BIGINT (rounds) →
+    # floor(epoch()) to mirror Spark's cast-as-long truncation
+    # (identical results on current data, driver-sim re-verified, but
+    # oracle text changed after its r5 stamp → freshest-possible
+    # re-stamp; session_assoc_rules / range_frame_trailing_1h got the
+    # same hardening and are already listed below) — then the 37
+    # round-6 queries landed
     # after this window filled — session_assoc_rules, funnel_conversion,
     # cusum_changepoint, key_skew_profile, dedup_incremental_near,
     # unigram_logprob, bpe_pair_counts, bloom_membership,

@@ -597,6 +597,7 @@ def test_mining_queries_survive_empty_tables(spark, tmp_path):
         mining.q_scd2_point_in_time,
         # embeddings-driven
         mining.q_contrastive_pairs,
+        mining.q_path_transitions,
     ]
     for fn in queries:
         assert fn(spark, str(d)).count() == 0, fn.__name__
@@ -625,7 +626,12 @@ def test_scd2_tiebreak_same_timestamp_runs(spark, tmp_path):
         (r["event_type"], r["valid_from"], r["valid_to"], r["is_current"])
         for r in sorted(
             mining.q_scd2_intervals(spark, str(d)).collect(),
-            key=lambda r: (r["valid_from"], r["is_current"], r["event_type"]),
+            key=lambda r: (
+                r["valid_from"],
+                r["is_current"],
+                r["event_type"],
+                r["valid_to"] or dt.datetime.max,
+            ),
         )
     ]
     T10 = T + dt.timedelta(seconds=10)

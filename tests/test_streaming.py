@@ -1161,8 +1161,9 @@ def test_quality_classifier_runs_unchanged_as_stream(spark, tmp_path):
 
     from lab04_spark_streaming_spark.plans.mining import q_quality_classifier
     from lab04_spark_streaming_spark.sources.files import load_table
+    from tests.conftest import SF_DIR
 
-    src = "/root/testdata/sf0.001"
+    src = SF_DIR
     d = tmp_path / "docs_stream"
     d.mkdir()
     load_table(spark, src, "documents").select("doc_id", "text").coalesce(
@@ -1179,30 +1180,11 @@ def test_quality_classifier_runs_unchanged_as_stream(spark, tmp_path):
     )
     stream = file_stream(spark, str(d / "documents.parquet"), schema)
     assert stream.isStreaming
-    # identical plan builder on the streaming frame: load_table is the
-    # only batch-specific piece, so apply the same projection body.
-    from pyspark.sql import functions as F
+    # the SAME builder the batch query uses — load_table is the only
+    # batch-specific piece.
+    from lab04_spark_streaming_spark.plans.mining import score_documents
 
-    from lab04_spark_streaming_spark.plans import mining as m
-
-    scored = stream.select(
-        "doc_id",
-        F.expr(f"size({m._SPARK_TOKS})").alias("n_tokens"),
-        F.expr(
-            f"aggregate(transform({m._SPARK_TOKS}, w -> {m._weight_expr_spark()}), "
-            "0L, (acc, x) -> acc + x)"
-        ).alias("score_num"),
-    ).select(
-        "doc_id",
-        "score_num",
-        (
-            F.when(
-                F.col("n_tokens") > 0,
-                F.col("score_num") / F.col("n_tokens").cast("double"),
-            ).otherwise(F.lit(0.0))
-            >= 0
-        ).alias("passes"),
-    )
+    scored = score_documents(stream).select("doc_id", "score_num", "passes")
     memory_sink_once(scored, "qc_stream_out", "append")
     streamed = {
         (r.doc_id, r.score_num, r.passes)
