@@ -937,6 +937,7 @@ def specs():
         QuerySpec(
             "path_transitions", q_path_transitions, SQL_PATH_TRANSITIONS
         ),
+        QuerySpec("golden_records", q_golden_records, _sql_golden_records()),
     ]
 
 
@@ -2048,4 +2049,85 @@ froms AS (
 SELECT c.from_type, c.to_type, c.n_pair, f.n_from,
        c.n_pair / CAST(f.n_from AS DOUBLE) AS p_next
 FROM counts c JOIN froms f ON f.from_type = c.from_type
+"""
+
+
+# --- golden-record survivorship merge ---------------------------------------
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM-style survivorship: merge every near-dup cluster into ONE
+    canonical record with explicit field-wise rules — the step after
+    dedup clustering that master-data pipelines ship. Rules (each a
+    deterministic aggregate over the cluster): surviving doc_id = the
+    longest text's id (ties → min id, via min_by on an (-len, id)
+    struct), canonical text digest = that survivor's md5, provenance =
+    sorted distinct sources and langs, n_members. Composes the
+    already-oracled connected components; per-cluster work is one
+    groupBy over cluster-bounded rows. Domain note: dedup_clusters
+    covers only documents that appear in a verified near-dup pair, so
+    this emits one golden record per MERGED cluster; untouched
+    singletons need no merge — a full pass unions them back as
+    identity records (one anti-join)."""
+    from lab04_spark_streaming_spark.plans.llm import q_dedup_clusters
+
+    comp = q_dedup_clusters(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", "lang", F.length("text").alias("_len"),
+        F.md5("text").alias("_digest"),
+    )
+    return (
+        comp.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.expr(
+                "min_by(doc_id, struct(-_len as a, doc_id as b))"
+            ).alias("survivor_id"),
+            F.expr(
+                "min_by(_digest, struct(-_len as a, doc_id as b))"
+            ).alias("survivor_digest"),
+            F.max("_len").alias("max_len"),
+            F.array_join(
+                F.array_sort(F.collect_set("source")), ","
+            ).alias("sources"),
+            F.array_join(F.array_sort(F.collect_set("lang")), ",").alias(
+                "langs"
+            ),
+        )
+    )
+
+
+def _sql_golden_records() -> str:
+    from lab04_spark_streaming_spark.plans.llm import SQL_DEDUP_CLUSTERS
+
+    return f"""
+WITH comp AS (SELECT * FROM ({SQL_DEDUP_CLUSTERS}) t),
+d AS (
+  SELECT doc_id, source, lang, length(text) AS len, md5(text) AS digest
+  FROM documents
+),
+j AS (
+  SELECT c.cluster_id, d.doc_id, d.source, d.lang, d.len, d.digest
+  FROM comp c JOIN d ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY len DESC, doc_id) AS rn
+  FROM j
+)
+SELECT r.cluster_id,
+       agg.n_members,
+       r.doc_id AS survivor_id,
+       r.digest AS survivor_digest,
+       agg.max_len,
+       agg.sources,
+       agg.langs
+FROM ranked r
+JOIN (
+  SELECT cluster_id, COUNT(*) AS n_members, MAX(len) AS max_len,
+         array_to_string(list_sort(list_distinct(list(source))), ',')
+           AS sources,
+         array_to_string(list_sort(list_distinct(list(lang))), ',') AS langs
+  FROM j GROUP BY 1
+) agg ON agg.cluster_id = r.cluster_id
+WHERE r.rn = 1
 """

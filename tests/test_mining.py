@@ -659,3 +659,38 @@ def test_path_transitions_probabilities_sum_to_one(spark, sf_dir):
     for f, rs in by_from.items():
         assert sum(r["n_pair"] for r in rs) == rs[0]["n_from"]
         assert abs(sum(r["p_next"] for r in rs) - 1.0) < 1e-9
+
+
+def test_golden_records_survivorship_rules(spark, sf_dir):
+    """Survivor = longest text (ties -> min doc_id); provenance lists
+    are sorted distinct; n_members ties out to the cluster sizes."""
+    from lab04_spark_streaming_spark.plans.llm import q_dedup_clusters
+    from lab04_spark_streaming_spark.sources.files import load_table
+
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in q_dedup_clusters(spark, sf_dir).collect()
+    }
+    meta = {
+        r["doc_id"]: r
+        for r in load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "source", "lang", "length(text) len")
+        .collect()
+        if r["doc_id"] in comp
+    }
+    golden = mining.q_golden_records(spark, sf_dir).collect()
+    assert len(golden) == len(set(comp.values()))
+    by_cluster = defaultdict(list)
+    for d, c in comp.items():
+        by_cluster[c].append(d)
+    for g in golden:
+        members = by_cluster[g["cluster_id"]]
+        assert g["n_members"] == len(members)
+        exp_survivor = min(
+            members, key=lambda d: (-meta[d]["len"], d)
+        )
+        assert g["survivor_id"] == exp_survivor
+        assert g["max_len"] == max(meta[d]["len"] for d in members)
+        assert g["sources"] == ",".join(
+            sorted({meta[d]["source"] for d in members})
+        )
