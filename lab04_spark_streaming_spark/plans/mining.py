@@ -938,6 +938,7 @@ def specs():
             "path_transitions", q_path_transitions, SQL_PATH_TRANSITIONS
         ),
         QuerySpec("golden_records", q_golden_records, _sql_golden_records()),
+        QuerySpec("hll_dau_hourly", q_hll_dau_hourly, _sql_hll_dau()),
     ]
 
 
@@ -2130,4 +2131,153 @@ JOIN (
   FROM j GROUP BY 1
 ) agg ON agg.cluster_id = r.cluster_id
 WHERE r.rn = 1
+"""
+
+
+# --- hourly HLL distinct users (streaming-maintainable form) ----------------
+# The per-window sketch rollup: 64-register HyperLogLog of distinct
+# users per hour, built as 64 CONDITIONAL MAX AGGREGATES — the form
+# that matters because max-per-register is algebraic/incremental, so
+# the EXACT same body runs as a single stateful streaming aggregation
+# (streaming/pipeline.hll_dau_stream) with constant per-window state;
+# count_distinct cannot do that. Register hashes are md5-derived (same
+# family as plans/corpus.q_hll_distinct), so registers — and the
+# estimate — are hash-exact cross-engine AND batch==stream.
+_DAU_M = 64
+
+
+def _dau_h(expr: str) -> str:
+    return (
+        f"cast(conv(substring(md5(concat('hllu|', {expr})), 1, 8), 16, 10) "
+        "as bigint)"
+    )
+
+
+def hll_dau_agg_columns() -> list:
+    """The 64 conditional max aggregates over (_bucket, _rho) rows."""
+    return [
+        F.coalesce(
+            F.max(F.when(F.col("_bucket") == i, F.col("_rho"))), F.lit(0)
+        ).alias(f"_r{i}")
+        for i in range(_DAU_M)
+    ]
+
+
+def hll_dau_prepare(df: DataFrame, user_expr: str) -> DataFrame:
+    """Per-row (bucket, rho) projection for the register maxes."""
+    h = _dau_h(user_expr)
+    return df.withColumn("_bucket", F.expr(f"{h} % {_DAU_M}")).withColumn(
+        "_rho",
+        F.expr(
+            f"CASE WHEN ({h} div {_DAU_M}) = 0 THEN 27 "
+            f"ELSE 27 - length(bin({h} div {_DAU_M})) END"
+        ),
+    )
+
+
+def hll_dau_estimate_cols() -> list:
+    """Estimate projection over the 64 register columns: the exact
+    integer-rational harmonic mean (see corpus.q_hll_distinct for the
+    determinism argument), emitted as stable-rounded hll_est."""
+    m = _DAU_M
+    regs = "array(" + ", ".join(f"_r{i}" for i in range(m)) + ")"
+    alpha_m2 = 0.709 * m * m
+    num = (
+        f"aggregate({regs}, cast(0 as bigint), (acc, r) -> acc + "
+        f"shiftleft(cast(1 as bigint), cast(array_max({regs}) - r as int)))"
+    )
+    zeros = f"size(filter({regs}, r -> r = 0))"
+    est_raw = (
+        f"cast({alpha_m2} as double) * cast(shiftleft(cast(1 as bigint), "
+        f"cast(array_max({regs}) as int)) as double) / cast({num} as double)"
+    )
+    est = (
+        f"CASE WHEN ({est_raw}) <= cast(2.5 as double) * {m} AND {zeros} > 0 "
+        f"THEN cast({m} as double) * ln(cast({m} as double) / {zeros}) "
+        f"ELSE ({est_raw}) END"
+    )
+    return [
+        F.expr(
+            f"floor(({est}) * cast(10000.0 as double) + cast(0.5 as double)) "
+            "/ cast(10000.0 as double)"
+        ).alias("hll_est")
+    ]
+
+
+def q_hll_dau_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "user_id",
+    )
+    regs = (
+        hll_dau_prepare(ev, "cast(user_id as string)")
+        .groupBy("hour_start")
+        .agg(*hll_dau_agg_columns())
+    )
+    exact = ev.groupBy("hour_start").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return (
+        regs.select("hour_start", *hll_dau_estimate_cols())
+        .join(exact, "hour_start")
+        .select(
+            "hour_start",
+            "n_exact",
+            "hll_est",
+            (
+                F.abs(F.col("hll_est") - F.col("n_exact"))
+                / F.col("n_exact").cast("double")
+                <= 0.35
+            ).alias("within_bound"),
+        )
+    )
+
+
+def _sql_hll_dau() -> str:
+    m = _DAU_M
+    h = "CAST(('0x' || substring(md5('hllu|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    maxes = ", ".join(
+        f"coalesce(MAX(CASE WHEN bucket = {i} THEN rho END), 0) AS r{i}"
+        for i in range(m)
+    )
+    regs = "[" + ", ".join(f"r{i}" for i in range(m)) + "]"
+    alpha_m2 = 0.709 * m * m
+    return f"""
+WITH base AS (
+  SELECT date_trunc('hour', ts) AS hour_start, user_id,
+         {h} % {m} AS bucket,
+         CASE WHEN ({h} // {m}) = 0 THEN 27
+              ELSE 27 - length(bin({h} // {m})) END AS rho
+  FROM events
+),
+regs AS (
+  SELECT hour_start, {maxes} FROM base GROUP BY hour_start
+),
+est AS (
+  SELECT hour_start,
+         list_max({regs}) AS mx,
+         CAST(list_sum(list_transform({regs}, r -> 2 ** (list_max({regs}) - r)))
+              AS BIGINT) AS num,
+         len(list_filter({regs}, r -> r = 0)) AS zeros
+  FROM regs
+),
+vals AS (
+  SELECT hour_start,
+         CASE WHEN ({alpha_m2} * CAST(2 ** mx AS DOUBLE) / CAST(num AS DOUBLE))
+                   <= 2.5 * {m} AND zeros > 0
+              THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / zeros)
+              ELSE {alpha_m2} * CAST(2 ** mx AS DOUBLE) / CAST(num AS DOUBLE)
+         END AS est
+  FROM est
+),
+exact AS (
+  SELECT date_trunc('hour', ts) AS hour_start,
+         COUNT(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT v.hour_start, x.n_exact,
+       floor(v.est * 10000.0 + 0.5) / 10000.0 AS hll_est,
+       abs(floor(v.est * 10000.0 + 0.5) / 10000.0 - x.n_exact)
+         / CAST(x.n_exact AS DOUBLE) <= 0.35 AS within_bound
+FROM vals v JOIN exact x ON x.hour_start = v.hour_start
 """

@@ -132,7 +132,8 @@ _STAMP_FIRST: list[str] = [
     # lpa_communities, attribution_last_touch,
     # reconcile_orders_lineitem, seasonal_factors,
     # snm_fuzzy_matches, contrastive_pairs, scd2_point_in_time,
-    # bpe_second_merge, path_transitions, golden_records) — go first, then the remaining r4-stamped cohort
+    # bpe_second_merge, path_transitions, golden_records,
+    # hll_dau_hourly) — go first, then the remaining r4-stamped cohort
     # rotates through r7/r8. All are covered every round by the local
     # harness and were driver-sim verified at sf0.01 regardless.)
 ]

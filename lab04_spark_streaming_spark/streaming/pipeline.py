@@ -387,3 +387,37 @@ def join_streams_left_outer(
         lw[left_ts].alias(left_ts),
         *[c for c in rw.columns if c != key_col],
     )
+
+
+def hll_dau_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming hourly approximate-distinct-users — the sketch the
+    batch q_hll_dau_hourly (plans/mining.py) maintains incrementally:
+    64 conditional MAX aggregates are algebraic, so the whole HLL
+    register grid is ONE stateful windowed aggregation with a
+    constant-size buffer per (window) — the shape count_distinct can
+    never have on a stream. The estimate is a stateless projection
+    over the aggregated registers; append mode emits each hour once
+    the watermark passes its end, at which point the registers — and
+    therefore the md5-derived estimate — equal the batch computation
+    bit-for-bit (asserted in tests/test_streaming.py)."""
+    from lab04_spark_streaming_spark.plans.mining import (
+        hll_dau_agg_columns,
+        hll_dau_estimate_cols,
+        hll_dau_prepare,
+    )
+
+    prepared = hll_dau_prepare(
+        stream.withWatermark(ts_col, watermark),
+        f"cast({user_col} as string)",
+    )
+    regs = prepared.groupBy(F.window(F.col(ts_col), "1 hour")).agg(
+        *hll_dau_agg_columns()
+    )
+    return regs.select(
+        F.col("window.start").alias("hour_start"), *hll_dau_estimate_cols()
+    )

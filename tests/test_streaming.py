@@ -1191,3 +1191,55 @@ def test_quality_classifier_runs_unchanged_as_stream(spark, tmp_path):
         for r in spark.table("qc_stream_out").collect()
     }
     assert streamed == batch
+
+
+def test_hll_dau_stream_matches_batch(spark, tmp_path):
+    """The streamed per-hour HLL estimates must equal the batch
+    register computation exactly (md5-derived registers, same 64-max
+    aggregation body) for every watermark-closed hour."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from lab04_spark_streaming_spark.plans.mining import q_hll_dau_hourly
+    from lab04_spark_streaming_spark.streaming.pipeline import hll_dau_stream
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+        ]
+    )
+    rows = []
+    eid = 0
+    for h in range(3):
+        for u in range(5 + 7 * h):
+            rows.append(
+                (eid, T0 + dt.timedelta(hours=h, minutes=u % 60), u * 13 + h)
+            )
+            eid += 1
+    # flush event far ahead closes all three hours
+    rows.append((eid, T0 + dt.timedelta(hours=6), 999))
+    d = tmp_path / "dau"
+    d.mkdir()
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    stream = file_stream(spark, str(d / "events.parquet"), schema)
+    out = hll_dau_stream(stream, "ts", "user_id")
+    memory_sink_once(out, "dau_out", "append")
+    streamed = {
+        r.hour_start: r.hll_est for r in spark.table("dau_out").collect()
+    }
+    assert len(streamed) >= 3  # the three full hours are closed
+
+    batch = {
+        r["hour_start"]: r["hll_est"]
+        for r in q_hll_dau_hourly(spark, str(d)).collect()
+    }
+    for hour, est in streamed.items():
+        assert batch[hour] == est, (hour, batch[hour], est)
