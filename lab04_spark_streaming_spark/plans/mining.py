@@ -939,6 +939,9 @@ def specs():
         ),
         QuerySpec("golden_records", q_golden_records, _sql_golden_records()),
         QuerySpec("hll_dau_hourly", q_hll_dau_hourly, _sql_hll_dau()),
+        QuerySpec(
+            "scd2_incremental", q_scd2_incremental, SQL_SCD2_INCREMENTAL
+        ),
     ]
 
 
@@ -958,46 +961,14 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gaps-and-islands: a change flag via lag over the per-user (ts,
     event_id) total order, a running integer sum for the run id, one
     groupBy (user, run), then lead(valid_from) for the exclusive upper
-    bound. Every window and the aggregate share the user_id hash
-    partitioning — Catalyst plans ONE exchange for the whole query."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type"
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    runs = (
-        ev.withColumn(
-            "chg",
-            F.when(
-                F.lag("event_type").over(w).isNull()
-                | (F.lag("event_type").over(w) != F.col("event_type")),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
+    bound (tie-broken by run id — see _scd2_build). Every window and
+    the aggregate share the user_id hash partitioning — Catalyst plans
+    ONE exchange for the whole query. Body shared with the incremental
+    maintainer (q_scd2_incremental) via _scd2_build."""
+    return _scd2_build(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
         )
-        .withColumn(
-            "run",
-            F.sum("chg").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .groupBy("user_id", "run")
-        .agg(
-            F.first("event_type").alias("event_type"),
-            F.min("ts").alias("valid_from"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-    )
-    # run is the tie-break: two runs of one user share a valid_from
-    # when alternating types carry identical timestamps (in-contract —
-    # the first window breaks such ties on event_id), and lead() over
-    # a non-total order would be engine-arbitrary.
-    w2 = Window.partitionBy("user_id").orderBy("valid_from", "run")
-    return runs.select(
-        "user_id",
-        "event_type",
-        "valid_from",
-        F.lead("valid_from").over(w2).alias("valid_to"),
-        "n_events",
-        F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
 
 
@@ -2281,3 +2252,116 @@ SELECT v.hour_start, x.n_exact,
          / CAST(x.n_exact AS DOUBLE) <= 0.35 AS within_bound
 FROM vals v JOIN exact x ON x.hour_start = v.hour_start
 """
+
+
+# --- incremental SCD-2 maintenance ------------------------------------------
+# Incremental view maintenance for the type-2 dimension: given the
+# COMPACTED existing dimension (closed intervals + the open current
+# row per user — never the raw history events) and a delta of new
+# events strictly after the snapshot cutoff, produce the updated
+# dimension. The open row is re-seeded into the same gaps-and-islands
+# machinery as ONE weighted pseudo-event (weight = its n_events,
+# event_id = -1 so it sorts before any real event at the same ts), so
+# a leading same-type delta run extends it and a differing delta run
+# closes it — and the merged output must equal the FULL recompute
+# bit-for-bit, which is exactly what the DuckDB oracle computes.
+_SCD2_CUTOFF = "2024-01-16 00:00:00"
+
+
+def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    cutoff = F.lit(_SCD2_CUTOFF).cast("timestamp")
+    # The "existing dimension": SCD-2 over the pre-cutoff events only.
+    # (In production this is a stored table; deriving it here keeps the
+    # query self-contained without changing the shape being tested.)
+    old_dim = _scd2_build(ev.filter(F.col("ts") < cutoff)).localCheckpoint(
+        eager=False
+    )
+    closed = old_dim.filter(~F.col("is_current"))
+    seeds = old_dim.filter(F.col("is_current")).select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.lit(-1).cast("long").alias("event_id"),
+        "event_type",
+        F.col("n_events").alias("w"),
+    )
+    delta = ev.filter(F.col("ts") >= cutoff).select(
+        "user_id", "ts", "event_id", "event_type", F.lit(1).alias("w")
+    )
+    merged = seeds.unionByName(delta)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        merged.withColumn(
+            "chg",
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "run",
+            F.sum("chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "run")
+        .agg(
+            F.first("event_type").alias("event_type"),
+            F.min("ts").alias("valid_from"),
+            F.sum("w").alias("n_events"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "run")
+    updated_tail = runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+    return closed.unionByName(updated_tail)
+
+
+def _scd2_build(ev: DataFrame) -> DataFrame:
+    """The q_scd2_intervals body over an arbitrary event relation."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.withColumn(
+            "chg",
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "run",
+            F.sum("chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "run")
+        .agg(
+            F.first("event_type").alias("event_type"),
+            F.min("ts").alias("valid_from"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "run")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+# Oracle: the FULL recompute — equality IS the incremental-maintenance
+# correctness statement.
+SQL_SCD2_INCREMENTAL = SQL_SCD2_INTERVALS

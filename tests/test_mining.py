@@ -694,3 +694,50 @@ def test_golden_records_survivorship_rules(spark, sf_dir):
         assert g["sources"] == ",".join(
             sorted({meta[d]["source"] for d in members})
         )
+
+
+def test_scd2_incremental_equals_full_rebuild(spark, tmp_path):
+    """Hand-built edge cases around the cutoff: the open run extends
+    across it (same type), closes at it (type change), a user exists
+    only before, one only after — the merge must equal the full
+    rebuild in every case."""
+    import datetime as dt
+
+    C = dt.datetime(2024, 1, 16, 0, 0, 0)
+
+    def at(days):
+        return C + dt.timedelta(days=days)
+
+    rows = [
+        # user 1: open 'a' run extends across the cutoff, then closes
+        (0, at(-2), 1, "a"),
+        (1, at(-1), 1, "a"),
+        (2, at(1), 1, "a"),
+        (3, at(2), 1, "b"),
+        # user 2: type change right at the first delta event
+        (4, at(-3), 2, "x"),
+        (5, at(1), 2, "y"),
+        # user 3: only old events (dimension passes through)
+        (6, at(-5), 3, "q"),
+        (7, at(-4), 3, "r"),
+        # user 4: only new events (fresh user)
+        (8, at(3), 4, "z"),
+        (9, at(4), 4, "z"),
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.parquet(str(d / "events.parquet"))
+    full = sorted(
+        tuple(r)
+        for r in mining.q_scd2_intervals(spark, str(d)).collect()
+    )
+    inc = sorted(
+        tuple(r)
+        for r in mining.q_scd2_incremental(spark, str(d)).collect()
+    )
+    assert inc == full
+    # spot-check: user 1's 'a' run spans the cutoff with 3 events
+    a_run = next(r for r in full if r[0] == 1 and r[1] == "a")
+    assert a_run[4] == 3
