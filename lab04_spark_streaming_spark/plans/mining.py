@@ -942,6 +942,7 @@ def specs():
         QuerySpec(
             "scd2_incremental", q_scd2_incremental, SQL_SCD2_INCREMENTAL
         ),
+        QuerySpec("pca_power_top", q_pca_power_top, _sql_pca()),
     ]
 
 
@@ -2365,3 +2366,136 @@ def _scd2_build(ev: DataFrame) -> DataFrame:
 # Oracle: the FULL recompute — equality IS the incremental-maintenance
 # correctness statement.
 SQL_SCD2_INCREMENTAL = SQL_SCD2_INTERVALS
+
+
+# --- PCA top component via power iteration ----------------------------------
+# Distributed PCA on the embedding table: the centered covariance
+# NUMERATOR matrix G = n·Σxᵢxⱼ − SᵢSⱼ is exact-integer on the 1e-7
+# quantization grid (computed in decimal(38,0) — the products exceed
+# int64), and three power-iteration steps run with the iterate
+# re-quantized to a 1e6 grid between rounds (the kmeans trick: chained
+# float iterations would drift cross-engine; quantized iterates make
+# every round bit-reproducible). The only data-sized work is the one
+# Gram-matrix aggregation (d² output, map-side combine); iterations
+# touch d²-row relations with a broadcast d-row iterate. Completes the
+# iterative-algorithm family (Lloyd, label propagation, peeling,
+# PageRank) with linear algebra.
+_PCA_ITERS = 3
+_PCA_VSCALE = 1_000_000
+
+
+def q_pca_power_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lab04_spark_streaming_spark.operators.similarity import _kmeans_pos
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = _kmeans_pos(emb, "vec_id", "embedding")
+    stats = pos.groupBy("pos").agg(F.sum("x").alias("s"))
+    n_rel = pos.agg(
+        (F.count(F.lit(1)) / F.count_distinct("pos")).cast("bigint").alias("n")
+    )
+    a, b = pos.alias("a"), pos.alias("b")
+    sumxy = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"))
+    )
+    gram = (
+        sumxy.join(
+            F.broadcast(stats.select(F.col("pos").alias("i"), F.col("s").alias("si"))),
+            "i",
+        )
+        .join(
+            F.broadcast(stats.select(F.col("pos").alias("j"), F.col("s").alias("sj"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(n_rel))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("sxy").cast("decimal(38,0)")
+                - F.col("si").cast("decimal(38,0)") * F.col("sj").cast("decimal(38,0)")
+            ).alias("g"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dims = gram.select(F.col("i").alias("pos")).distinct()
+    v = dims.select("pos", F.lit(_PCA_VSCALE).cast("long").alias("v"))
+    for _ in range(_PCA_ITERS):
+        u = (
+            gram.join(
+                F.broadcast(v.select(F.col("pos").alias("j"), "v")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v").cast("decimal(38,0)")).alias("u"))
+        )
+        mx = u.agg(F.max(F.abs(F.col("u"))).alias("mabs"))
+        v = (
+            u.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("i").alias("pos"),
+                F.expr(
+                    f"cast(floor(cast(u as double) / cast(mabs as double) "
+                    f"* {_PCA_VSCALE}.0 + 0.5) as bigint)"
+                ).alias("v"),
+            )
+        )
+    return v.select("pos", F.col("v").alias("component_q"))
+
+
+def _sql_pca() -> str:
+    from lab04_spark_streaming_spark.plans.pipeline_extras import (
+        _SQL_KMEANS_C1,
+    )
+
+    # reuse only the quantized `pos` CTE text (first CTE of the kmeans
+    # chain) — split it out of the shared constant to stay in lockstep.
+    # Its positions are 1-based (generate_series) vs _kmeans_pos's
+    # 0-based; each engine is internally consistent, so only the final
+    # SELECT re-bases.
+    pos_cte = _SQL_KMEANS_C1[: _SQL_KMEANS_C1.index("),") + 1]
+    rounds = []
+    prev = "v0"
+    for t in range(1, _PCA_ITERS + 1):
+        rounds.append(
+            f"""u{t} AS (
+  SELECT g.i, SUM(g.g * CAST(p.v AS HUGEINT)) AS u
+  FROM gram g JOIN {prev} p ON p.pos = g.j
+  GROUP BY g.i
+),
+v{t} AS (
+  SELECT u.i AS pos,
+         CAST(floor(CAST(u.u AS DOUBLE)
+              / CAST((SELECT MAX(abs(u)) FROM u{t}) AS DOUBLE)
+              * {_PCA_VSCALE}.0 + 0.5) AS BIGINT) AS v
+  FROM u{t} u
+)"""
+        )
+        prev = f"v{t}"
+    return (
+        "WITH "
+        + pos_cte.strip()
+        + f""",
+stats AS (SELECT pos, SUM(x) AS s FROM pos GROUP BY pos),
+nrel AS (SELECT CAST(COUNT(*) / COUNT(DISTINCT pos) AS BIGINT) AS n FROM pos),
+sumxy AS (
+  SELECT a.pos AS i, b.pos AS j, SUM(a.x * b.x) AS sxy
+  FROM pos a JOIN pos b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+gram AS (
+  SELECT s.i, s.j,
+         CAST(n.n AS HUGEINT) * CAST(s.sxy AS HUGEINT)
+           - CAST(x.s AS HUGEINT) * CAST(y.s AS HUGEINT) AS g
+  FROM sumxy s
+  JOIN stats x ON x.pos = s.i
+  JOIN stats y ON y.pos = s.j
+  CROSS JOIN nrel n
+),
+v0 AS (SELECT DISTINCT i AS pos, CAST({_PCA_VSCALE} AS BIGINT) AS v FROM gram),
+"""
+        + ",\n".join(rounds)
+        + f"""
+SELECT pos - 1 AS pos, v AS component_q FROM {prev}
+"""
+    )

@@ -133,7 +133,7 @@ _STAMP_FIRST: list[str] = [
     # reconcile_orders_lineitem, seasonal_factors,
     # snm_fuzzy_matches, contrastive_pairs, scd2_point_in_time,
     # bpe_second_merge, path_transitions, golden_records,
-    # hll_dau_hourly, scd2_incremental) — go first, then the remaining r4-stamped cohort
+    # hll_dau_hourly, scd2_incremental, pca_power_top) — go first, then the remaining r4-stamped cohort
     # rotates through r7/r8. All are covered every round by the local
     # harness and were driver-sim verified at sf0.01 regardless.)
 ]

@@ -741,3 +741,55 @@ def test_scd2_incremental_equals_full_rebuild(spark, tmp_path):
     # spot-check: user 1's 'a' run spans the cutoff with 3 events
     a_run = next(r for r in full if r[0] == 1 and r[1] == "a")
     assert a_run[4] == 3
+
+
+def test_pca_power_top_matches_python_replication(spark, sf_dir):
+    """Exact replication: the same quantized power iteration in
+    numpy/Python must reproduce component_q bit-for-bit (verifies the
+    distributed implementation); and the Rayleigh quotient must
+    improve from the all-ones start (the power-iteration invariant).
+    NOTE the fixture embeddings are near-isotropic (flat spectrum), so
+    3 rounds do NOT converge to the true eigenvector — convergence
+    speed is a property of the data's eigengap, not the operator."""
+    import numpy as np
+
+    from lab04_spark_streaming_spark.sources.files import load_table
+
+    emb = np.array(
+        [
+            r["embedding"]
+            for r in load_table(spark, sf_dir, "embeddings")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    q = np.floor(emb * 1e7 + 0.5).astype(object)  # exact ints
+    n, d = q.shape
+    S = q.sum(axis=0)
+    G = n * (q.T @ q) - np.outer(S, S)  # exact integer covariance num
+    v = np.full(d, 10**6, dtype=object)
+    for _ in range(3):
+        u = G @ v
+        mabs = max(abs(x) for x in u)
+        v = np.array(
+            [
+                int(np.floor(float(x) / float(mabs) * 1e6 + 0.5))
+                for x in u
+            ],
+            dtype=object,
+        )
+    got = {
+        r["pos"]: r["component_q"]
+        for r in mining.q_pca_power_top(spark, sf_dir).collect()
+    }
+    assert [got[i] for i in range(d)] == list(v)
+
+    # Rayleigh quotient improves vs the start vector
+    Gf = np.array([[float(x) for x in row] for row in G])
+    ones = np.ones(d)
+    vf = np.array([float(x) for x in v])
+    rq = lambda x: (x @ Gf @ x) / (x @ x)
+    assert rq(vf) > rq(ones)
+    plan = plan_of(mining.q_pca_power_top(spark, sf_dir))
+    assert "CartesianProduct" not in plan
