@@ -1015,9 +1015,12 @@ _HLLM = 64
 _HLL_ALPHA_M2 = 0.709 * _HLLM * _HLLM
 
 
-def _hll_rows(prefix_expr_spark: str):
+def _hll_rows(prefix_expr_spark: str, salt: str = "hll"):
+    """Shared (bucket, rho) projection for every HLL in this module —
+    one definition of the md5 hash, register index, and leading-zero
+    rank (see corpus.q_hll_distinct for the estimator notes)."""
     h = (
-        f"cast(conv(substring(md5(concat('hll|', {prefix_expr_spark})), 1, 8), "
+        f"cast(conv(substring(md5(concat('{salt}|', {prefix_expr_spark})), 1, 8), "
         "16, 10) as bigint)"
     )
     return (
@@ -2118,13 +2121,6 @@ WHERE r.rn = 1
 _DAU_M = 64
 
 
-def _dau_h(expr: str) -> str:
-    return (
-        f"cast(conv(substring(md5(concat('hllu|', {expr})), 1, 8), 16, 10) "
-        "as bigint)"
-    )
-
-
 def hll_dau_agg_columns() -> list:
     """The 64 conditional max aggregates over (_bucket, _rho) rows."""
     return [
@@ -2136,15 +2132,10 @@ def hll_dau_agg_columns() -> list:
 
 
 def hll_dau_prepare(df: DataFrame, user_expr: str) -> DataFrame:
-    """Per-row (bucket, rho) projection for the register maxes."""
-    h = _dau_h(user_expr)
-    return df.withColumn("_bucket", F.expr(f"{h} % {_DAU_M}")).withColumn(
-        "_rho",
-        F.expr(
-            f"CASE WHEN ({h} div {_DAU_M}) = 0 THEN 27 "
-            f"ELSE 27 - length(bin({h} div {_DAU_M})) END"
-        ),
-    )
+    """Per-row (bucket, rho) projection for the register maxes —
+    delegates to the module's one _hll_rows definition (salt 'hllu')."""
+    b, r = _hll_rows(user_expr, salt="hllu")
+    return df.withColumn("_bucket", b).withColumn("_rho", r)
 
 
 def hll_dau_estimate_cols() -> list:
@@ -2397,7 +2388,14 @@ def q_pca_power_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     sumxy = (
         a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
         .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
-        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"))
+        # per-row product fits int64 (x <= ~1e7) but the SUM does not at
+        # ~1e5+ rows; DuckDB's SUM(BIGINT) widens to HUGEINT, Spark's
+        # would wrap silently — accumulate in decimal on this side too.
+        .agg(
+            F.sum(
+                F.col("a.x").cast("decimal(38,0)") * F.col("b.x")
+            ).alias("sxy")
+        )
     )
     gram = (
         sumxy.join(
@@ -2445,15 +2443,14 @@ def q_pca_power_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_pca() -> str:
     from lab04_spark_streaming_spark.plans.pipeline_extras import (
-        _SQL_KMEANS_C1,
+        _SQL_KMEANS_POS,
     )
 
-    # reuse only the quantized `pos` CTE text (first CTE of the kmeans
-    # chain) — split it out of the shared constant to stay in lockstep.
-    # Its positions are 1-based (generate_series) vs _kmeans_pos's
-    # 0-based; each engine is internally consistent, so only the final
-    # SELECT re-bases.
-    pos_cte = _SQL_KMEANS_C1[: _SQL_KMEANS_C1.index("),") + 1]
+    # the shared quantized `pos` CTE (also the first CTE of the kmeans
+    # chain). Its positions are 1-based (generate_series) vs
+    # _kmeans_pos's 0-based; each engine is internally consistent, so
+    # only the final SELECT re-bases.
+    pos_cte = _SQL_KMEANS_POS
     rounds = []
     prev = "v0"
     for t in range(1, _PCA_ITERS + 1):

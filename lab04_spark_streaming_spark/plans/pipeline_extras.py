@@ -512,7 +512,10 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared CTE prefix: quantized positions → seed c0 → one Lloyd round →
 # trained centroids c1. Reused verbatim by the trained-IVF oracle below.
-_SQL_KMEANS_C1 = """
+# The quantized positional relation on its own — composed into the
+# kmeans chain below and imported by plans/mining._sql_pca (no string
+# surgery; NOTE its positions are 1-based).
+_SQL_KMEANS_POS = """
 pos AS (
   SELECT vec_id, pos,
          CAST(floor(CAST(embedding[pos] AS DOUBLE) * 10000000.0 + 0.5)
@@ -520,7 +523,9 @@ pos AS (
   FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
                embedding
         FROM embeddings)
-),
+)"""
+
+_SQL_KMEANS_C1 = _SQL_KMEANS_POS + """,
 c0 AS (SELECT vec_id AS cid, pos, x AS c FROM pos WHERE vec_id < 8),
 d1 AS (
   SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dist

@@ -118,22 +118,23 @@ _STAMP_FIRST: list[str] = [
     # (identical results on current data, driver-sim re-verified, but
     # oracle text changed after its r5 stamp → freshest-possible
     # re-stamp; session_assoc_rules / range_frame_trailing_1h got the
-    # same hardening and are already listed below) — then the 37
-    # round-6 queries landed
-    # after this window filled — session_assoc_rules, funnel_conversion,
+    # same hardening and are already listed below) — then the 41
+    # round-6 queries landed after this window filled —
+    # session_assoc_rules, funnel_conversion,
     # cusum_changepoint, key_skew_profile, dedup_incremental_near,
     # unigram_logprob, bpe_pair_counts, bloom_membership,
     # textrank_keywords, curation_master, range_frame_trailing_1h,
     # mode_per_type, zorder_keys, graph_triangles, hll_distinct,
     # dedup_cluster_sizes, token_budget_pack, plus the mining-wave
-    # twelve (span_dedup_c4, jaccard_prefix_join, minhash_error,
+    # twenty-four (span_dedup_c4, jaccard_prefix_join, minhash_error,
     # quality_classifier, bigram_logprob, data_profile, dq_checks,
     # kcore_docs, scd2_intervals, hll_by_source, snm_candidates,
     # lpa_communities, attribution_last_touch,
     # reconcile_orders_lineitem, seasonal_factors,
     # snm_fuzzy_matches, contrastive_pairs, scd2_point_in_time,
     # bpe_second_merge, path_transitions, golden_records,
-    # hll_dau_hourly, scd2_incremental, pca_power_top) — go first, then the remaining r4-stamped cohort
+    # hll_dau_hourly, scd2_incremental, pca_power_top) — go first,
+    # then the remaining r4-stamped cohort
     # rotates through r7/r8. All are covered every round by the local
     # harness and were driver-sim verified at sf0.01 regardless.)
 ]

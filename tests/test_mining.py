@@ -764,7 +764,7 @@ def test_pca_power_top_matches_python_replication(spark, sf_dir):
         ],
         dtype=np.float64,
     )
-    q = np.floor(emb * 1e7 + 0.5).astype(object)  # exact ints
+    q = np.floor(emb * 1e7 + 0.5).astype(np.int64).astype(object)  # exact ints
     n, d = q.shape
     S = q.sum(axis=0)
     G = n * (q.T @ q) - np.outer(S, S)  # exact integer covariance num
