@@ -1,0 +1,80 @@
+"""Distributed total-order ranking.
+
+``row_number() OVER (ORDER BY ...)`` with no ``PARTITION BY`` funnels
+the whole relation through ONE task — fine over a bounded relation
+(top-k survivors, char-pair vocab), a scale-killer over an unbounded
+one (a web corpus's shingle vocabulary). When the rank genuinely needs
+a global total order (e.g. the PPJoin prefix boundary), use the classic
+two-pass scheme instead:
+
+  1. range-partition the relation on the order key (RangePartitioner:
+     partition i holds a key range strictly below partition i+1's);
+  2. rank locally within each range partition;
+  3. add per-partition row-count offsets (an N_partitions-sized
+     relation — broadcast).
+
+Every step is parallel; nothing larger than one range partition is ever
+sorted in a single task. The order key must be a TOTAL order
+(deterministic, no ties) — with ties, rows equal across a partition
+boundary would receive arbitrary relative ranks run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["global_row_number"]
+
+
+def global_row_number(
+    df: DataFrame,
+    *order: Column | str,
+    rank_col: str = "rk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``rank_col`` = 1-based global row number of ``df`` under
+    the total order ``order``, without a single-partition window.
+
+    ``order`` accepts column names or Column expressions (e.g.
+    ``F.col("df"), F.col("sh")``) and must induce a deterministic total
+    order over the rows.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # The ranged relation is consumed twice (local ranks + offsets) and
+    # the two consumers' partition ids MUST agree; RangePartitioner
+    # samples its boundaries, so pin one materialization rather than
+    # trusting exchange reuse across re-executions.
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local = ranged.withColumn(
+        "_lrk",
+        F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
+    )
+    # One row per range partition — the only global window runs over
+    # this N_partitions-sized relation, then broadcasts.
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_lrk") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lrk", "_off")
+    )

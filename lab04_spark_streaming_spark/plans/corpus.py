@@ -148,10 +148,11 @@ def q_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 word pairs by document co-occurrence — the association
     backbone under PMI/collocation mining. Distinct words per doc
     self-join on doc_id with w1 < w2 (an inverted-index pair walk:
-    output is bounded by Σ d_i², and the aggregated pair space is
-    vocab², independent of corpus size — so the final rank runs over a
-    relation that stays tiny at 100 TB). Deterministic rank order
-    (n_docs DESC, w1, w2)."""
+    output is bounded by Σ d_i²). The observed-pair relation is huge on
+    a web corpus, so the top-k is taken with orderBy+limit FIRST
+    (TakeOrderedAndProject: per-partition heaps, no single-partition
+    sort of the pair relation), and only the 20 survivors see a rank
+    window. Deterministic rank order (n_docs DESC, w1, w2)."""
     t = (
         _docs(spark, sf_dir)
         .select(
@@ -159,20 +160,20 @@ def q_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.expr(f"array_distinct({_SPARK_TOKS})")).alias("w"),
         )
     )
-    pairs = (
+    top = (
         t.alias("a")
         .join(t.alias("b"), "doc_id")
         .filter(F.col("a.w") < F.col("b.w"))
         .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "w1", "w2")
+        .limit(_COOC_TOPK)
     )
     rk = F.row_number().over(
         Window.orderBy(F.col("n_docs").desc(), "w1", "w2")
     )
-    return (
-        pairs.withColumn("rank", rk.cast("int"))
-        .filter(F.col("rank") <= _COOC_TOPK)
-        .select("w1", "w2", "n_docs", "rank")
+    return top.withColumn("rank", rk.cast("int")).select(
+        "w1", "w2", "n_docs", "rank"
     )
 
 
@@ -247,8 +248,10 @@ ranked AS (
   FROM wc
 ),
 agg AS (
-  SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct_words,
-         MAX(cnt) AS maxcnt, SUM(cnt * length(w)) AS word_chars
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct_words,
+         MAX(cnt) AS maxcnt,
+         CAST(SUM(cnt * length(w)) AS BIGINT) AS word_chars
   FROM wc GROUP BY 1
 )
 SELECT a.doc_id, a.n_tokens, a.n_distinct_words,
@@ -494,10 +497,10 @@ WITH t AS (
   FROM documents
 )
 SELECT source, doc_id, n_tokens,
-       SUM(n_tokens) OVER (PARTITION BY source
+       CAST(SUM(n_tokens) OVER (PARTITION BY source
                            ORDER BY n_tokens DESC, doc_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS cum_tokens
+         AS BIGINT) AS cum_tokens
 FROM t
 QUALIFY cum_tokens <= {_TOKEN_BUDGET}
 """
@@ -961,12 +964,13 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
+    # Top-k FIRST via orderBy+limit (TakeOrderedAndProject heaps — the
+    # PageRank relation is vocab-sized, so never a one-partition window
+    # over it), THEN rank the k survivors.
+    top = pr.select("w", "pr").orderBy(F.desc("pr"), "w").limit(_TR_TOPK)
     rk = F.row_number().over(Window.orderBy(F.desc("pr"), "w"))
-    return (
-        pr.select("w", "pr")
-        .withColumn("rank", rk.cast("int"))
-        .filter(F.col("rank") <= _TR_TOPK)
-        .select(F.col("w").alias("word"), F.col("pr").alias("textrank_q"), "rank")
+    return top.withColumn("rank", rk.cast("int")).select(
+        F.col("w").alias("word"), F.col("pr").alias("textrank_q"), "rank"
     )
 
 

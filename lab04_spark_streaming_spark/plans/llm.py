@@ -1311,7 +1311,8 @@ vocab AS (
   ) ORDER BY c DESC, tok LIMIT 100
 )
 SELECT t.doc_id, COUNT(*) AS n_tok,
-       SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
        CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
          / COUNT(*) AS oov_frac
 FROM tok t LEFT JOIN vocab v ON t.tok = v.tok

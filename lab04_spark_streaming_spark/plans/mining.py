@@ -36,6 +36,7 @@ from lab04_spark_streaming_spark.functions.guards import (
     sql_stable_round,
 )
 from lab04_spark_streaming_spark.operators import dedup as dd
+from lab04_spark_streaming_spark.operators.ranks import global_row_number
 from lab04_spark_streaming_spark.operators.textops import (
     expr_hash_int,
     expr_shingles,
@@ -162,8 +163,12 @@ _JACC_T_NUM, _JACC_T_DEN = 8, 10  # threshold 0.8 as an exact rational
 def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard >= 0.8 pairs over distinct 3-token shingle sets.
 
-    Scale notes: shingle df and the rarity ranking are shingle-vocab-
-    bounded relations (broadcast); the candidate join's bucket key is
+    Scale notes: the global df-rarity rank is computed with the
+    distributed two-pass scheme (operators/ranks.global_row_number —
+    range-partitioned local ranks + broadcast offsets), never a
+    single-partition window, and joins back to the postings by shuffle
+    (the vocab is unbounded, so no broadcast hint — AQE broadcasts it
+    when actually small); the candidate join's bucket key is
     a PREFIX shingle — by construction the rarest elements of each set
     (df-ascending order), so bucket sizes are the small-df tail, not
     the stop-shingle head (df max 7 on the test corpus). ceil(t*L) is
@@ -196,18 +201,22 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = docs.select(
         "doc_id", F.size("s").alias("L"), F.explode("s").alias("sh")
     )
-    rk = (
-        ex.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        # shingle-vocab-bounded window (corpus-size-independent); the
-        # (df, sh) order is a total order -> deterministic ranks.
-        .withColumn(
-            "rk", F.row_number().over(Window.orderBy("df", "sh"))
-        )
-        .select("sh", "rk")
-    )
+    # Distributed two-pass rank over the shingle vocabulary (billions of
+    # distinct shingles at 100 TB — a bare row_number() window would
+    # funnel it through one task): range-partition on (df, sh), rank
+    # locally, add broadcast per-partition offsets. (df, sh) is a total
+    # order -> deterministic ranks.
+    rk = global_row_number(
+        ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df")),
+        "df",
+        "sh",
+        rank_col="rk",
+    ).select("sh", "rk")
     pref = (
-        ex.join(F.broadcast(rk), "sh")
+        # no broadcast hint: the rank relation is vocab-sized (billions
+        # of rows at 100 TB) — shuffle join on sh; AQE still broadcasts
+        # it automatically when the corpus is small.
+        ex.join(rk, "sh")
         .withColumn(
             "pos",
             F.row_number().over(
@@ -643,7 +652,8 @@ def _sql_data_profile() -> str:
         )
         parts.append(
             f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
-            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_nulls, "
             f"COUNT(DISTINCT {c}) AS n_distinct, {mn} AS min_num, "
             f"{mx} AS max_num, {avg_len} AS avg_len FROM lineitem"
         )
@@ -1470,8 +1480,8 @@ j AS (
   FROM o FULL OUTER JOIN l ON o.orderkey = l.orderkey
 )
 SELECT presence, COUNT(*) AS n_orders,
-       SUM(coalesce(header_cents, 0)) AS sum_header_cents,
-       SUM(coalesce(lines_cents, 0)) AS sum_lines_cents
+       CAST(SUM(coalesce(header_cents, 0)) AS BIGINT) AS sum_header_cents,
+       CAST(SUM(coalesce(lines_cents, 0)) AS BIGINT) AS sum_lines_cents
 FROM j GROUP BY presence
 """
 
@@ -1926,7 +1936,7 @@ merged AS (
   FROM wc CROSS JOIN first
 ),
 second AS (
-  SELECT merge1, u.pair, SUM(cnt) AS n_occurrences
+  SELECT merge1, u.pair, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
   FROM (SELECT cnt, merge1,
                list_transform(generate_series(1, length(w2) - 1),
                  i -> replace(substring(w2, i, 2), chr(1), merge1)) AS ps
@@ -2020,7 +2030,8 @@ counts AS (
   GROUP BY 1, 2
 ),
 froms AS (
-  SELECT from_type, SUM(n_pair) AS n_from FROM counts GROUP BY 1
+  SELECT from_type, CAST(SUM(n_pair) AS BIGINT) AS n_from
+  FROM counts GROUP BY 1
 )
 SELECT c.from_type, c.to_type, c.n_pair, f.n_from,
        c.n_pair / CAST(f.n_from AS DOUBLE) AS p_next

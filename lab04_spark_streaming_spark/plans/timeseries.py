@@ -285,7 +285,7 @@ WITH prepared AS (
   FROM events
 )
 SELECT user_id, h AS hour_start, COUNT(*) AS n_events,
-       SUM(w_us) AS span_us,
+       CAST(SUM(w_us) AS BIGINT) AS span_us,
        CAST(SUM(CAST(value AS DECIMAL(10,2)) * w_us) AS DOUBLE)
          / CAST(SUM(w_us) AS DOUBLE) AS twap
 FROM prepared
@@ -489,7 +489,8 @@ mad AS (
   FROM dev GROUP BY 1
 )
 SELECT d.event_type, m.med, m.mad, m.n,
-       SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS n_outliers,
+       CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
        CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS DOUBLE)
          / m.n AS outlier_frac
 FROM dev d JOIN mad m ON d.event_type = m.event_type
@@ -779,8 +780,10 @@ WITH b AS (
   FROM events GROUP BY 1
 )
 SELECT e.event_type, b.p01, b.p99, COUNT(*) AS n,
-       SUM(CASE WHEN e.value < b.p01 THEN 1 ELSE 0 END) AS n_clipped_low,
-       SUM(CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END) AS n_clipped_high,
+       CAST(SUM(CASE WHEN e.value < b.p01 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(SUM(CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
        CAST(SUM(CAST(least(greatest(e.value, b.p01), b.p99)
                      AS DECIMAL(14,6))) AS DOUBLE) / COUNT(*) AS clipped_mean
 FROM events e JOIN b ON e.event_type = b.event_type

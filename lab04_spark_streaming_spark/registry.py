@@ -49,94 +49,77 @@ class QuerySpec:
 # and r02 go last.  Every query is still covered every round by the local
 # harness (tests/test_oracle_parity.py) regardless of position.
 _STAMP_FIRST: list[str] = [
-    # -- r06 rotation (VERDICT r5 item 1): the 14 queries whose green
-    # stamps date to r02 go first — their code is unchanged and they pass
-    # the local harness every round, but driver-side evidence must not age
-    # past two rounds.
-    "q2_best_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_volume",
-    "q13_customer_distribution",
-    "grouping_sets",
-    "array_funcs",
-    "regexp_funcs",
-    "scalar_subquery",
-    "percentiles_exact",
-    "moment_aggs",
-    # -- new in round 6 --
-    "funnel_steps",
-    "moving_median",
-    "ewma_smoothing",
+    # -- r07 window, per VERDICT r6 "Next round" items 1 and 3 --
+    # (1) The four r6 hash reds — root cause was uncast SUM() in the
+    # oracle (DuckDB HUGEINT vs Spark int64); casts added this round and
+    # tests/oracle_harness.py now DESCRIBEs every oracle so the class
+    # fails locally. Head of the window for a freshest re-stamp.
     "time_weighted_avg",
-    "gap_fill_locf",
-    "gap_fill_interp",
     "mad_outliers",
-    "unpivot_stack",
-    "window_ntile_percent_rank",
-    "histogram_bins",
     "oov_rate_vocab",
-    "pq_codes",
-    "ann_pq_adc_topk",
-    "ann_ivfpq_topk",
-    # -- code changed in r06 → re-stamp (quantized fold; connected
-    # components edge/label checkpointing, which dedup_keep_best and the
-    # SemDeDup composition execute; per-iteration centroid checkpoint in
-    # k-means, which the trained-IVF path executes) --
-    "knn_fold_topk_ids",
-    "semdedup_keep_best",
-    "dedup_clusters",
-    "dedup_keep_best",
-    "kmeans_clusters",
-    "ann_ivf_trained_topk",
-    # (lineage cuts in operators/moving_stats_fast.py, r6)
-    "moving_stats_long_windows",
-    "zscore_asof_join",
-    # -- new in round 6, second wave (brand-new code outranks freshness
-    # rotation: never-stamped queries take window slots ahead of
-    # r4-stamped ones, which rotate in r7) --
-    "retention_cohorts",
-    "ohlc_bars",
-    "autocorr_lag1",
-    "event_type_corr",
-    "dedup_incremental",
-    "char_entropy",
-    "word_cooccurrence",
     "word_repetition",
-    "bm25_topk",
-    "embedding_int8",
-    "ann_recall_at_k",
-    "rolling_active_users",
-    "heavy_hitters_cms",
-    "contamination_rate",
-    # (window full. r7 rotation plan: FIRST sessionize_gap30m — its
-    # DuckDB twin's gap cast was hardened epoch()::BIGINT (rounds) →
-    # floor(epoch()) to mirror Spark's cast-as-long truncation
-    # (identical results on current data, driver-sim re-verified, but
-    # oracle text changed after its r5 stamp → freshest-possible
-    # re-stamp; session_assoc_rules / range_frame_trailing_1h got the
-    # same hardening and are already listed below) — then the 41
-    # round-6 queries landed after this window filled —
-    # session_assoc_rules, funnel_conversion,
-    # cusum_changepoint, key_skew_profile, dedup_incremental_near,
-    # unigram_logprob, bpe_pair_counts, bloom_membership,
-    # textrank_keywords, curation_master, range_frame_trailing_1h,
-    # mode_per_type, zorder_keys, graph_triangles, hll_distinct,
-    # dedup_cluster_sizes, token_budget_pack, plus the mining-wave
-    # twenty-four (span_dedup_c4, jaccard_prefix_join, minhash_error,
-    # quality_classifier, bigram_logprob, data_profile, dq_checks,
-    # kcore_docs, scd2_intervals, hll_by_source, snm_candidates,
-    # lpa_communities, attribution_last_touch,
-    # reconcile_orders_lineitem, seasonal_factors,
-    # snm_fuzzy_matches, contrastive_pairs, scd2_point_in_time,
-    # bpe_second_merge, path_transitions, golden_records,
-    # hll_dau_hourly, scd2_incremental, pca_power_top) — go first,
-    # then the remaining r4-stamped cohort
-    # rotates through r7/r8. All are covered every round by the local
-    # harness and were driver-sim verified at sf0.01 regardless.)
+    # (2) sessionize_gap30m — oracle text hardened after its r5 stamp
+    # (epoch()::BIGINT rounds → floor(epoch()) truncation mirror).
+    "sessionize_gap30m",
+    # (3) word_cooccurrence — code changed in r7 (global row_number over
+    # the full pair relation → limit-then-rank, VERDICT item 4); r6
+    # stamp is stale against the new plan.
+    "word_cooccurrence",
+    # (4) The 43 never-driver-stamped queries (VERDICT item 2 /
+    # "Next round" item 3): all local-harness + driver-sim green, but r6
+    # proved local-green != driver-green. textrank_keywords and
+    # jaccard_prefix_join also carry r7 code changes (item 4).
+    "winsorize_p01_p99",
+    "user_trend_ols",
+    "session_assoc_rules",
+    "funnel_conversion",
+    "cusum_changepoint",
+    "key_skew_profile",
+    "range_frame_trailing_1h",
+    "mode_per_type",
+    "zorder_keys",
+    "dedup_cluster_sizes",
+    "token_budget_pack",
+    "dedup_incremental_near",
+    "unigram_logprob",
+    "bpe_pair_counts",
+    "bloom_membership",
+    "textrank_keywords",
+    "curation_master",
+    "graph_triangles",
+    "hll_distinct",
+    "span_dedup_c4",
+    "jaccard_prefix_join",
+    "minhash_error",
+    "quality_classifier",
+    "bigram_logprob",
+    "data_profile",
+    "dq_checks",
+    "kcore_docs",
+    "scd2_intervals",
+    "hll_by_source",
+    "snm_candidates",
+    "lpa_communities",
+    "attribution_last_touch",
+    "reconcile_orders_lineitem",
+    "seasonal_factors",
+    "snm_fuzzy_matches",
+    "contrastive_pairs",
+    "scd2_point_in_time",
+    "bpe_second_merge",
+    "path_transitions",
+    "golden_records",
+    "hll_dau_hourly",
+    "scd2_incremental",
+    "pca_power_top",
+    # (5) One slot left → the oldest-stamped bench mover (r4 stamp,
+    # +23% in BENCH_r06): confirm correctness while its perf is probed.
+    "dedup_minhash_lsh_pairs",
+    # (window full at 50. r8 rotation plan: the remaining 35 r4-stamped
+    # queries — q15..q22, the dedup/text/multimodal first wave, the
+    # sampling wave — rotate next; after r8 nothing's driver evidence is
+    # older than two rounds. All 173 stay covered every round by the
+    # local harness, tests/test_oracle_parity.py.)
 ]
 
 

@@ -114,12 +114,21 @@ def parquet_file_stats(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(conf)
     out: list[tuple[str, int]] = []
+    base = p.toUri().getPath()
     it = fs.listFiles(p, True)
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if name.endswith(".parquet") and not name.startswith("_"):
-            out.append((st.getPath().toString(), int(st.getLen())))
+        fpath = st.getPath()
+        # Mirror Spark's own scan listing: skip any file with a hidden
+        # ('_' or '.') PATH COMPONENT below the base dir, not just a
+        # hidden basename — otherwise parts inside in-progress committer
+        # dirs (_temporary/attempt_*/part-*.parquet) get counted and the
+        # compaction plan disagrees with what spark.read will read.
+        rel = fpath.toUri().getPath()[len(base):].lstrip("/")
+        if any(c and c[0] in "_." for c in rel.split("/")):
+            continue
+        if fpath.getName().endswith(".parquet"):
+            out.append((fpath.toString(), int(st.getLen())))
     return out
 
 

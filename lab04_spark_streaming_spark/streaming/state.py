@@ -662,11 +662,13 @@ def scd2_stream(
     (plans/mining.q_scd2_intervals) for CLOSED intervals: per key,
     consecutive runs of the same attribute collapse to
     [valid_from, valid_to) and an interval is emitted exactly when the
-    event-time watermark passes its exclusive upper bound (the next
-    run's first event time). Finality argument: any still-admissible
-    event has ts > wm >= valid_to, so it can neither land inside the
-    closed interval, split it, nor re-order the run boundary — batch
-    and stream agree bit-for-bit on every emitted row. The OPEN current
+    event-time watermark STRICTLY passes its exclusive upper bound (the
+    next run's first event time). Finality argument: Spark's late-row
+    filter drops only ts < wm, i.e. an admissible event has ts >= wm,
+    so an interval is final only once valid_to < wm (then admissible ts
+    >= wm > valid_to) — with <=, an event at ts == wm == valid_to could
+    still extend or split an already-emitted run. Under the strict
+    bound, batch and stream agree bit-for-bit on every emitted row. The OPEN current
     run is intentionally never emitted (it is not final); the batch
     twin's ``is_current`` row is what you materialize on demand.
 
@@ -712,7 +714,9 @@ def scd2_stream(
         n_emitted_events = 0
         for i in range(len(runs) - 1):
             valid_to = runs[i + 1][1]
-            if valid_to <= wm_us:
+            # STRICT: admissible late events have ts >= wm (Spark drops
+            # only ts < wm), so valid_to == wm is not yet final.
+            if valid_to < wm_us:
                 out.append((runs[i][0], runs[i][1], valid_to, runs[i][2]))
                 n_emitted_events += runs[i][2]
             else:

@@ -49,6 +49,83 @@ def _normalize(rows, colnames):
     return Counter(tuple(_norm_cell(r[i]) for i in order) for r in rows)
 
 
+#: DuckDB scalar type -> the Spark simpleString the driver's hash expects.
+#: Types absent from this map (STRUCT, MAP, enums, ...) are skipped by the
+#: type audit; HUGEINT/UHUGEINT are hard errors (DuckDB widens SUM(BIGINT)
+#: to int128, Spark emits int64, and the driver hash is type-sensitive —
+#: the exact class that produced CORRECTNESS_r06's four reds).
+#: Integer WIDTH differences are benign (both engines surface Python
+#: ints; driver stamps prove it: window_ntile_percent_rank r6-green with
+#: Spark int vs DuckDB BIGINT) — any int maps to any int. HUGEINT is NOT
+#: in the family: DuckDB's pandas conversion widens int128 to float64,
+#: so 123 hashes as 123.0 and the driver goes red.
+_INTS = ("bigint", "int", "smallint", "tinyint")
+_DUCK_TO_SPARK = {
+    "BIGINT": _INTS,
+    "INTEGER": _INTS,
+    "INT": _INTS,
+    "SMALLINT": _INTS,
+    "TINYINT": _INTS,
+    "DOUBLE": ("double",),
+    "FLOAT": ("float",),
+    "REAL": ("float",),
+    "VARCHAR": ("string",),
+    "BOOLEAN": ("boolean",),
+    "DATE": ("date",),
+    "TIMESTAMP": ("timestamp", "timestamp_ntz"),
+    "TIMESTAMP WITH TIME ZONE": ("timestamp",),
+    "BLOB": ("binary",),
+}
+
+
+def _duck_to_spark(duck_type: str):
+    """Expected Spark simpleString(s) for a DuckDB type, or None if the
+    audit should skip it (no unambiguous mapping)."""
+    t = duck_type.strip().upper()
+    if t.endswith("[]"):
+        inner = _duck_to_spark(t[:-2])
+        if inner is None:
+            return None
+        return tuple(f"array<{i}>" for i in inner)
+    if t.startswith("DECIMAL"):
+        return (t.lower().replace(" ", ""),)
+    return _DUCK_TO_SPARK.get(t)
+
+
+def assert_oracle_types(spark_df, con, sql: str) -> None:
+    """Fail if the oracle's output schema cannot hash-match Spark's.
+
+    The driver's value hash is type-sensitive: an oracle column whose
+    DuckDB type maps to a different Spark type mismatches even when every
+    value is equal. ``DESCRIBE`` the oracle and (a) hard-reject
+    HUGEINT/UHUGEINT anywhere, (b) for every mappable scalar type assert
+    it matches the Spark column's simpleString.
+    """
+    desc = con.execute("DESCRIBE " + sql).fetchall()
+    duck_types = {row[0]: row[1] for row in desc}
+    spark_types = {f.name: f.dataType.simpleString() for f in spark_df.schema}
+    problems = []
+    for col, dtyp in duck_types.items():
+        if "HUGEINT" in dtyp.upper():
+            problems.append(
+                f"{col}: oracle emits {dtyp} (int128) — add CAST(... AS "
+                f"BIGINT/DOUBLE); Spark side is "
+                f"{spark_types.get(col, '<missing>')}"
+            )
+            continue
+        expected = _duck_to_spark(dtyp)
+        if expected is None or col not in spark_types:
+            continue
+        if spark_types[col] not in expected:
+            problems.append(
+                f"{col}: oracle {dtyp} maps to spark {expected} but query "
+                f"emits {spark_types[col]}"
+            )
+    assert not problems, "oracle/spark type mismatch:\n  " + "\n  ".join(
+        problems
+    )
+
+
 def compare_query(spark, con, fn, sql: str, sf_dir: str) -> None:
     sdf = fn(spark, sf_dir)
     spark_cols = sdf.columns
@@ -61,6 +138,7 @@ def compare_query(spark, con, fn, sql: str, sf_dir: str) -> None:
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
     )
+    assert_oracle_types(sdf, con, sql)
     assert len(spark_rows) == len(duck_rows), (
         f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
     )

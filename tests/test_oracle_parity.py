@@ -31,6 +31,33 @@ def test_rows_only_runs(spark, sf_dir, spec):
     assert len(df.schema.fields) > 0
 
 
+def test_harness_catches_hugeint_oracle(spark, duck, sf_dir):
+    """The r6 driver reds were uncast SUM() oracles (DuckDB widens
+    SUM(BIGINT) to HUGEINT; the driver hash is type-sensitive). The
+    local harness must fail such an oracle BEFORE it burns a stamp."""
+
+    def fn(sp, d):
+        from pyspark.sql import functions as F
+
+        return (
+            sp.read.parquet(f"{d}/nation.parquet")
+            .groupBy("n_regionkey")
+            .agg(F.sum("n_nationkey").alias("s"))
+        )
+
+    bad_sql = (
+        "SELECT n_regionkey, SUM(n_nationkey) AS s "
+        "FROM nation GROUP BY n_regionkey"
+    )
+    with pytest.raises(AssertionError, match="HUGEINT"):
+        compare_query(spark, duck, fn, bad_sql, sf_dir)
+    good_sql = (
+        "SELECT n_regionkey, CAST(SUM(n_nationkey) AS BIGINT) AS s "
+        "FROM nation GROUP BY n_regionkey"
+    )
+    compare_query(spark, duck, fn, good_sql, sf_dir)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -674,3 +674,100 @@ def test_bench_smoke_one_run(spark, sf_dir, monkeypatch):
     assert out["unit"] == "sec" and out["value"] > 0
     assert set(out["queries"]) == set(bench.HEADLINE)
     assert all(v >= 0 for v in out["queries"].values())
+
+
+def _unpartitioned_window_orders(plan: str) -> list[str]:
+    """Order-spec text of every Window node that has NO partition spec
+    (``Arguments: [funcs], [order]`` — partitioned windows have a third
+    bracket group). These are the windows that funnel their whole input
+    through one task."""
+    import re
+
+    orders = []
+    for m in re.finditer(r"\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)\n", plan):
+        groups = re.findall(r"\[[^][]*\]", m.group(1))
+        if len(groups) == 2:  # funcs + order, no partition spec
+            orders.append(groups[1])
+    return orders
+
+
+def test_r7_global_rank_fixes(spark, sf_dir):
+    """r7 scale fixes (VERDICT r6 item 4): the corpus top-k ranks take
+    the k survivors with TakeOrderedAndProject BEFORE any global rank
+    window, and the PPJoin df-rank is the distributed two-pass scheme —
+    the ONLY unpartitioned window left in its plan is the per-range-
+    partition offsets scan (orders by _pid, one row per partition),
+    never a one-task sort of the shingle vocabulary."""
+    from lab04_spark_streaming_spark.plans import corpus as cp
+    from lab04_spark_streaming_spark.plans import mining as mn
+
+    for fn in (cp.q_word_cooccurrence, cp.q_textrank_keywords):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, fn.__name__
+
+    jac = plan_of(mn.q_jaccard_prefix_join(spark, sf_dir))
+    orders = _unpartitioned_window_orders(jac)
+    assert orders, "expected the offsets window in the two-pass rank"
+    assert all("_pid" in o for o in orders), orders
+
+
+def test_global_row_number_matches_single_window(spark):
+    """operators/ranks.global_row_number must agree bit-for-bit with
+    the naive single-partition row_number under the same total order,
+    across several range partitions."""
+    from pyspark.sql import functions as F
+
+    from lab04_spark_streaming_spark.operators.ranks import global_row_number
+
+    df = spark.range(0, 997).select(
+        (F.col("id") * 37 % 101).alias("k"), F.col("id").alias("tie")
+    )
+    got = {
+        (r.k, r.tie): r.rk
+        for r in global_row_number(
+            df, "k", "tie", rank_col="rk", num_partitions=7
+        ).collect()
+    }
+    rows = sorted((r.k, r.tie) for r in df.collect())
+    expected = {kt: i + 1 for i, kt in enumerate(rows)}
+    assert got == expected
+
+
+def test_r7_unbounded_rank_window_allowlist():
+    """Source audit (VERDICT r6 item 4 'Done ='): every
+    ``Window.orderBy(`` site — a window with no partitionBy — must be
+    over a BOUNDED relation. The allowlist pins today's justified
+    sites per module; a new unpartitioned window fails here until it
+    is reviewed for boundedness and added."""
+    import re
+    from pathlib import Path
+
+    import lab04_spark_streaming_spark as pkg
+
+    root = Path(pkg.__file__).parent
+    # module -> (max sites, why each is bounded)
+    allow = {
+        "operators/ranks.py": (1, "per-partition offsets: N_part rows"),
+        "plans/corpus.py": (
+            5,
+            "word_cooc/textrank/bm25/CMS rank k limited survivors; "
+            "BPE char-pair vocab <= ~1.3k",
+        ),
+        "plans/mining.py": (2, "BPE merge ranks: char-pair vocab"),
+        "plans/pipeline_extras.py": (1, "boilerplate: 50 survivors"),
+        "plans/reference_parity.py": (
+            2,
+            "chunk-carry: n_chunks rows (+1 docstring mention)",
+        ),
+        "plans/llm.py": (1, "knn fold rank: k=10 survivors"),
+    }
+    for py in root.rglob("*.py"):
+        rel = str(py.relative_to(root))
+        n = len(re.findall(r"Window\.orderBy\(", py.read_text()))
+        cap = allow.get(rel, (0, ""))[0]
+        assert n <= cap, (
+            f"{rel}: {n} unpartitioned Window.orderBy sites (allow "
+            f"{cap}) — every global-order window must be over a "
+            f"bounded relation; use operators/ranks.global_row_number "
+            f"or orderBy().limit(k) first, then update the allowlist"
+        )
