@@ -36,7 +36,6 @@ from lab04_spark_streaming_spark.functions.guards import (
     sql_stable_round,
 )
 from lab04_spark_streaming_spark.operators import dedup as dd
-from lab04_spark_streaming_spark.operators.ranks import global_row_number
 from lab04_spark_streaming_spark.operators.textops import (
     expr_hash_int,
     expr_shingles,
@@ -163,12 +162,14 @@ _JACC_T_NUM, _JACC_T_DEN = 8, 10  # threshold 0.8 as an exact rational
 def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard >= 0.8 pairs over distinct 3-token shingle sets.
 
-    Scale notes: the global df-rarity rank is computed with the
-    distributed two-pass scheme (operators/ranks.global_row_number —
-    range-partitioned local ranks + broadcast offsets), never a
-    single-partition window, and joins back to the postings by shuffle
-    (the vocab is unbounded, so no broadcast hint — AQE broadcasts it
-    when actually small); the candidate join's bucket key is
+    Scale notes: NO global rank is ever materialized — the prefix rule
+    only observes each doc's shingles in the global rarity ORDER, and
+    (df, sh) is that total order, so the per-doc position window sorts
+    by (df, sh) after a df join (the vocab is unbounded, so no
+    broadcast hint on the df side — AQE broadcasts it when actually
+    small; when a true global rank NUMBER is required, use
+    operators/ranks.global_row_number); the candidate join's bucket
+    key is
     a PREFIX shingle — by construction the rarest elements of each set
     (df-ascending order), so bucket sizes are the small-df tail, not
     the stop-shingle head (df max 7 on the test corpus). ceil(t*L) is
@@ -201,26 +202,24 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = docs.select(
         "doc_id", F.size("s").alias("L"), F.explode("s").alias("sh")
     )
-    # Distributed two-pass rank over the shingle vocabulary (billions of
-    # distinct shingles at 100 TB — a bare row_number() window would
-    # funnel it through one task): range-partition on (df, sh), rank
-    # locally, add broadcast per-partition offsets. (df, sh) is a total
-    # order -> deterministic ranks.
-    rk = global_row_number(
-        ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df")),
-        "df",
-        "sh",
-        rank_col="rk",
-    ).select("sh", "rk")
+    # The prefix rule needs each doc's shingles in a CONSISTENT global
+    # rarity order — not a materialized global rank number. (df, sh) IS
+    # that total order, so join each posting to its df and sort the
+    # per-doc window by (df, sh) directly: no global-rank pass at all
+    # (a bare row_number() window over the vocabulary would funnel
+    # billions of shingles through one task at 100 TB; even the
+    # distributed two-pass rank — operators/ranks.global_row_number —
+    # is pure overhead here since only the ORDER is observable).
+    dfrel = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     pref = (
-        # no broadcast hint: the rank relation is vocab-sized (billions
+        # no broadcast hint: the df relation is vocab-sized (billions
         # of rows at 100 TB) — shuffle join on sh; AQE still broadcasts
         # it automatically when the corpus is small.
-        ex.join(rk, "sh")
+        ex.join(dfrel, "sh")
         .withColumn(
             "pos",
             F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("rk")
+                Window.partitionBy("doc_id").orderBy("df", "sh")
             ),
         )
         .filter(

@@ -705,10 +705,13 @@ def test_r7_global_rank_fixes(spark, sf_dir):
         plan = plan_of(fn(spark, sf_dir))
         assert "TakeOrderedAndProject" in plan, fn.__name__
 
+    # The PPJoin prefix rule observes only the global rarity ORDER, so
+    # the plan materializes no global rank at all: every window is
+    # doc_id-partitioned.
     jac = plan_of(mn.q_jaccard_prefix_join(spark, sf_dir))
-    orders = _unpartitioned_window_orders(jac)
-    assert orders, "expected the offsets window in the two-pass rank"
-    assert all("_pid" in o for o in orders), orders
+    assert _unpartitioned_window_orders(jac) == [], (
+        "jaccard_prefix_join grew an unpartitioned window"
+    )
 
 
 def test_global_row_number_matches_single_window(spark):
