@@ -46,6 +46,10 @@ HEADLINE = [
     # interval build (events-scale gaps-and-islands, one exchange).
     "jaccard_prefix_join",
     "scd2_intervals",
+    # r7 drift wave: full-corpus tokenize + double aggregation (KL) and
+    # the basket self-join (pair fan-out + marginals + top-k).
+    "source_kl_divergence",
+    "copurchase_lift",
 ]
 
 

@@ -1,0 +1,552 @@
+"""Round-7 wave: distribution-drift and composition queries — the
+monitoring layer a large training-data pipeline runs ON TOP of the
+curation operators (dedup, quality, sampling): per-source unigram KL
+drift, behavioral entropy, length-inequality (Theil), embedding
+centroid shift per label, market-basket lift, BPE tokenizer APPLY
+(the trainer queries' consumer), and a chunk-scanned Pareto skyline.
+
+Cross-engine determinism (registry.py rules):
+  * exact integer counts everywhere; fractions of exact integers are
+    single double divisions;
+  * log-bearing aggregates end in stable_round(4): per-row IEEE terms
+    are bit-identical, only the summation-order error (~1e-12
+    relative) differs — far below the rounding grain;
+  * every rank carries an explicit lexicographic tie-break and ranks
+    only orderBy().limit(k) survivors (tests/test_plans.py allowlist).
+
+Scale notes are per-query; the common rules: candidate relations are
+key-bounded (vocab, label, chunk, pair-of-basket), scalar totals are
+broadcast 1-row relations, and no unpartitioned window ever sees an
+unbounded input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lab04_spark_streaming_spark.functions.guards import (
+    sql_stable_round,
+    stable_round,
+)
+from lab04_spark_streaming_spark.operators.textops import (
+    expr_tokens,
+    sql_tokens,
+)
+from lab04_spark_streaming_spark.sources.files import load_table
+
+_SPARK_TOKS = expr_tokens("text")
+_TOKS = sql_tokens("text")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- per-source unigram KL drift -------------------------------------------
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(P_source || P_corpus) over word unigrams per source — the
+    standard domain-drift / contamination monitor for corpus mixes
+    (cf. the domain-reweighting literature, e.g. DoReMi, Xie 2023):
+    a source whose token distribution diverges from the mix is over-
+    or under-represented. Both distributions are exact integer count
+    rationals; each term p_s*(log2 p_s − log2 p_c) is one IEEE
+    expression per (source, word); the sum is stable_round(4).
+
+    Scale: the (source, word) and (word) relations are vocab-bounded;
+    the join key is the word; sources are the output (tiny). Two
+    aggregations, no window, nothing unbounded in one task."""
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(F.expr(_SPARK_TOKS)).alias("w")
+    )
+    sw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cs"))
+    ns = sw.groupBy("source").agg(F.sum("cs").alias("ns"))
+    cw = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = cw.agg(F.sum("c").alias("n"))
+    ps = F.col("cs").cast("double") / F.col("ns")
+    pc = F.col("c").cast("double") / F.col("n")
+    return (
+        sw.join(ns, "source")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source")
+        .agg(
+            F.max("ns").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            stable_round(F.sum(ps * (F.log2(ps) - F.log2(pc))), 4).alias(
+                "kl_bits"
+            ),
+        )
+    )
+
+
+SQL_SOURCE_KL = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS}) AS w FROM documents
+),
+sw AS (SELECT source, w, COUNT(*) AS cs FROM toks GROUP BY 1, 2),
+ns AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM sw GROUP BY 1),
+cw AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cw)
+SELECT sw.source, MAX(ns.ns) AS n_tokens,
+       COUNT(*) AS n_distinct_words,
+       {sql_stable_round(
+           "SUM((CAST(cs AS DOUBLE) / ns) * (log2(CAST(cs AS DOUBLE) / ns)"
+           " - log2(CAST(c AS DOUBLE) / n)))", 4)} AS kl_bits
+FROM sw
+JOIN ns ON sw.source = ns.source
+JOIN cw ON sw.w = cw.w
+CROSS JOIN n
+GROUP BY 1
+"""
+
+
+# --- per-user behavioral entropy -------------------------------------------
+def q_user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    bot/monoculture detector (a user who only ever fires one event
+    type has entropy 0). Counts are exact; each −p·log2 p term is one
+    IEEE expression over an exact rational; |event_type|-bounded term
+    count per user, stable_round(4). One shuffle on (user, type), one
+    on user."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        ut.withColumn(
+            "n", F.sum("c").over(Window.partitionBy("user_id"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            stable_round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
+        )
+    )
+
+
+SQL_USER_EVENT_ENTROPY = f"""
+WITH ut AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT user_id, c,
+         CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM ut
+)
+SELECT user_id, MAX(n) AS n_events, COUNT(*) AS n_types,
+       {sql_stable_round(
+           "-SUM((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n))", 4
+       )} AS entropy_bits
+FROM w GROUP BY 1
+"""
+
+
+# --- length inequality (Theil index) per source ----------------------------
+def q_length_theil_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of document lengths per source — the
+    decomposable inequality measure (Theil 1967): T = (1/n) Σ
+    (x_i/μ)·ln(x_i/μ). Unlike Gini it needs NO within-group rank —
+    it is a plain per-row term + group aggregate, so it parallelizes
+    with zero windows (the reason it beats Gini at 100 TB). μ is the
+    exact rational sum/n; each term is one IEEE expression;
+    stable_round(4)."""
+    d = _docs(spark, sf_dir).select("source", "n_chars")
+    tot = d.groupBy("source").agg(
+        F.sum("n_chars").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    ratio = (F.col("n_chars").cast("double") * F.col("n")) / F.col("s")
+    return (
+        d.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.max("s").alias("total_chars"),
+            stable_round(
+                F.sum(ratio * F.log(ratio)) / F.max("n"), 4
+            ).alias("theil_t"),
+        )
+    )
+
+
+SQL_LENGTH_THEIL = f"""
+WITH tot AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS s, COUNT(*) AS n
+  FROM documents GROUP BY 1
+)
+SELECT d.source, MAX(t.n) AS n_docs, MAX(t.s) AS total_chars,
+       {sql_stable_round(
+           "SUM(((CAST(n_chars AS DOUBLE) * n) / s)"
+           " * ln((CAST(n_chars AS DOUBLE) * n) / s)) / MAX(n)", 4
+       )} AS theil_t
+FROM documents d JOIN tot t ON d.source = t.source
+GROUP BY 1
+"""
+
+
+# --- market-basket lift over orders ----------------------------------------
+_LIFT_TOPK = 20
+
+
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchased part pairs by support, with lift — classic
+    market-basket association over the order/lineitem star (Agrawal &
+    Srikant 1994). Basket = distinct parts of one order (TPC-H basket
+    size ≤ ~13, so the within-order pair fan-out is ≤ C(13,2)·orders —
+    row-bounded, never vocab²). lift = (n_pair·n_orders)/(n_a·n_b) as
+    a single division of exact integers. Marginals join back by part
+    key (part-bounded relation, no broadcast hint — AQE decides); the
+    global top-k is orderBy+limit (TakeOrderedAndProject), rank only
+    over the 20 survivors."""
+    basket = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = basket.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    marg = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("m"))
+    pairs = (
+        basket.alias("a")
+        .join(basket.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    top = (
+        pairs.orderBy(F.desc("n_pair"), "p1", "p2")
+        .limit(_LIFT_TOPK)
+        .join(marg.select(F.col("l_partkey").alias("p1"), F.col("m").alias("m1")), "p1")
+        .join(marg.select(F.col("l_partkey").alias("p2"), F.col("m").alias("m2")), "p2")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("n_pair"), "p1", "p2"))
+    return top.select(
+        "p1",
+        "p2",
+        "n_pair",
+        "m1",
+        "m2",
+        (
+            (F.col("n_pair") * F.col("n_orders")).cast("double")
+            / (F.col("m1") * F.col("m2"))
+        ).alias("lift"),
+        rk.cast("int").alias("rank"),
+    )
+
+
+SQL_COPURCHASE_LIFT = f"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM basket),
+marg AS (SELECT l_partkey, COUNT(*) AS m FROM basket GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_pair
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT p1, p2, n_pair,
+         CAST(row_number() OVER (ORDER BY n_pair DESC, p1, p2) AS INTEGER)
+           AS rank
+  FROM pairs
+  ORDER BY n_pair DESC, p1, p2 LIMIT {_LIFT_TOPK}
+)
+SELECT t.p1, t.p2, t.n_pair, m1.m AS m1, m2.m AS m2,
+       CAST(t.n_pair * n.n_orders AS DOUBLE) / (m1.m * m2.m) AS lift,
+       t.rank
+FROM top t
+JOIN marg m1 ON m1.l_partkey = t.p1
+JOIN marg m2 ON m2.l_partkey = t.p2
+CROSS JOIN n
+"""
+
+
+# --- BPE tokenizer APPLY ----------------------------------------------------
+def q_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applies the two learned BPE merges (the trainer loop that
+    bpe_pair_counts / bpe_second_merge oracle) to every document and
+    reports the per-doc token count before/after + compression ratio —
+    the consumer end of the tokenizer-training pipeline. Merges are
+    learned on the word-count relation in MARKER space (merged symbol
+    = chr(1), then chr(2)); greedy leftmost non-overlapping
+    application ≡ string replace() in both engines. Per-word encoded
+    lengths live on the vocab-bounded word relation; documents join
+    to it by word (one explode + one vocab join + one doc aggregate).
+    Pure integers + one division — hash-exact."""
+    wc = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr(_SPARK_TOKS)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def top_pair(words, col):  # marker-space top pair of column `col`
+        return (
+            words.filter(F.length(col) >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, length({col}) - 1), "
+                        f"i -> substring({col}, i, 2))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .select("pair")
+        )
+
+    m1 = top_pair(wc, "w").select(F.col("pair").alias("m1"))
+    enc1 = wc.crossJoin(F.broadcast(m1)).select(
+        "w", "cnt", "m1", F.expr("replace(w, m1, chr(1))").alias("w2")
+    )
+    m2 = top_pair(enc1, "w2").select(F.col("pair").alias("m2"))
+    enc2 = enc1.crossJoin(F.broadcast(m2)).select(
+        "w", F.expr("replace(w2, m2, chr(2))").alias("w3")
+    )
+    per_doc = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("w"))
+        .join(enc2, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.length("w")).alias("n_units_char"),
+            F.sum(F.length("w3")).alias("n_units_bpe2"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_units_char",
+        "n_units_bpe2",
+        (
+            F.col("n_units_char").cast("double") / F.col("n_units_bpe2")
+        ).alias("compression"),
+    )
+
+
+SQL_BPE_ENCODE_APPLY = f"""
+WITH wc AS (
+  SELECT w, COUNT(*) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+  GROUP BY 1
+),
+m1 AS (
+  SELECT pair FROM (
+    SELECT u.pair, SUM(cnt) AS n
+    FROM (SELECT cnt, list_transform(generate_series(1, length(w) - 1),
+                 i -> substring(w, i, 2)) AS ps
+          FROM wc WHERE length(w) >= 2) t, unnest(ps) u(pair)
+    GROUP BY 1
+  ) ORDER BY n DESC, pair LIMIT 1
+),
+enc1 AS (
+  SELECT w, cnt, replace(w, (SELECT pair FROM m1), chr(1)) AS w2 FROM wc
+),
+m2 AS (
+  SELECT pair FROM (
+    SELECT u.pair, SUM(cnt) AS n
+    FROM (SELECT cnt, list_transform(generate_series(1, length(w2) - 1),
+                 i -> substring(w2, i, 2)) AS ps
+          FROM enc1 WHERE length(w2) >= 2) t, unnest(ps) u(pair)
+    GROUP BY 1
+  ) ORDER BY n DESC, pair LIMIT 1
+),
+enc2 AS (
+  SELECT w, replace(w2, (SELECT pair FROM m2), chr(2)) AS w3 FROM enc1
+),
+toks AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+SELECT t.doc_id,
+       CAST(SUM(length(t.w)) AS BIGINT) AS n_units_char,
+       CAST(SUM(length(e.w3)) AS BIGINT) AS n_units_bpe2,
+       CAST(SUM(length(t.w)) AS DOUBLE)
+         / CAST(SUM(length(e.w3)) AS BIGINT) AS compression
+FROM toks t JOIN enc2 e ON t.w = e.w
+GROUP BY 1
+"""
+
+
+# --- embedding centroid shift per label ------------------------------------
+_GRID = "10000000.0"  # the repo-wide 1e-7 embedding grid (similarity.py)
+
+
+def q_embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid distance² to the global centroid — the
+    cluster-drift monitor over an embedding table (is one label's
+    region collapsing toward the mean?). Components are quantized to
+    the repo-wide 1e-7 integer grid, per-(label, dim) sums are exact
+    integers (|q| ≤ 1e7 · n — far from 2^63), each per-dim centroid
+    is ONE exact division, and the 64-term d² sum is stable_round(4)
+    (order error ~1e-12 « grain). The (label, dim) relation is
+    |labels|·dim-bounded; the global centroid is a broadcast dim-row
+    relation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        F.posexplode(
+            F.expr(
+                f"transform(embedding, x -> cast(floor(cast(x as double)"
+                f" * {_GRID} + 0.5) as bigint))"
+            )
+        ).alias("dim", "qv"),
+    )
+    per_label = q.groupBy("label", "dim").agg(
+        F.sum("qv").alias("sq"), F.count(F.lit(1)).alias("nl")
+    )
+    glob = q.groupBy("dim").agg(
+        F.sum("qv").alias("g"), F.count(F.lit(1)).alias("n")
+    )
+    d = (F.col("sq").cast("double") / F.col("nl")) - (
+        F.col("g").cast("double") / F.col("n")
+    )
+    return (
+        per_label.join(glob, "dim")
+        .groupBy("label")
+        .agg(
+            F.max("nl").alias("n_vecs"),
+            stable_round(
+                F.sum(d * d) / F.lit(float(_GRID)) / F.lit(float(_GRID)), 4
+            ).alias("l2sq_shift"),
+        )
+    )
+
+
+SQL_EMBEDDING_CENTROID_SHIFT = f"""
+WITH q AS (
+  SELECT label, u.pos AS dim,
+         CAST(floor(CAST(embedding[u.pos] AS DOUBLE) * {_GRID} + 0.5)
+              AS BIGINT) AS qv
+  FROM embeddings, unnest(generate_series(1, len(embedding))) u(pos)
+),
+per_label AS (
+  SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS sq, COUNT(*) AS nl
+  FROM q GROUP BY 1, 2
+),
+gl AS (
+  SELECT dim, CAST(SUM(qv) AS BIGINT) AS g, COUNT(*) AS n
+  FROM q GROUP BY 1
+)
+SELECT p.label, MAX(p.nl) AS n_vecs,
+       {sql_stable_round(
+           "SUM((CAST(sq AS DOUBLE) / nl - CAST(g AS DOUBLE) / n)"
+           " * (CAST(sq AS DOUBLE) / nl - CAST(g AS DOUBLE) / n))"
+           f" / {_GRID} / {_GRID}", 4
+       )} AS l2sq_shift
+FROM per_label p JOIN gl ON p.dim = gl.dim
+GROUP BY 1
+"""
+
+
+# --- chunk-scanned 2D Pareto skyline ---------------------------------------
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D Pareto frontier of parts (minimize p_retailprice, maximize
+    p_size) — the skyline operator (Börzsönyi 2001). A part is
+    dominated iff a strictly cheaper part has ≥ its size, or an
+    equal-priced part has > its size. The classic single-sort cummax
+    would be one unpartitioned running window over all parts; instead
+    the scan is CHUNKED on the (fixed-domain) price axis: per-chunk
+    price-group maxima roll up to a chunk-carry relation (n_chunks
+    rows — the only unpartitioned window, bounded by the price
+    domain / chunk width, broadcast back), and the within-chunk
+    running max runs over each chunk's DISTINCT-price groups
+    (domain-bounded: prices are cents-quantized). All comparisons are
+    exact (double pass-through + ints) — hash-exact."""
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size"),
+    )
+    chunked = parts.withColumn("chunk", F.floor(F.col("price")))
+    pg = chunked.groupBy("chunk", "price").agg(
+        F.max("size").alias("pmax")
+    )
+    # chunk carries: max size over all chunks strictly below — the one
+    # unpartitioned window, over the n_chunks-row relation.
+    carries = (
+        pg.groupBy("chunk")
+        .agg(F.max("pmax").alias("cmax"))
+        .withColumn(
+            "carry",
+            F.max("cmax").over(
+                Window.orderBy("chunk").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("chunk", "carry")
+    )
+    # within-chunk running max over the distinct-price groups,
+    # EXCLUDING the current price group (strictly cheaper only).
+    run = pg.withColumn(
+        "wmax",
+        F.max("pmax").over(
+            Window.partitionBy("chunk")
+            .orderBy("price")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    bounds = (
+        run.join(F.broadcast(carries), "chunk")
+        .select(
+            "price",
+            "pmax",
+            F.greatest(
+                F.coalesce(F.col("wmax"), F.lit(-1)),
+                F.coalesce(F.col("carry"), F.lit(-1)),
+            ).alias("cheaper_max"),
+        )
+    )
+    return (
+        chunked.join(bounds, "price")
+        .filter(
+            (F.col("size") > F.col("cheaper_max"))
+            & (F.col("size") == F.col("pmax"))
+        )
+        .select("p_partkey", "price", "size")
+    )
+
+
+SQL_SKYLINE_PARETO = """
+SELECT p_partkey, p_retailprice AS price, p_size AS size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE (b.p_retailprice < a.p_retailprice AND b.p_size >= a.p_size)
+     OR (b.p_retailprice = a.p_retailprice AND b.p_size > a.p_size)
+)
+"""
+
+
+def specs():
+    from lab04_spark_streaming_spark.registry import QuerySpec
+
+    return [
+        QuerySpec("source_kl_divergence", q_source_kl_divergence, SQL_SOURCE_KL),
+        QuerySpec(
+            "user_event_entropy", q_user_event_entropy, SQL_USER_EVENT_ENTROPY
+        ),
+        QuerySpec(
+            "length_theil_by_source",
+            q_length_theil_by_source,
+            SQL_LENGTH_THEIL,
+        ),
+        QuerySpec("copurchase_lift", q_copurchase_lift, SQL_COPURCHASE_LIFT),
+        QuerySpec("bpe_encode_apply", q_bpe_encode_apply, SQL_BPE_ENCODE_APPLY),
+        QuerySpec(
+            "embedding_centroid_shift",
+            q_embedding_centroid_shift,
+            SQL_EMBEDDING_CENTROID_SHIFT,
+        ),
+        QuerySpec("skyline_pareto", q_skyline_pareto, SQL_SKYLINE_PARETO),
+    ]

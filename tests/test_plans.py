@@ -763,6 +763,11 @@ def test_r7_unbounded_rank_window_allowlist():
             "chunk-carry: n_chunks rows (+1 docstring mention)",
         ),
         "plans/llm.py": (1, "knn fold rank: k=10 survivors"),
+        "plans/wave7.py": (
+            2,
+            "copurchase rank: 20 survivors; skyline chunk-carry: "
+            "n_chunks rows (fixed price domain / chunk width)",
+        ),
     }
     for py in root.rglob("*.py"):
         rel = str(py.relative_to(root))
@@ -774,3 +779,57 @@ def test_r7_unbounded_rank_window_allowlist():
             f"bounded relation; use operators/ranks.global_row_number "
             f"or orderBy().limit(k) first, then update the allowlist"
         )
+
+
+def test_r7_wave_plan_hygiene(spark, sf_dir):
+    """Round-7 wave: no CartesianProduct anywhere; BNLJ only for
+    deliberate 1-row scalar broadcasts (corpus total, n_orders, the
+    two learned BPE merges); scans pruned to the needed columns; the
+    copurchase top-k is a TakeOrderedAndProject; skyline's only
+    unpartitioned window is the n_chunks-row carry rollup."""
+    from lab04_spark_streaming_spark.plans import wave7 as w7
+
+    scalar_bcast = {
+        "q_source_kl_divergence",  # corpus N (1 row)
+        "q_copurchase_lift",  # n_orders (1 row)
+        "q_bpe_encode_apply",  # m1 / m2 (1 row each)
+    }
+    for fn in (
+        w7.q_source_kl_divergence,
+        w7.q_user_event_entropy,
+        w7.q_length_theil_by_source,
+        w7.q_copurchase_lift,
+        w7.q_bpe_encode_apply,
+        w7.q_embedding_centroid_shift,
+        w7.q_skyline_pareto,
+    ):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        if fn.__name__ not in scalar_bcast:
+            assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+    # Theil reads ONLY (source, n_chars) — no tokenize, no text scan.
+    reads = [
+        l
+        for l in plan_of(
+            w7.q_length_theil_by_source(spark, sf_dir)
+        ).splitlines()
+        if "ReadSchema" in l
+    ]
+    assert reads and all("text" not in l for l in reads), reads
+    # Centroid shift never scans vec_id.
+    reads = [
+        l
+        for l in plan_of(
+            w7.q_embedding_centroid_shift(spark, sf_dir)
+        ).splitlines()
+        if "ReadSchema" in l
+    ]
+    assert reads and all("vec_id" not in l for l in reads), reads
+
+    assert "TakeOrderedAndProject" in plan_of(
+        w7.q_copurchase_lift(spark, sf_dir)
+    )
+    sky = plan_of(w7.q_skyline_pareto(spark, sf_dir))
+    orders = _unpartitioned_window_orders(sky)
+    assert orders and all("chunk" in o for o in orders), orders
