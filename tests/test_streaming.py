@@ -1243,3 +1243,88 @@ def test_hll_dau_stream_matches_batch(spark, tmp_path):
     }
     for hour, est in streamed.items():
         assert batch[hour] == est, (hour, batch[hour], est)
+
+
+def test_scd2_stream_watermark_boundary_semantics(spark, tmp_path):
+    """Pins the MEASURED Spark 4 late-row semantics the scd2 finality
+    rule depends on (probed empirically, r7): applyInPandasWithState
+    drops an input row iff ts <= filter_wm, where filter_wm LAGS the
+    processor-visible getCurrentWatermarkMs() by one micro-batch. Two
+    consequences, one user each:
+
+    * user 2: an event at ts == wm arriving in the FIRST batch after
+      the watermark advances is still ADMITTED (its batch's filter_wm
+      is one batch old) and must rewrite the pending run — so an
+      interval with valid_to == wm is not yet final, which is why
+      emission requires valid_to < wm strictly.
+    * user 1: the same boundary event arriving one batch LATER is
+      dropped by the filter (filter_wm has caught up), so the run
+      stays at 2 events; the held interval then emits once the
+      watermark strictly passes 10.
+
+    Either way stream output equals the batch build over exactly the
+    rows Spark admitted."""
+    import time as _time
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from lab04_spark_streaming_spark.streaming.state import scd2_stream
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+
+    def at(s):
+        return T0 + dt.timedelta(seconds=s)
+
+    base = lambda u, off: [  # noqa: E731
+        (u, at(0), off + 0, "a"),
+        (u, at(5), off + 1, "a"),
+        (u, at(10), off + 10, "b"),
+        (u, at(20), off + 20, "z"),
+    ]
+    files = [
+        base(1, 0) + base(2, 100),
+        # first batch AFTER wm advanced to 10: filter_wm is still 0 —
+        # user 2's boundary a@10 (id < b's) is admitted and joins run a.
+        [(2, at(10), 105, "a"), (1, at(20), 21, "z")],
+        # one batch later filter_wm == 10: user 1's identical boundary
+        # event is dropped.
+        [(1, at(10), 5, "a")],
+        [(1, at(40), 30, "z"), (2, at(40), 130, "z")],
+        [(1, at(40), 31, "z"), (2, at(40), 131, "z")],
+    ]
+    path = tmp_path / "scd2_boundary"
+    now = _time.time()
+    for i, rows in enumerate(files):
+        sub = str(path / f"f{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(sub)
+        mtime = now - 700 + i * 100
+        for f in (path / f"f{i}").iterdir():
+            os.utime(f, (mtime, mtime))
+
+    stream = file_stream(
+        spark, str(path / "f*"), schema, max_files_per_trigger=1
+    )
+    out = scd2_stream(stream, "ts", "user_id", "event_type")
+    memory_sink_once(out, "scd2_boundary_out", "append")
+    got = sorted(
+        (r.user_id, r.valid_from, r.event_type, r.valid_to, r.n_events)
+        for r in spark.table("scd2_boundary_out").collect()
+    )
+    assert got == [
+        (1, at(0), "a", at(10), 2),  # boundary event dropped by Spark
+        (1, at(10), "b", at(20), 1),
+        (2, at(0), "a", at(10), 3),  # boundary event admitted: rewrite
+        (2, at(10), "b", at(20), 1),
+    ]
