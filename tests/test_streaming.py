@@ -1328,3 +1328,73 @@ def test_scd2_stream_watermark_boundary_semantics(spark, tmp_path):
         (2, at(0), "a", at(10), 3),  # boundary event admitted: rewrite
         (2, at(10), "b", at(20), 1),
     ]
+
+
+def test_sessionize_checkpoint_stop_resume_continues_state(spark, tmp_path):
+    """Operational recovery: a stateful streaming query stopped after a
+    checkpointed availableNow run and RESTARTED from the same
+    checkpoint must resume its state store — the pending-session
+    buffer AND the ordinal counter — not recompute from zero. The
+    proof is the session_id numbering: the post-restart sessions
+    continue 1, 2 (a cold start would renumber from 0). Sink is a
+    parquet file sink (exactly-once via checkpoint + atomic file
+    manifest), the production shape."""
+    from lab04_spark_streaming_spark.streaming.state import sessionize_stream
+
+    gap_s = 60
+    in_path = str(tmp_path / "sess_in")
+    out_path = str(tmp_path / "sess_out_files")
+    cp = str(tmp_path / "sess_cp")
+
+    def at(s):
+        return T0 + dt.timedelta(seconds=s)
+
+    def run_once(rows):
+        spark.createDataFrame(rows, EVENTLIKE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_path)
+        stream = file_stream(spark, in_path, EVENTLIKE_SCHEMA)
+        q = (
+            sessionize_stream(stream, "ts", "user_id", gap_s=gap_s)
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: burst A (3 events) + a far flush that finalizes it
+    run_once(
+        [
+            (1, at(0), 0),
+            (1, at(7), 1),
+            (1, at(14), 2),
+            (1, at(3600), 3),
+        ]
+    )
+    first = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert first == {(1, 0): (3, at(0), at(14))}
+
+    # run 2 (fresh query object, same checkpoint): burst C + far flush.
+    # Finalizes the pending flush-1 session (id 1) and burst C (id 2).
+    run_once(
+        [
+            (1, at(7200), 4),
+            (1, at(7207), 5),
+            (1, at(14400), 6),
+        ]
+    )
+    both = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert both == {
+        (1, 0): (3, at(0), at(14)),
+        (1, 1): (1, at(3600), at(3600)),
+        (1, 2): (2, at(7200), at(7207)),
+    }
