@@ -833,3 +833,40 @@ def test_r7_wave_plan_hygiene(spark, sf_dir):
     sky = plan_of(w7.q_skyline_pareto(spark, sf_dir))
     orders = _unpartitioned_window_orders(sky)
     assert orders and all("chunk" in o for o in orders), orders
+
+
+def test_all_registered_queries_plan_hygiene(spark, sf_dir):
+    """GLOBAL gate over every registered query (the per-wave audits
+    only cover their own wave): no CartesianProduct anywhere, ever;
+    BroadcastNestedLoopJoin only in the audited allowlist, where the
+    build side is a deliberate 1-row scalar relation (corpus totals /
+    graph size / averaged thresholds, TPC-H scalar subqueries, a
+    single query vector or learned merge). A new query acquiring a
+    BNLJ fails here until it is reviewed and listed."""
+    from lab04_spark_streaming_spark.registry import all_specs
+
+    scalar_bnlj = {
+        # corpus/graph totals (1-row aggregates)
+        "session_assoc_rules", "unigram_logprob", "textrank_keywords",
+        "graph_triangles", "hll_distinct", "hll_by_source",
+        "span_dedup_c4", "bigram_logprob", "dq_checks", "zorder_keys",
+        "bpe_second_merge", "bpe_encode_apply", "pca_power_top",
+        "tfidf_top_terms", "boilerplate_ngrams", "bm25_topk",
+        "source_kl_divergence", "copurchase_lift",
+        # TPC-H scalar-subquery thresholds
+        "scalar_subquery", "q11_important_volume", "q22_global_sales",
+        # single broadcast query vector / probe scalars
+        "knn_cosine_topk", "knn_fold_topk_ids", "ann_ivf_topk",
+        "ann_ivf_trained_topk", "ann_recall_at_k",
+        "multimodal_feature_knn",
+        # point-in-time probe grid bounds (1-row min/max)
+        "scd2_point_in_time",
+    }
+    offenders = []
+    for s in all_specs():
+        plan = plan_of(s.fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(f"{s.name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and s.name not in scalar_bnlj:
+            offenders.append(f"{s.name}: unreviewed BNLJ")
+    assert not offenders, offenders
