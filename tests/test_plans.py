@@ -870,3 +870,22 @@ def test_all_registered_queries_plan_hygiene(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and s.name not in scalar_bnlj:
             offenders.append(f"{s.name}: unreviewed BNLJ")
     assert not offenders, offenders
+
+
+def test_global_row_number_edge_cases(spark):
+    """Empty relation → empty output (offsets join of nothing);
+    fewer rows than requested partitions → still a correct dense
+    1..n ranking."""
+    from pyspark.sql import functions as F
+
+    from lab04_spark_streaming_spark.operators.ranks import global_row_number
+
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    assert global_row_number(empty, "k", num_partitions=8).count() == 0
+
+    tiny = spark.range(3).select(F.col("id").alias("k"))
+    got = {
+        r.k: r.rk
+        for r in global_row_number(tiny, "k", num_partitions=16).collect()
+    }
+    assert got == {0: 1, 1: 2, 2: 3}
