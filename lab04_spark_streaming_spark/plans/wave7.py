@@ -528,6 +528,124 @@ WHERE NOT EXISTS (
 """
 
 
+# --- cross-source duplication matrix ---------------------------------------
+# Same normalization as dedup_exact_normalized (plans/llm.py).
+_SPARK_NORM_H = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')))"
+_SQL_NORM_H = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+
+
+def q_cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplication matrix — which source PAIRS share
+    normalized content (mirror sites, syndication, scraper overlap):
+    for every unordered source pair, how many distinct digests appear
+    in both. The digest→source-set relation is digest-keyed (only
+    32-char digests + source strings shuffle, never text), each
+    digest fans out to its |sources(d)|²-bounded pairs (|sources| ≤ 20
+    here; capped by the source catalog at any scale, never by corpus
+    size). Exact integers, deterministic."""
+    ds = (
+        _docs(spark, sf_dir)
+        .select("source", F.expr(_SPARK_NORM_H).alias("digest"))
+        .distinct()
+    )
+    return (
+        ds.alias("a")
+        .join(ds.alias("b"), "digest")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_digests"))
+    )
+
+
+SQL_CROSS_SOURCE_DUPLICATION = f"""
+WITH ds AS (
+  SELECT DISTINCT source, {_SQL_NORM_H} AS digest FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_shared_digests
+FROM ds a JOIN ds b ON a.digest = b.digest AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+# --- vocabulary novelty between snapshots -----------------------------------
+def q_vocab_novelty_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between crawl snapshots — the question every
+    recurring ingest asks before retraining a tokenizer: of the
+    incoming snapshot's tokens, what fraction (by type and by volume)
+    was never seen in the base corpus? Snapshots split
+    deterministically by doc_id parity (the dedup_incremental
+    convention, so the oracle sees the same halves). The base
+    vocabulary is a token-keyed relation probed with a LEFT ANTI join
+    (vocab-bounded shuffle, no broadcast hint — AQE decides). Exact
+    integers + single divisions."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("w")
+    )
+    base_vocab = (
+        toks.filter(F.col("doc_id") % 2 == 0).select("w").distinct()
+    )
+    inc = toks.filter(F.col("doc_id") % 2 == 1).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    novel = inc.join(base_vocab, "w", "left_anti")
+    tot = inc.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").alias("n_tokens"),
+    )
+    nov = novel.agg(
+        F.count(F.lit(1)).alias("n_novel_types"),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_novel_tokens"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(nov))
+        .select(
+            "n_types",
+            "n_novel_types",
+            "n_tokens",
+            "n_novel_tokens",
+            (
+                F.col("n_novel_types").cast("double") / F.col("n_types")
+            ).alias("type_novelty"),
+            (
+                F.col("n_novel_tokens").cast("double") / F.col("n_tokens")
+            ).alias("token_novelty"),
+        )
+    )
+
+
+SQL_VOCAB_NOVELTY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+),
+base_vocab AS (
+  SELECT DISTINCT w FROM toks WHERE doc_id % 2 = 0
+),
+inc AS (
+  SELECT w, COUNT(*) AS c FROM toks WHERE doc_id % 2 = 1 GROUP BY 1
+),
+novel AS (
+  SELECT i.w, i.c FROM inc i LEFT JOIN base_vocab b ON i.w = b.w
+  WHERE b.w IS NULL
+),
+tot AS (
+  SELECT COUNT(*) AS n_types, CAST(SUM(c) AS BIGINT) AS n_tokens FROM inc
+),
+nov AS (
+  SELECT COUNT(*) AS n_novel_types,
+         CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_novel_tokens
+  FROM novel
+)
+SELECT t.n_types, n.n_novel_types, t.n_tokens, n.n_novel_tokens,
+       CAST(n.n_novel_types AS DOUBLE) / t.n_types AS type_novelty,
+       CAST(n.n_novel_tokens AS DOUBLE) / t.n_tokens AS token_novelty
+FROM tot t CROSS JOIN nov n
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -549,4 +667,14 @@ def specs():
             SQL_EMBEDDING_CENTROID_SHIFT,
         ),
         QuerySpec("skyline_pareto", q_skyline_pareto, SQL_SKYLINE_PARETO),
+        QuerySpec(
+            "cross_source_duplication",
+            q_cross_source_duplication,
+            SQL_CROSS_SOURCE_DUPLICATION,
+        ),
+        QuerySpec(
+            "vocab_novelty_snapshot",
+            q_vocab_novelty_snapshot,
+            SQL_VOCAB_NOVELTY,
+        ),
     ]

@@ -861,6 +861,8 @@ def test_all_registered_queries_plan_hygiene(spark, sf_dir):
         "multimodal_feature_knn",
         # point-in-time probe grid bounds (1-row min/max)
         "scd2_point_in_time",
+        # two 1-row aggregates cross-joined into the report row
+        "vocab_novelty_snapshot",
     }
     offenders = []
     for s in all_specs():
