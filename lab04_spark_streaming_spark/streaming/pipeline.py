@@ -278,6 +278,46 @@ def enrich_stream(
     return stream.join(F.broadcast(dim), list(on), how)
 
 
+def enrich_stream_temporal(
+    stream: DataFrame,
+    scd2_dim: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left_outer",
+) -> DataFrame:
+    """Stream-static TEMPORAL enrichment: attach the SCD-2 dimension
+    row valid AT each event's timestamp — the streaming twin of
+    plans/mining.q_scd2_point_in_time, resolved per arriving fact.
+    Join predicate is the equi key plus interval containment
+    ``valid_from <= ts AND (ts < valid_to OR valid_to IS NULL)``
+    (open current rows have NULL valid_to). Stateless: Spark plans the
+    equi part as the hash key with the containment as a residual
+    filter and re-reads the static side every micro-batch, so the
+    dimension may be the live compacted SCD-2 snapshot
+    (q_scd2_incremental's output) — late dimension updates are picked
+    up on the next trigger without any join state. Broadcast when the
+    dimension fits; at 100 TB of history, feed the PRUNED snapshot
+    (current + recent intervals), not the full history."""
+    cond = (F.col(f"d.{valid_from}") <= F.col(f"e.{ts_col}")) & (
+        (F.col(f"e.{ts_col}") < F.col(f"d.{valid_to}"))
+        | F.col(f"d.{valid_to}").isNull()
+    )
+    for k in key_cols:
+        cond = (F.col(f"e.{k}") == F.col(f"d.{k}")) & cond
+    dim_cols = [
+        c
+        for c in scd2_dim.columns
+        if c not in set(key_cols)
+    ]
+    return (
+        stream.alias("e")
+        .join(F.broadcast(scd2_dim).alias("d"), cond, how)
+        .select("e.*", *[F.col(f"d.{c}") for c in dim_cols])
+    )
+
+
 def ohlc_stream(
     stream: DataFrame,
     ts_col: str = "ts",

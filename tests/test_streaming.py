@@ -1398,3 +1398,82 @@ def test_sessionize_checkpoint_stop_resume_continues_state(spark, tmp_path):
         (1, 1): (1, at(3600), at(3600)),
         (1, 2): (2, at(7200), at(7207)),
     }
+
+
+def test_enrich_stream_temporal_matches_batch_point_in_time(spark, tmp_path):
+    """Temporal stream-static enrichment must resolve each event to the
+    SCD-2 dimension row whose [valid_from, valid_to) contains its
+    timestamp — identical to the same join run in batch — with NULL
+    attributes for events outside every interval (left_outer) and
+    open current rows (NULL valid_to) matching everything from their
+    valid_from on."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from lab04_spark_streaming_spark.streaming.pipeline import (
+        enrich_stream_temporal,
+    )
+
+    def at(s):
+        return T0 + dt.timedelta(seconds=s)
+
+    dim_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("valid_from", TimestampType()),
+            StructField("valid_to", TimestampType()),
+            StructField("tier", StringType()),
+        ]
+    )
+    dim = spark.createDataFrame(
+        [
+            (1, at(0), at(100), "bronze"),
+            (1, at(100), at(200), "silver"),
+            (1, at(200), None, "gold"),  # open current row
+            (2, at(50), at(150), "basic"),
+        ],
+        dim_schema,
+    )
+    ev_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+        ]
+    )
+    events = [
+        (1, at(10), 0),  # bronze
+        (1, at(100), 1),  # boundary: silver (valid_from inclusive)
+        (1, at(199), 2),  # silver
+        (1, at(500), 3),  # gold (open row)
+        (2, at(60), 4),  # basic
+        (2, at(10), 5),  # before every interval -> NULL
+        (3, at(10), 6),  # unknown key -> NULL
+    ]
+    path = str(tmp_path / "temporal_in")
+    spark.createDataFrame(events, ev_schema).coalesce(1).write.parquet(path)
+
+    stream = file_stream(spark, path, ev_schema)
+    out = enrich_stream_temporal(stream, dim, ["user_id"], "ts")
+    memory_sink_once(out, "temporal_out", "append")
+    got = {
+        r.event_id: r.tier for r in spark.table("temporal_out").collect()
+    }
+    assert got == {
+        0: "bronze",
+        1: "silver",
+        2: "silver",
+        3: "gold",
+        4: "basic",
+        5: None,
+        6: None,
+    }
+    # batch twin: identical semantics off-stream
+    batch = enrich_stream_temporal(
+        spark.createDataFrame(events, ev_schema), dim, ["user_id"], "ts"
+    )
+    assert {r.event_id: r.tier for r in batch.collect()} == got
