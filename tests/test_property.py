@@ -281,3 +281,40 @@ def test_r6_corpus_queries_random_parity(spark, tmp_path_factory, corpus):
                 raise AssertionError(f"{name}: {e}") from e
     finally:
         con.close()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=0, max_size=60
+    ),
+    nparts=st.integers(min_value=1, max_value=12),
+)
+def test_global_row_number_property(spark, keys, nparts):
+    """Distributed two-pass rank == enumerate(sorted) for arbitrary
+    (duplicate-heavy) key lists under a total order (key, uid), any
+    partition count — including ties straddling range-partition
+    boundaries."""
+    from pyspark.sql import functions as F
+
+    from lab04_spark_streaming_spark.operators.ranks import global_row_number
+
+    rows = [(k, i) for i, k in enumerate(keys)]
+    if not rows:
+        df = spark.range(0).select(
+            F.col("id").alias("k"), F.col("id").alias("uid")
+        )
+    else:
+        df = spark.createDataFrame(rows, "k long, uid long")
+    got = {
+        (r.k, r.uid): r.rk
+        for r in global_row_number(
+            df, "k", "uid", num_partitions=nparts
+        ).collect()
+    }
+    expected = {ku: i + 1 for i, ku in enumerate(sorted(rows))}
+    assert got == expected
