@@ -646,6 +646,97 @@ FROM tot t CROSS JOIN nov n
 """
 
 
+# --- incremental aggregate (rollup) maintenance -----------------------------
+_ROLLUP_CUTOFF = "2024-01-16 00:00:00"
+
+
+def q_stats_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for an hourly stats rollup — the
+    don't-recompute-the-world pattern every 100 TB pipeline needs for
+    its derived tables: the pre-cutoff BASE rollup and the post-cutoff
+    DELTA are aggregated separately to algebraic moments (count /
+    decimal sum / decimal sum-of-squares — order-independent, exactly
+    mergeable), full-outer merged on the group key by ADDING moments,
+    and only then finalized to avg/std. The oracle is the FULL
+    recompute over all events with the same exact-moment formulas
+    (functions/guards.exact_avg/std), so the hash match IS the
+    base+delta == recompute proof. At scale the base moments live in a
+    stored table and only the delta is scanned; here both halves come
+    from one fixture split at the cutoff."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+        "value",
+        "ts",
+    )
+
+    def moments(df: DataFrame) -> DataFrame:
+        return df.groupBy("hour", "event_type").agg(
+            F.count("value").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,4)")).alias("s"),
+            F.sum(
+                (F.col("value") * F.col("value")).cast("decimal(30,8)")
+            ).alias("sq"),
+        )
+
+    base = moments(ev.filter(F.col("ts") < _ROLLUP_CUTOFF)).select(
+        "hour",
+        "event_type",
+        F.col("n").alias("bn"),
+        F.col("s").alias("bs"),
+        F.col("sq").alias("bsq"),
+    )
+    delta = moments(ev.filter(F.col("ts") >= _ROLLUP_CUTOFF)).select(
+        "hour",
+        "event_type",
+        F.col("n").alias("dn"),
+        F.col("s").alias("ds"),
+        F.col("sq").alias("dsq"),
+    )
+    zero4 = F.lit(0).cast("decimal(30,4)")
+    zero8 = F.lit(0).cast("decimal(30,8)")
+    merged = base.join(delta, ["hour", "event_type"], "full_outer").select(
+        "hour",
+        "event_type",
+        (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+        (F.coalesce(F.col("bs"), zero4) + F.coalesce(F.col("ds"), zero4))
+        .cast("double")
+        .alias("_s"),
+        (F.coalesce(F.col("bsq"), zero8) + F.coalesce(F.col("dsq"), zero8))
+        .cast("double")
+        .alias("_sq"),
+    )
+    var = (F.col("_sq") - F.col("_s") * F.col("_s") / F.col("n")) / (
+        F.col("n") - F.lit(1)
+    )
+    return merged.select(
+        "hour",
+        "event_type",
+        "n",
+        F.when(F.col("n") == 0, F.lit(0.0))
+        .otherwise(F.col("_s") / F.col("n"))
+        .alias("avg_value"),
+        F.when(F.col("n") <= 1, F.lit(0.0))
+        .otherwise(F.sqrt(F.greatest(var, F.lit(0.0))))
+        .alias("std_value"),
+    )
+
+
+from lab04_spark_streaming_spark.functions.guards import (  # noqa: E402
+    sql_exact_avg,
+    sql_exact_std,
+)
+
+SQL_STATS_ROLLUP_INCREMENTAL = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(value) AS n,
+       {sql_exact_avg('value')} AS avg_value,
+       {sql_exact_std('value')} AS std_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -676,5 +767,10 @@ def specs():
             "vocab_novelty_snapshot",
             q_vocab_novelty_snapshot,
             SQL_VOCAB_NOVELTY,
+        ),
+        QuerySpec(
+            "stats_rollup_incremental",
+            q_stats_rollup_incremental,
+            SQL_STATS_ROLLUP_INCREMENTAL,
         ),
     ]

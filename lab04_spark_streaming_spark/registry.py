@@ -116,16 +116,17 @@ _STAMP_FIRST: list[str] = [
     # (5) One slot left → the oldest-stamped bench mover (r4 stamp,
     # +23% in BENCH_r06): confirm correctness while its perf is probed.
     "dedup_minhash_lsh_pairs",
-    # (window full at 50. r8 rotation plan: the 9 never-stamped round-7
+    # (window full at 50. r8 rotation plan: the 10 never-stamped round-7
     # wave queries (plans/wave7.py: source_kl_divergence,
     # user_event_entropy, length_theil_by_source, copurchase_lift,
     # bpe_encode_apply, embedding_centroid_shift, skyline_pareto,
-    # cross_source_duplication, vocab_novelty_snapshot) go first, then
+    # cross_source_duplication, vocab_novelty_snapshot,
+    # stats_rollup_incremental) go first, then
     # the remaining 35 r4-stamped queries — q15..q22, the
     # dedup/text/multimodal first wave, the sampling wave — rotate in;
-    # 44 of 50 slots, leaving 6 for any r7 reds or code-changed
+    # 45 of 50 slots, leaving 5 for any r7 reds or code-changed
     # re-stamps. After r8 nothing's driver evidence is older than two
-    # rounds. All 182 stay covered every round by the local harness,
+    # rounds. All 183 stay covered every round by the local harness,
     # tests/test_oracle_parity.py.)
 ]
 
