@@ -1477,3 +1477,67 @@ def test_enrich_stream_temporal_matches_batch_point_in_time(spark, tmp_path):
         spark.createDataFrame(events, ev_schema), dim, ["user_id"], "ts"
     )
     assert {r.event_id: r.tier for r in batch.collect()} == got
+
+
+def test_sessionize_rocksdb_checkpoint_stop_resume(spark, tmp_path):
+    """Stop/resume recovery on the RocksDB state store with changelog
+    checkpointing — the 100 TB configuration (r6 wired it; this is the
+    first cross-restart exercise): the second run must reload state
+    from the checkpoint's RocksDB snapshot+changelog and continue the
+    ordinal numbering exactly like the heap-backed store does."""
+    from lab04_spark_streaming_spark.session import rocksdb_state_conf
+    from lab04_spark_streaming_spark.streaming.state import sessionize_stream
+
+    gap_s = 60
+    in_path = str(tmp_path / "rsess_in")
+    out_path = str(tmp_path / "rsess_out")
+    cp = str(tmp_path / "rsess_cp")
+
+    def at(s):
+        return T0 + dt.timedelta(seconds=s)
+
+    conf = rocksdb_state_conf()
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+
+    def run_once(rows):
+        spark.createDataFrame(rows, EVENTLIKE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_path)
+        q = (
+            sessionize_stream(
+                file_stream(spark, in_path, EVENTLIKE_SCHEMA),
+                "ts",
+                "user_id",
+                gap_s=gap_s,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        run_once(
+            [(1, at(0), 0), (1, at(7), 1), (1, at(14), 2), (1, at(3600), 3)]
+        )
+        run_once([(1, at(7200), 4), (1, at(7207), 5), (1, at(14400), 6)])
+        got = {
+            (r.user_id, r.session_id): (r.n_events, r.session_start)
+            for r in spark.read.parquet(out_path).collect()
+        }
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert got == {
+        (1, 0): (3, at(0)),
+        (1, 1): (1, at(3600)),
+        (1, 2): (2, at(7200)),
+    }
