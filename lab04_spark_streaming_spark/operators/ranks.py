@@ -40,6 +40,12 @@ def global_row_number(
     ``F.col("df"), F.col("sh")``) and must induce a deterministic total
     order over the rows.
     """
+    clash = {"_pid", "_lrk", "_off", rank_col} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"global_row_number: input already has column(s) "
+            f"{sorted(clash)} — rename them or pick another rank_col"
+        )
     cols = [F.col(c) if isinstance(c, str) else c for c in order]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # The ranged relation is consumed twice (local ranks + offsets) and

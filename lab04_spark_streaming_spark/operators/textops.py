@@ -29,6 +29,31 @@ def sql_tokens(col: str = "text") -> str:
     )
 
 
+# --- canonical text normalization ------------------------------------------
+# ONE definition of "the same document modulo case/whitespace/punct
+# re-encodes" shared by every normalized-dedup consumer (llm
+# dedup_exact_normalized, corpus dedup_incremental, mining SNM keys,
+# wave7 cross-source matrix). The only cross-engine asymmetry is
+# DuckDB's required 'g' flag (Spark regexp_replace is global by
+# default) — keeping both strings side by side HERE is what stops a
+# future hardening of one copy from silently changing what counts as a
+# duplicate for the others.
+def expr_norm_text(col: str = "text") -> str:
+    return f"trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' '))"
+
+
+def sql_norm_text(col: str = "text") -> str:
+    return f"trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def expr_norm_digest(col: str = "text") -> str:
+    return f"md5({expr_norm_text(col)})"
+
+
+def sql_norm_digest(col: str = "text") -> str:
+    return f"md5({sql_norm_text(col)})"
+
+
 # Spark-SQL text of the same expression (for use inside F.expr lambdas).
 def expr_tokens(col: str = "text") -> str:
     return f"array_remove(split(lower({col}), '[^a-z0-9]+'), '')"

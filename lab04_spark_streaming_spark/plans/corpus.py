@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 
 from lab04_spark_streaming_spark.operators.textops import (
     expr_hash_int,
+    expr_norm_digest,
     expr_tokens,
+    sql_norm_digest,
     sql_tokens,
 )
 from lab04_spark_streaming_spark.sources.files import load_table
@@ -29,10 +31,10 @@ from lab04_spark_streaming_spark.sources.files import load_table
 _SPARK_TOKS = expr_tokens("text")
 _TOKS = sql_tokens("text")
 
-# Same normalization as dedup_exact_normalized (plans/llm.py): the
-# digest that identifies a document across whitespace/case re-encodes.
-_SPARK_NORM_H = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')))"
-_SQL_NORM_H = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+# The canonical normalized digest (operators/textops) — same identity
+# as dedup_exact_normalized (plans/llm.py).
+_SPARK_NORM_H = expr_norm_digest("text")
+_SQL_NORM_H = sql_norm_digest("text")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,9 +16,11 @@ from lab04_spark_streaming_spark.operators import dedup as dd
 from lab04_spark_streaming_spark.operators import multimodal as mm
 from lab04_spark_streaming_spark.operators import similarity as sim
 from lab04_spark_streaming_spark.operators.textops import (
+    expr_norm_digest,
     expr_shingles,
     expr_tokens,
     sql_hash_int,
+    sql_norm_digest,
     sql_shingles,
     sql_tokens,
 )
@@ -1038,10 +1040,9 @@ def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard first normalization step of a curation pipeline). Same
     plan shape as dedup_exact: per-row projection into one md5-keyed
     shuffle; only the 32-char digest moves, never the text."""
-    norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
     return (
         _docs(spark, sf_dir)
-        .groupBy(F.expr(f"md5({norm})").alias("_h"))
+        .groupBy(F.expr(expr_norm_digest("text")).alias("_h"))
         .agg(
             F.min("doc_id").alias("doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
@@ -1050,10 +1051,10 @@ def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_EXACT_NORMALIZED = """
+SQL_DEDUP_EXACT_NORMALIZED = f"""
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
 FROM documents
-GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+GROUP BY {sql_norm_digest('text')}
 """
 
 

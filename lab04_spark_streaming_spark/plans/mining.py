@@ -38,9 +38,11 @@ from lab04_spark_streaming_spark.functions.guards import (
 from lab04_spark_streaming_spark.operators import dedup as dd
 from lab04_spark_streaming_spark.operators.textops import (
     expr_hash_int,
+    expr_norm_text,
     expr_shingles,
     expr_tokens,
     sql_hash_int,
+    sql_norm_text,
     sql_shingles,
     sql_tokens,
 )
@@ -1567,9 +1569,7 @@ _FUZZY_NUM, _FUZZY_DEN = 2, 10  # match when dist <= 0.2 * max prefix len
 
 
 def q_snm_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    norm = "substring(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), 1, {n})".format(
-        n=_FUZZY_PREFIX
-    )
+    norm = f"substring({expr_norm_text('text')}, 1, {_FUZZY_PREFIX})"
     docs = (
         _docs(spark, sf_dir)
         .select("doc_id", F.expr(norm).alias("k"))
@@ -1596,10 +1596,7 @@ def q_snm_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_snm_fuzzy() -> str:
-    norm = (
-        "substring(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), "
-        f"1, {_FUZZY_PREFIX})"
-    )
+    norm = f"substring({sql_norm_text('text')}, 1, {_FUZZY_PREFIX})"
     return f"""
 WITH cand AS ({SQL_SNM_CANDIDATES.strip()}),
 d AS (

@@ -59,9 +59,16 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs(spark, sf_dir).select(
         "source", F.explode(F.expr(_SPARK_TOKS)).alias("w")
     )
-    sw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cs"))
+    # ns / cw / n are all derivable from sw — one tokenize+explode pass,
+    # pinned with a lazy checkpoint so the three consumers don't replay
+    # it (the jaccard_prefix_join lesson, mining.py).
+    sw = (
+        toks.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cs"))
+        .localCheckpoint(eager=False)
+    )
     ns = sw.groupBy("source").agg(F.sum("cs").alias("ns"))
-    cw = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    cw = sw.groupBy("w").agg(F.sum("cs").alias("c"))
     n = cw.agg(F.sum("c").alias("n"))
     ps = F.col("cs").cast("double") / F.col("ns")
     pc = F.col("c").cast("double") / F.col("n")
@@ -151,22 +158,25 @@ def q_length_theil_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x_i/μ)·ln(x_i/μ). Unlike Gini it needs NO within-group rank —
     it is a plain per-row term + group aggregate, so it parallelizes
     with zero windows (the reason it beats Gini at 100 TB). μ is the
-    exact rational sum/n; each term is one IEEE expression;
-    stable_round(4)."""
+    exact rational sum/n; each term is one IEEE expression; an empty
+    document contributes the limit term 0 explicitly — x·ln(x) → 0 —
+    because DuckDB's ln(0) is a hard error while Spark's returns NULL
+    (silently dropping the row); stable_round(4)."""
     d = _docs(spark, sf_dir).select("source", "n_chars")
     tot = d.groupBy("source").agg(
         F.sum("n_chars").alias("s"), F.count(F.lit(1)).alias("n")
     )
     ratio = (F.col("n_chars").cast("double") * F.col("n")) / F.col("s")
+    term = F.when(F.col("n_chars") == 0, F.lit(0.0)).otherwise(
+        ratio * F.log(ratio)
+    )
     return (
         d.join(tot, "source")
         .groupBy("source")
         .agg(
             F.max("n").alias("n_docs"),
             F.max("s").alias("total_chars"),
-            stable_round(
-                F.sum(ratio * F.log(ratio)) / F.max("n"), 4
-            ).alias("theil_t"),
+            stable_round(F.sum(term) / F.max("n"), 4).alias("theil_t"),
         )
     )
 
@@ -178,8 +188,9 @@ WITH tot AS (
 )
 SELECT d.source, MAX(t.n) AS n_docs, MAX(t.s) AS total_chars,
        {sql_stable_round(
-           "SUM(((CAST(n_chars AS DOUBLE) * n) / s)"
-           " * ln((CAST(n_chars AS DOUBLE) * n) / s)) / MAX(n)", 4
+           "SUM(CASE WHEN n_chars = 0 THEN 0.0"
+           " ELSE ((CAST(n_chars AS DOUBLE) * n) / s)"
+           " * ln((CAST(n_chars AS DOUBLE) * n) / s) END) / MAX(n)", 4
        )} AS theil_t
 FROM documents d JOIN tot t ON d.source = t.source
 GROUP BY 1
@@ -282,12 +293,14 @@ def q_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     lengths live on the vocab-bounded word relation; documents join
     to it by word (one explode + one vocab join + one doc aggregate).
     Pure integers + one division — hash-exact."""
-    wc = (
+    # ONE tokenize+explode pass feeds both the trainer (word counts)
+    # and the per-doc encode join — pinned with a lazy checkpoint.
+    toks = (
         _docs(spark, sf_dir)
-        .select(F.explode(F.expr(_SPARK_TOKS)).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("w"))
+        .localCheckpoint(eager=False)
     )
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
 
     def top_pair(words, col):  # marker-space top pair of column `col`
         return (
@@ -317,9 +330,7 @@ def q_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w", F.expr("replace(w2, m2, chr(2))").alias("w3")
     )
     per_doc = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("w"))
-        .join(enc2, "w")
+        toks.join(enc2, "w")
         .groupBy("doc_id")
         .agg(
             F.sum(F.length("w")).alias("n_units_char"),
@@ -529,9 +540,15 @@ WHERE NOT EXISTS (
 
 
 # --- cross-source duplication matrix ---------------------------------------
-# Same normalization as dedup_exact_normalized (plans/llm.py).
-_SPARK_NORM_H = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')))"
-_SQL_NORM_H = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+# The canonical normalized digest (operators/textops) — same identity
+# as dedup_exact_normalized (plans/llm.py).
+from lab04_spark_streaming_spark.operators.textops import (  # noqa: E402
+    expr_norm_digest,
+    sql_norm_digest,
+)
+
+_SPARK_NORM_H = expr_norm_digest("text")
+_SQL_NORM_H = sql_norm_digest("text")
 
 
 def q_cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,8 +599,11 @@ def q_vocab_novelty_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary is a token-keyed relation probed with a LEFT ANTI join
     (vocab-bounded shuffle, no broadcast hint — AQE decides). Exact
     integers + single divisions."""
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("w")
+    # ONE tokenize pass for both snapshot halves (lazy checkpoint).
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("w"))
+        .localCheckpoint(eager=False)
     )
     base_vocab = (
         toks.filter(F.col("doc_id") % 2 == 0).select("w").distinct()

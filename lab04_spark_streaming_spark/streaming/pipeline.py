@@ -286,6 +286,7 @@ def enrich_stream_temporal(
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
     how: str = "left_outer",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Stream-static TEMPORAL enrichment: attach the SCD-2 dimension
     row valid AT each event's timestamp — the streaming twin of
@@ -297,9 +298,12 @@ def enrich_stream_temporal(
     filter and re-reads the static side every micro-batch, so the
     dimension may be the live compacted SCD-2 snapshot
     (q_scd2_incremental's output) — late dimension updates are picked
-    up on the next trigger without any join state. Broadcast when the
-    dimension fits; at 100 TB of history, feed the PRUNED snapshot
-    (current + recent intervals), not the full history."""
+    up on the next trigger without any join state. ``broadcast=True``
+    (default) hints the dimension broadcast — right when the (pruned)
+    snapshot fits; pass ``broadcast=False`` for a multi-GB snapshot so
+    the planner picks a shuffle join instead of OOMing the driver. At
+    100 TB of history, feed the PRUNED snapshot (current + recent
+    intervals), not the full history."""
     cond = (F.col(f"d.{valid_from}") <= F.col(f"e.{ts_col}")) & (
         (F.col(f"e.{ts_col}") < F.col(f"d.{valid_to}"))
         | F.col(f"d.{valid_to}").isNull()
@@ -311,9 +315,10 @@ def enrich_stream_temporal(
         for c in scd2_dim.columns
         if c not in set(key_cols)
     ]
+    dim_side = F.broadcast(scd2_dim) if broadcast else scd2_dim
     return (
         stream.alias("e")
-        .join(F.broadcast(scd2_dim).alias("d"), cond, how)
+        .join(dim_side.alias("d"), cond, how)
         .select("e.*", *[F.col(f"d.{c}") for c in dim_cols])
     )
 

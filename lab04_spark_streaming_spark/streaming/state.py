@@ -663,12 +663,21 @@ def scd2_stream(
     consecutive runs of the same attribute collapse to
     [valid_from, valid_to) and an interval is emitted exactly when the
     event-time watermark STRICTLY passes its exclusive upper bound (the
-    next run's first event time). Finality argument: Spark's late-row
-    filter drops only ts < wm, i.e. an admissible event has ts >= wm,
-    so an interval is final only once valid_to < wm (then admissible ts
-    >= wm > valid_to) — with <=, an event at ts == wm == valid_to could
-    still extend or split an already-emitted run. Under the strict
-    bound, batch and stream agree bit-for-bit on every emitted row. The OPEN current
+    next run's first event time). Finality argument, from the MEASURED
+    Spark 4 semantics (pinned by tests/test_streaming.py::
+    test_scd2_stream_watermark_boundary_semantics): the late filter
+    drops an input row iff ts <= filter_wm, where filter_wm LAGS the
+    processor-visible getCurrentWatermarkMs() by one micro-batch. For
+    any LATER batch, filter_wm has caught up to the wm visible now, so
+    a future admissible event has ts > wm_now and cannot touch an
+    interval with valid_to <= wm_now; within the CURRENT batch, a
+    boundary event that slipped through the lagged filter is merged
+    into state before this emission logic runs. The strict valid_to <
+    wm bound is therefore conservative — kept because it is cost-free
+    (one watermark advance of latency on boundary intervals) and stays
+    correct even if Spark moves the predicate to the documented
+    ts < wm form. Batch and stream agree bit-for-bit on every emitted
+    row. The OPEN current
     run is intentionally never emitted (it is not final); the batch
     twin's ``is_current`` row is what you materialize on demand.
 
@@ -714,8 +723,10 @@ def scd2_stream(
         n_emitted_events = 0
         for i in range(len(runs) - 1):
             valid_to = runs[i + 1][1]
-            # STRICT: admissible late events have ts >= wm (Spark drops
-            # only ts < wm), so valid_to == wm is not yet final.
+            # STRICT: the late filter's watermark lags the wm visible
+            # here by one batch (measured; see docstring), so a
+            # boundary event can still be admitted — valid_to == wm is
+            # not treated as final.
             if valid_to < wm_us:
                 out.append((runs[i][0], runs[i][1], valid_to, runs[i][2]))
                 n_emitted_events += runs[i][2]

@@ -16,7 +16,7 @@ import os
 import duckdb
 import pytest
 
-from lab04_spark_streaming_spark.plans import llm
+from lab04_spark_streaming_spark.plans import llm, wave7
 from tests.oracle_harness import compare_query
 
 # 0, 1, 2 tokens (below shingle width 3), exactly 3, and a few normal.
@@ -66,6 +66,9 @@ def short_duck(short_dir):
         (llm.q_doc_chunks, llm.SQL_DOC_CHUNKS),
         (llm.q_text_metrics, llm.SQL_TEXT_METRICS),
         (llm.q_dedup_exact, llm.SQL_DEDUP_EXACT),
+        # r7 code-review regression: DuckDB ln(0) is a hard error while
+        # Spark F.log(0.0) is NULL — the Theil term must guard x = 0.
+        (wave7.q_length_theil_by_source, wave7.SQL_LENGTH_THEIL),
     ],
     ids=[
         "minhash_signatures",
@@ -75,6 +78,7 @@ def short_duck(short_dir):
         "doc_chunks",
         "text_metrics",
         "dedup_exact",
+        "length_theil_empty_doc",
     ],
 )
 def test_short_doc_oracle_parity(spark, short_duck, short_dir, fn, sql):
