@@ -211,10 +211,14 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (part-bounded relation, no broadcast hint — AQE decides); the
     global top-k is orderBy+limit (TakeOrderedAndProject), rank only
     over the 20 survivors."""
+    # The basket relation feeds FOUR consumers (n_orders, marginals,
+    # both self-join sides) — pin one scan+distinct with a lazy
+    # checkpoint instead of replaying it per consumer.
     basket = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_orders = basket.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
