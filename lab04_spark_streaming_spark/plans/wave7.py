@@ -325,11 +325,16 @@ def q_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("pair")
         )
 
-    m1 = top_pair(wc, "w").select(F.col("pair").alias("m1"))
+    # .agg(min) turns the 0-or-1-row top pair into EXACTLY one row
+    # (NULL when the corpus has no 2-char word at all): a crossJoin
+    # with an empty relation would silently drop every document, while
+    # the DuckDB scalar subquery yields NULL — with the 1-row NULL
+    # both engines agree (replace/length propagate NULL identically).
+    m1 = top_pair(wc, "w").agg(F.min("pair").alias("m1"))
     enc1 = wc.crossJoin(F.broadcast(m1)).select(
         "w", "cnt", "m1", F.expr("replace(w, m1, chr(1))").alias("w2")
     )
-    m2 = top_pair(enc1, "w2").select(F.col("pair").alias("m2"))
+    m2 = top_pair(enc1, "w2").agg(F.min("pair").alias("m2"))
     enc2 = enc1.crossJoin(F.broadcast(m2)).select(
         "w", F.expr("replace(w2, m2, chr(2))").alias("w3")
     )
@@ -631,9 +636,15 @@ def q_vocab_novelty_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_novel_types",
             "n_tokens",
             "n_novel_tokens",
-            (
+            # guard the empty incoming snapshot (n_types = 0): ANSI
+            # Spark hard-errors on /0 where DuckDB nulls — emit NULL
+            # explicitly in both engines. (n_tokens is NULL, not 0,
+            # when empty, so its division nulls on its own.)
+            F.when(F.col("n_types") == 0, F.lit(None).cast("double"))
+            .otherwise(
                 F.col("n_novel_types").cast("double") / F.col("n_types")
-            ).alias("type_novelty"),
+            )
+            .alias("type_novelty"),
             (
                 F.col("n_novel_tokens").cast("double") / F.col("n_tokens")
             ).alias("token_novelty"),
@@ -664,7 +675,9 @@ nov AS (
   FROM novel
 )
 SELECT t.n_types, n.n_novel_types, t.n_tokens, n.n_novel_tokens,
-       CAST(n.n_novel_types AS DOUBLE) / t.n_types AS type_novelty,
+       CASE WHEN t.n_types = 0 THEN NULL
+            ELSE CAST(n.n_novel_types AS DOUBLE) / t.n_types END
+         AS type_novelty,
        CAST(n.n_novel_tokens AS DOUBLE) / t.n_tokens AS token_novelty
 FROM tot t CROSS JOIN nov n
 """

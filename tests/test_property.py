@@ -17,7 +17,7 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from lab04_spark_streaming_spark.plans import llm
+from lab04_spark_streaming_spark.plans import llm, wave7
 from tests.oracle_harness import compare_query
 
 # Mix of scripts, digits, punctuation, whitespace — and '' docs.
@@ -36,6 +36,14 @@ _PROP_QUERIES = [
     (llm.q_jaccard_pairs, llm.SQL_JACCARD_PAIRS),
     (llm.q_token_count_bpe, llm.SQL_TOKEN_COUNT_BPE),
     (llm.q_pii_scrub, llm.SQL_PII_SCRUB),
+    # r7 wave: the log-bearing and snapshot-split queries have the
+    # richest edge-case surface (empty docs -> ln(0); corpora with no
+    # 2-char word -> NULL BPE merge; single-doc snapshots).
+    (wave7.q_length_theil_by_source, wave7.SQL_LENGTH_THEIL),
+    (wave7.q_source_kl_divergence, wave7.SQL_SOURCE_KL),
+    (wave7.q_bpe_encode_apply, wave7.SQL_BPE_ENCODE_APPLY),
+    (wave7.q_vocab_novelty_snapshot, wave7.SQL_VOCAB_NOVELTY),
+    (wave7.q_cross_source_duplication, wave7.SQL_CROSS_SOURCE_DUPLICATION),
 ]
 
 
