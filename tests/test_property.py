@@ -188,6 +188,12 @@ def test_random_events_timeseries_cross_engine_parity(
             (tsp.q_gap_fill_locf, tsp.SQL_GAP_FILL_LOCF),
             (tsp.q_gap_fill_interp, tsp.SQL_GAP_FILL_INTERP),
             (tsp.q_mad_outliers, tsp.SQL_MAD_OUTLIERS),
+            # r7: entropy (log-bearing) and the moments-merge IVM
+            (wave7.q_user_event_entropy, wave7.SQL_USER_EVENT_ENTROPY),
+            (
+                wave7.q_stats_rollup_incremental,
+                wave7.SQL_STATS_ROLLUP_INCREMENTAL,
+            ),
         ]:
             compare_query(spark, con, fn, sql, d)
     finally:
