@@ -332,3 +332,58 @@ def test_global_row_number_property(spark, keys, nparts):
     }
     expected = {ku: i + 1 for i, ku in enumerate(sorted(rows))}
     assert got == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    # cents-quantized prices in a narrow band and a small size domain:
+    # equal-price and equal-size ties are the interesting dominance
+    # cases, so force collisions.
+    parts=st.lists(
+        st.tuples(
+            st.integers(min_value=90000, max_value=90400),  # price cents
+            st.integers(min_value=1, max_value=6),  # size
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_skyline_pareto_matches_bruteforce(spark, tmp_path_factory, parts):
+    """Chunk-scanned skyline == O(n²) dominance scan, including
+    equal-price/equal-size tie handling (a part is dominated iff a
+    strictly cheaper part has >= size, or an equal-priced part has
+    strictly greater size; exact duplicates all survive)."""
+    import os as _os
+
+    from lab04_spark_streaming_spark.plans import wave7
+
+    d = str(tmp_path_factory.mktemp("propparts"))
+    rows = [
+        (i, f"part{i}", "B", "T", sz, cents / 100.0)
+        for i, (cents, sz) in enumerate(parts)
+    ]
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(d, "part.parquet")
+    )
+    got = {
+        r.p_partkey for r in wave7.q_skyline_pareto(spark, d).collect()
+    }
+    vals = {i: (c / 100.0, s) for i, (c, s) in enumerate(parts)}
+    expected = {
+        i
+        for i, (p, s) in vals.items()
+        if not any(
+            (p2 < p and s2 >= s) or (p2 == p and s2 > s)
+            for j, (p2, s2) in vals.items()
+            if j != i
+        )
+    }
+    assert got == expected
