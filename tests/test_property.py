@@ -251,6 +251,8 @@ def test_random_embeddings_ann_cross_engine_parity(
             "knn_fold_topk_ids",
             "knn_cosine_topk",
             "ann_ivf_trained_topk",
+            # r7: per-label centroid drift on the same grid
+            "embedding_centroid_shift",
         ]:
             s = by_name[name]
             compare_query(spark, con, s.fn, s.sql, d)
