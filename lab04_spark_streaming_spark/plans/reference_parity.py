@@ -174,11 +174,28 @@ def q_zscore_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ticks = ev.withColumn(
         "ts", (F.floor(F.unix_timestamp("ts") / 10) * 10).cast("timestamp")
     )
-    # Naive expansion stats on purpose: the prefix-sum path's per-key
-    # window buffers (full-range probe axis) exceed a default-heap
-    # driver session; the expansion plan streams/spills fine.
-    stats = moving_stats_flat(ev, "ts", ["event_type"], "value")
-    out = zscore_exact_grid(ticks, stats, "ts", ["event_type"], "value")
+    # Exact-grid join == as-of with ZERO staleness over slot-quantized
+    # ticks: the only candidate slot is the tick's own, and the join
+    # key (cand_end == stats window END) is identical — so serve it
+    # from the prefix-sum as-of path (driver-proven on default heap by
+    # q_zscore_asof over the same full-month 6-window load) instead of
+    # the naive 669x window expansion, which made this the slowest
+    # query in the repo at sf0.1 (~80 s -> ~4 s) and whose fast-stats
+    # sibling (moving_stats_flat_fast) OOMs a 1 GiB session on the
+    # full month. Equality with the naive grid join is asserted in
+    # tests/test_fast_path.py.
+    from lab04_spark_streaming_spark.operators.moving_stats_fast import (
+        zscore_asof_fast,
+    )
+
+    out = zscore_asof_fast(
+        ticks,
+        "ts",
+        ["event_type"],
+        "value",
+        max_stale_slots=0,
+        id_col="event_id",
+    )
     return out.select("timestamp", "event_type", "window", "zscore_value")
 
 

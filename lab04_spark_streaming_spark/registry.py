@@ -113,9 +113,14 @@ _STAMP_FIRST: list[str] = [
     "hll_dau_hourly",
     "scd2_incremental",
     "pca_power_top",
-    # (5) One slot left → the oldest-stamped bench mover (r4 stamp,
-    # +23% in BENCH_r06): confirm correctness while its perf is probed.
-    "dedup_minhash_lsh_pairs",
+    # (5) One slot left → zscore_grid_join: its serving plan changed in
+    # r7 (naive 669x expansion stats → the as-of prefix-sum path with
+    # max_stale_slots=0; ~80 s → ~4 s at sf0.1, bit-equality asserted
+    # in tests/test_fast_path.py), so its r5 stamp is stale. (The r6
+    # bench movers all reverted in the r7 double-run, so the
+    # dedup_minhash_lsh_pairs re-stamp this slot previously held is no
+    # longer needed; its r4 stamp stands on unchanged code.)
+    "zscore_grid_join",
     # (window full at 50. r8 rotation plan: the 10 never-stamped round-7
     # wave queries (plans/wave7.py: source_kl_divergence,
     # user_event_entropy, length_theil_by_source, copurchase_lift,

@@ -133,3 +133,39 @@ def test_asof_join_carry_crosses_empty_chunks(spark):
     }
     assert tol[1] == (t0 - dt.timedelta(seconds=5), 9.0)
     assert tol[2] == (None, None)
+
+
+def test_zscore_grid_via_asof_stale0_equals_naive_grid(spark, sf_dir):
+    """The r7 rewiring of q_zscore_grid: exact-grid join == as-of with
+    max_stale_slots=0 over slot-quantized ticks. Assert the served
+    plan is bit-equal to the naive expansion-stats + exact-grid join
+    it replaced (which OOM'd nothing but ran ~80 s at sf0.1)."""
+    from pyspark.sql import functions as F
+
+    from lab04_spark_streaming_spark.operators.moving_stats import (
+        moving_stats_flat,
+    )
+    from lab04_spark_streaming_spark.operators.zscore import (
+        zscore_exact_grid,
+    )
+    from lab04_spark_streaming_spark.plans.reference_parity import (
+        q_zscore_grid,
+    )
+    from lab04_spark_streaming_spark.sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    ticks = ev.withColumn(
+        "ts", (F.floor(F.unix_timestamp("ts") / 10) * 10).cast("timestamp")
+    )
+    stats = moving_stats_flat(ev, "ts", ["event_type"], "value")
+    naive = zscore_exact_grid(
+        ticks, stats, "ts", ["event_type"], "value"
+    ).select("timestamp", "event_type", "window", "zscore_value")
+
+    from collections import Counter
+
+    a = Counter(tuple(r) for r in q_zscore_grid(spark, sf_dir).collect())
+    b = Counter(tuple(r) for r in naive.collect())
+    assert a == b and sum(a.values()) > 0
