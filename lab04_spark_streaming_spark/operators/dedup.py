@@ -203,7 +203,18 @@ def simhash_pairs(
     nonempty = df.filter(
         F.expr(f"size(array_distinct({expr_tokens(text_col)})) > 0")
     )
-    sh = simhash(nonempty, text_col, id_col)
+    # The banded relation feeds BOTH self-join sides; the expensive part
+    # (tokenize + 32-bit aggregate per doc) must run once, in parallel —
+    # restore split parallelism off a single-row-group scan, then pin
+    # the tiny (id, simhash, band, band_val) relation (the
+    # jaccard_prefix_join lesson; was ~27 s of replays at sf0.1).
+    sh = simhash(
+        nonempty.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, id_col
+        ),
+        text_col,
+        id_col,
+    )
     bands = sh.select(
         F.col(id_col),
         F.col("simhash"),
@@ -212,7 +223,7 @@ def simhash_pairs(
             "named_struct('band', b, "
             "'band_val', cast(shiftright(simhash, b * 8) % 256 as int))))"
         ),
-    )
+    ).localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(

@@ -1067,8 +1067,14 @@ def q_decontamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame
     docs, which symmetric Jaccard dilutes away. Same inverted-index +
     stop-shingle-cap shape as jaccard_pairs; the division is one exact
     int ratio — bit-identical cross-engine."""
+    # The shingle relation feeds FIVE consumers (df cap, sizes, both
+    # join sides via the capped relation) — restore split parallelism
+    # off the single-row-group fixture scan and pin ONE
+    # tokenize→shingle pass (the jaccard_prefix_join lesson,
+    # plans/mining.py: measured 6x single-threaded replays before).
     sh0 = (
         _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(
             "doc_id",
             "source",
@@ -1076,6 +1082,7 @@ def q_decontamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.array_distinct(F.expr(expr_shingles(_SPARK_TOKS, 5)))
             ).alias("shingle"),
         )
+        .localCheckpoint(eager=False)
     )
     keep = (
         sh0.groupBy("shingle")
@@ -1083,7 +1090,9 @@ def q_decontamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("_df") <= 1000)
         .select("shingle")
     )
-    sh = sh0.join(keep, "shingle", "left_semi")
+    sh = sh0.join(keep, "shingle", "left_semi").localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

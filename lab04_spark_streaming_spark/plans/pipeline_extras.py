@@ -640,12 +640,21 @@ def q_substring_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation instead of a hot self-join."""
     n = 5
     docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id",
-        F.expr(f"size({_SPARK_TOKS})").alias("n_tokens"),
-        F.posexplode_outer(
-            F.expr(expr_shingles(_SPARK_TOKS, n))
-        ).alias("pos", "shingle"),
+    # sh feeds THREE consumers (shared-set agg, the semi-join probe,
+    # per-doc sizes) — restore split parallelism off the
+    # single-row-group fixture scan and pin ONE tokenize→shingle pass
+    # (the jaccard_prefix_join lesson; was ~40 s of single-threaded
+    # replays at sf0.1).
+    sh = (
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(f"size({_SPARK_TOKS})").alias("n_tokens"),
+            F.posexplode_outer(
+                F.expr(expr_shingles(_SPARK_TOKS, n))
+            ).alias("pos", "shingle"),
+        )
+        .localCheckpoint(eager=False)
     )
     shared = (
         sh.groupBy("shingle")
