@@ -457,11 +457,19 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage. Ties are broken on the shingle string so the top-k is fully
     deterministic cross-engine."""
     docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.expr(expr_shingles(_SPARK_TOKS, 5)))
-        ).alias("shingle"),
+    # Split restoration only (the jaccard_prefix_join rationale): the
+    # fixture corpus is one parquet row-group, so the heavy
+    # tokenize→shingle pass would otherwise run on a single thread
+    # (~19 s at sf0.1); a production corpus arrives pre-split and this
+    # exchange disappears from the critical path.
+    sh = (
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.expr(expr_shingles(_SPARK_TOKS, 5)))
+            ).alias("shingle"),
+        )
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     # Top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
