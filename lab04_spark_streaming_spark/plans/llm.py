@@ -129,7 +129,13 @@ JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
 
 # --- SimHash ---------------------------------------------------------------
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.simhash(_docs(spark, sf_dir))
+    # split restoration only (single-row-group fixture; pre-split in
+    # production) — the per-doc 32-bit fold is the whole cost.
+    return dd.simhash(
+        _docs(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+    )
 
 
 def _sql_simhash() -> str:
