@@ -339,7 +339,20 @@ def srp_banded_pairs(
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing ≥1 band bucket. One
     shuffle on (band, band_key) — never all-pairs."""
-    b = srp_banded_buckets(emb, planes_per_band, bands, dim, id_col, vec_col)
+    # The banded relation feeds BOTH self-join sides; the 24-band ×
+    # 3-plane × dim dot products must run once, in parallel — restore
+    # split parallelism off a single-row-group scan, then pin the tiny
+    # (id, band, band_key) relation (the jaccard_prefix_join lesson).
+    b = srp_banded_buckets(
+        emb.repartition(
+            emb.sparkSession.sparkContext.defaultParallelism, id_col
+        ),
+        planes_per_band,
+        bands,
+        dim,
+        id_col,
+        vec_col,
+    ).localCheckpoint(eager=False)
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(
