@@ -377,7 +377,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clusters over the verified Jaccard pairs (threshold 0.4): only
     docs that participate in ≥1 pair are clustered (singletons are
     trivially their own cluster — excluded to keep the result focused)."""
-    pairs = dd.jaccard_pairs(_docs(spark, sf_dir)).select("id_a", "id_b")
+    # The verified-pair pipeline feeds FOUR references (two in the edge
+    # symmetrization, two in the id union) before dedup_clusters' own
+    # edge checkpoint — pin it once (the jaccard_prefix_join lesson;
+    # also serves every composer: cluster_sizes / keep_best / golden).
+    pairs = (
+        dd.jaccard_pairs(_docs(spark, sf_dir))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     ids = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .union(pairs.select(F.col("id_b").alias("doc_id")))
