@@ -521,16 +521,21 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "price",
             "pmax",
-            F.greatest(
-                F.coalesce(F.col("wmax"), F.lit(-1)),
-                F.coalesce(F.col("carry"), F.lit(-1)),
-            ).alias("cheaper_max"),
+            # greatest() skips NULLs (NULL only when BOTH are NULL), so
+            # "no cheaper price group exists" stays NULL instead of a
+            # -1 sentinel that would misclassify size <= -1 domains.
+            F.greatest(F.col("wmax"), F.col("carry")).alias(
+                "cheaper_max"
+            ),
         )
     )
     return (
         chunked.join(bounds, "price")
         .filter(
-            (F.col("size") > F.col("cheaper_max"))
+            (
+                F.col("cheaper_max").isNull()
+                | (F.col("size") > F.col("cheaper_max"))
+            )
             & (F.col("size") == F.col("pmax"))
         )
         .select("p_partkey", "price", "size")
@@ -684,7 +689,12 @@ FROM tot t CROSS JOIN nov n
 
 
 # --- incremental aggregate (rollup) maintenance -----------------------------
-_ROLLUP_CUTOFF = "2024-01-16 00:00:00"
+# Deliberately OFF the hour boundary: hour 2024-01-16 00:xx straddles
+# the cutoff, so its (hour, event_type) groups appear in BOTH the base
+# and the delta and the full-outer moment-ADD merge path is exercised
+# by the oracle parity itself (an hour-aligned cutoff made that path
+# dead code — every group was a disjoint union).
+_ROLLUP_CUTOFF = "2024-01-16 00:30:00"
 
 
 def q_stats_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

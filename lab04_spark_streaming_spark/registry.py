@@ -50,89 +50,74 @@ class QuerySpec:
 # and r02 go last.  Every query is still covered every round by the local
 # harness (tests/test_oracle_parity.py) regardless of position.
 _STAMP_FIRST: list[str] = [
-    # -- r07 window, per VERDICT r6 "Next round" items 1 and 3 --
-    # (1) The four r6 hash reds — root cause was uncast SUM() in the
-    # oracle (DuckDB HUGEINT vs Spark int64); casts added this round and
-    # tests/oracle_harness.py now DESCRIBEs every oracle so the class
-    # fails locally. Head of the window for a freshest re-stamp.
-    "time_weighted_avg",
-    "mad_outliers",
-    "oov_rate_vocab",
-    "word_repetition",
-    # (2) sessionize_gap30m — oracle text hardened after its r5 stamp
-    # (epoch()::BIGINT rounds → floor(epoch()) truncation mirror).
-    "sessionize_gap30m",
-    # (3) word_cooccurrence — code changed in r7 (global row_number over
-    # the full pair relation → limit-then-rank, VERDICT item 4); r6
-    # stamp is stale against the new plan.
-    "word_cooccurrence",
-    # (4) The 43 never-driver-stamped queries (VERDICT item 2 /
-    # "Next round" item 3): all local-harness + driver-sim green, but r6
-    # proved local-green != driver-green. textrank_keywords and
-    # jaccard_prefix_join also carry r7 code changes (item 4).
-    "winsorize_p01_p99",
-    "user_trend_ols",
-    "session_assoc_rules",
-    "funnel_conversion",
-    "cusum_changepoint",
-    "key_skew_profile",
-    "range_frame_trailing_1h",
-    "mode_per_type",
-    "zorder_keys",
-    "dedup_cluster_sizes",
-    "token_budget_pack",
-    "dedup_incremental_near",
-    "unigram_logprob",
-    "bpe_pair_counts",
-    "bloom_membership",
-    "textrank_keywords",
-    "curation_master",
-    "graph_triangles",
-    "hll_distinct",
-    "span_dedup_c4",
-    "jaccard_prefix_join",
-    "minhash_error",
-    "quality_classifier",
-    "bigram_logprob",
-    "data_profile",
-    "dq_checks",
-    "kcore_docs",
-    "scd2_intervals",
-    "hll_by_source",
-    "snm_candidates",
-    "lpa_communities",
-    "attribution_last_touch",
-    "reconcile_orders_lineitem",
-    "seasonal_factors",
-    "snm_fuzzy_matches",
-    "contrastive_pairs",
-    "scd2_point_in_time",
-    "bpe_second_merge",
-    "path_transitions",
-    "golden_records",
-    "hll_dau_hourly",
-    "scd2_incremental",
-    "pca_power_top",
-    # (5) One slot left → zscore_grid_join: its serving plan changed in
-    # r7 (naive 669x expansion stats → the as-of prefix-sum path with
-    # max_stale_slots=0; ~80 s → ~4 s at sf0.1, bit-equality asserted
-    # in tests/test_fast_path.py), so its r5 stamp is stale. (The r6
-    # bench movers all reverted in the r7 double-run, so the
-    # dedup_minhash_lsh_pairs re-stamp this slot previously held is no
-    # longer needed; its r4 stamp stands on unchanged code.)
-    "zscore_grid_join",
-    # (window full at 50. r8 rotation plan: the 10 never-stamped round-7
-    # wave queries (plans/wave7.py: source_kl_divergence,
-    # user_event_entropy, length_theil_by_source, copurchase_lift,
-    # bpe_encode_apply, embedding_centroid_shift, skyline_pareto,
-    # cross_source_duplication, vocab_novelty_snapshot,
-    # stats_rollup_incremental) go first, then
-    # the remaining 35 r4-stamped queries — q15..q22, the
-    # dedup/text/multimodal first wave, the sampling wave — rotate in;
-    # 45 of 50 slots, leaving 5 for any r7 reds or code-changed
-    # re-stamps. After r8 nothing's driver evidence is older than two
-    # rounds. All 183 stay covered every round by the local harness,
-    # tests/test_oracle_parity.py.)
+    # -- r08 window, executing the rotation plan written in r7 --
+    # (1) The 10 never-driver-stamped round-7 wave queries
+    # (plans/wave7.py): local-harness + driver-sim green, but driver
+    # evidence is the gate.
+    "source_kl_divergence",
+    "user_event_entropy",
+    "length_theil_by_source",
+    "copurchase_lift",
+    "bpe_encode_apply",
+    "embedding_centroid_shift",
+    "skyline_pareto",
+    "cross_source_duplication",
+    "vocab_novelty_snapshot",
+    "stats_rollup_incremental",
+    # (2) The 36 queries whose latest driver stamp is r4 (4 rounds old):
+    # TPC-H q15..q22, the dedup/text/multimodal first wave, the
+    # sampling wave. dedup_simhash and dedup_embedding_pairs also carry
+    # r7 physical-plan changes (split-restore + SRP band checkpoint),
+    # so their r4 stamps are doubly stale.
+    "q15_top_supplier",
+    "q16_supplier_part_types",
+    "q17_small_qty_revenue",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_suppliers_waiting",
+    "q22_global_sales",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_jaccard_pairs",
+    "doc_chunking",
+    "knn_cosine_topk",
+    "dedup_embedding_pairs",
+    "ann_srp_buckets",
+    "text_metrics",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "tf_df_terms",
+    "tfidf_top_terms",
+    "multimodal_meta",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "quality_filter_pipeline",
+    "dedup_simhash_pairs",
+    "decontamination_pairs",
+    "pii_scrub",
+    "token_count_bpe",
+    "stratified_sample",
+    "train_test_split",
+    "domain_quota_sample",
+    "sequence_packing",
+    "ngram_repetition",
+    "embedding_normalize",
+    # (3) Four r5-stamped queries whose code changed in r7 AFTER their
+    # stamp (split-restore repartitions / shared norm-digest helpers /
+    # shingle-relation checkpoints), so the stamp no longer matches the
+    # running plan: re-stamp on the new code.
+    "dedup_exact_normalized",
+    "decontamination_containment",
+    "boilerplate_ngrams",
+    "substring_dedup_coverage",
+    # (window full at 50. Deferred to r9: dedup_clusters (r6 stamp, r7
+    # change is a pure localCheckpoint — values provably unchanged) and
+    # the r5 cohort (42 queries, unchanged code, stamps 3 rounds old at
+    # r9). All 183+ stay covered every round by the local type-exact
+    # harness, tests/test_oracle_parity.py.)
 ]
 
 

@@ -315,6 +315,16 @@ def enrich_stream_temporal(
         for c in scd2_dim.columns
         if c not in set(key_cols)
     ]
+    clash = sorted(set(dim_cols) & set(stream.columns))
+    if clash:
+        raise ValueError(
+            "enrich_stream_temporal: dimension attribute column(s) "
+            f"{clash} collide with stream columns — the output would "
+            "carry duplicate names and break any downstream "
+            "select/write by name. Rename or drop them on the "
+            "dimension side (join keys are matched and excluded "
+            "automatically)."
+        )
     dim_side = F.broadcast(scd2_dim) if broadcast else scd2_dim
     return (
         stream.alias("e")

@@ -389,3 +389,61 @@ def test_skyline_pareto_matches_bruteforce(spark, tmp_path_factory, parts):
         )
     }
     assert got == expected
+
+
+# --- the rollup merge path, exercised deterministically ---------------------
+def test_stats_rollup_merge_path_on_straddling_hour(
+    spark, tmp_path_factory
+):
+    """The full-outer moment-ADD merge in q_stats_rollup_incremental
+    must be exercised, not just the disjoint-union halves: build a
+    fixture where one (hour, event_type) group straddles the cutoff
+    (rows in BOTH base and delta), one is base-only, one delta-only,
+    and check (a) the straddle really lands on both sides of
+    _ROLLUP_CUTOFF, (b) merged result == full recompute oracle."""
+    cut = dt.datetime.fromisoformat(wave7._ROLLUP_CUTOFF)
+    assert cut != cut.replace(minute=0, second=0, microsecond=0), (
+        "cutoff must be OFF the hour boundary or the merge path is "
+        "dead code (ADVICE r7)"
+    )
+    rows = [
+        # straddling hour: same (hour, type) group before AND after cut
+        (1, cut - dt.timedelta(minutes=10), 1, "view", 1.25, "{}"),
+        (2, cut + dt.timedelta(minutes=10), 2, "view", 2.50, "{}"),
+        (3, cut + dt.timedelta(minutes=20), 1, "view", 4.75, "{}"),
+        # base-only group (previous hour)
+        (4, cut - dt.timedelta(hours=2), 1, "click", 3.00, "{}"),
+        # delta-only group (next hour)
+        (5, cut + dt.timedelta(hours=2), 2, "click", 5.00, "{}"),
+    ]
+    d = str(tmp_path_factory.mktemp("rollupmerge"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet/*.parquet')"
+        )
+        compare_query(
+            spark,
+            con,
+            wave7.q_stats_rollup_incremental,
+            wave7.SQL_STATS_ROLLUP_INCREMENTAL,
+            d,
+        )
+    finally:
+        con.close()
+    # (a): the straddling group exists on both sides of the cutoff.
+    hour = (cut - dt.timedelta(minutes=10)).replace(
+        minute=0, second=0, microsecond=0
+    )
+    n_pre = sum(1 for r in rows if r[1] < cut and r[3] == "view")
+    n_post = sum(1 for r in rows if r[1] >= cut and r[3] == "view")
+    assert hour == cut.replace(minute=0, second=0, microsecond=0)
+    assert n_pre >= 1 and n_post >= 1

@@ -1479,6 +1479,31 @@ def test_enrich_stream_temporal_matches_batch_point_in_time(spark, tmp_path):
     assert {r.event_id: r.tier for r in batch.collect()} == got
 
 
+def test_enrich_stream_temporal_rejects_colliding_dim_columns(spark):
+    """A dimension attribute named like a stream column would produce
+    duplicate output names (ADVICE r7) — the builder must refuse up
+    front with a clear error instead of emitting an ambiguous frame."""
+    import pytest as _pytest
+
+    from lab04_spark_streaming_spark.streaming.pipeline import (
+        enrich_stream_temporal,
+    )
+
+    def at(s):
+        return T0 + dt.timedelta(seconds=s)
+
+    dim = spark.createDataFrame(
+        [(1, at(0), None, 9.9)],
+        "user_id long, valid_from timestamp, valid_to timestamp, "
+        "ts double",  # 'ts' collides with the stream's event-time col
+    )
+    stream = spark.createDataFrame(
+        [(1, at(10), 0)], "user_id long, ts timestamp, event_id long"
+    )
+    with _pytest.raises(ValueError, match="collide with stream columns"):
+        enrich_stream_temporal(stream, dim, ["user_id"], "ts")
+
+
 def test_sessionize_rocksdb_checkpoint_stop_resume(spark, tmp_path):
     """Stop/resume recovery on the RocksDB state store with changelog
     checkpointing — the 100 TB configuration (r6 wired it; this is the
