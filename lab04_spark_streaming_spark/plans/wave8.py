@@ -1,0 +1,992 @@
+"""Round-8 wave: corpus-association and temporal-coverage queries —
+the remaining analytics a training-data pipeline runs between curation
+and mixing: PMI collocations, per-source discriminative terms (chi²),
+Zipf rank-frequency fit, temperature-based source mixing weights,
+label-aware hard-negative mining, class-balance weights, plus the
+temporal-coverage layer over events (boundary-replicated concurrency,
+hour-gap detection, burst debounce, interval-union active time).
+
+Cross-engine determinism (registry.py rules):
+  * association/selection MEMBERSHIP tests are pure integer
+    comparisons (n12·N > n1·n2, BIGINT chi² products) — the emitted
+    SET can never flip on a ulp;
+  * log-bearing outputs are stable_round(4) displays on top of those
+    integer decisions;
+  * every rank window is partitioned and carries a lexicographic
+    tie-break; time arithmetic is whole-second BIGINT epochs.
+
+Scale notes per query; the common rules match wave7: candidate
+relations are key-bounded, scalar totals are broadcast 1-row
+relations, and no unpartitioned window anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lab04_spark_streaming_spark.functions.guards import (
+    sql_stable_round,
+    stable_round,
+)
+from lab04_spark_streaming_spark.operators.textops import (
+    expr_tokens,
+    sql_tokens,
+)
+from lab04_spark_streaming_spark.sources.files import load_table
+
+_SPARK_TOKS = expr_tokens("text")
+_TOKS = sql_tokens("text")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --- PMI collocations -------------------------------------------------------
+_PMI_MIN_DOCS = 3
+
+
+def q_pmi_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positively-associated word pairs by pointwise mutual
+    information over document co-occurrence — the collocation miner on
+    top of word_cooccurrence's raw counts (PMI normalizes away the
+    marginals, so 'new york' beats 'the of'). Membership is the exact
+    integer test n12·N > n1·n2 (PMI > 0) plus a min-support floor, so
+    the emitted SET is ulp-proof; pmi_bits is a rounded display.
+
+    Scale: same inverted-index pair walk as word_cooccurrence (bounded
+    by Σ d_i² and the min-support filter); the marginal join keys are
+    words (vocab-bounded shuffle), N is a broadcast 1-row scalar. One
+    tokenize pass, pinned (it feeds pairs AND marginals)."""
+    t = (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"array_distinct({_SPARK_TOKS})")).alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        t.alias("a")
+        .join(t.alias("b"), "doc_id")
+        .filter(F.col("a.w") < F.col("b.w"))
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .filter(F.col("n12") >= _PMI_MIN_DOCS)
+    )
+    marg = t.groupBy("w").agg(F.count(F.lit(1)).alias("nw"))
+    nd = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        pairs.join(marg.select(F.col("w").alias("w1"), F.col("nw").alias("n1")), "w1")
+        .join(marg.select(F.col("w").alias("w2"), F.col("nw").alias("n2")), "w2")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("n12") * F.col("n_docs") > F.col("n1") * F.col("n2"))
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            "n1",
+            "n2",
+            stable_round(
+                F.log2(
+                    (F.col("n12") * F.col("n_docs")).cast("double")
+                    / (F.col("n1") * F.col("n2")).cast("double")
+                ),
+                4,
+            ).alias("pmi_bits"),
+        )
+    )
+
+
+SQL_PMI_WORD_PAIRS = f"""
+WITH t AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+),
+p AS (
+  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n12
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_PMI_MIN_DOCS}
+),
+m AS (SELECT w, COUNT(*) AS nw FROM t GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT p.w1, p.w2, p.n12, m1.nw AS n1, m2.nw AS n2,
+       {sql_stable_round(
+           "log2(CAST(p.n12 * nd.n_docs AS DOUBLE)"
+           " / CAST(m1.nw * m2.nw AS DOUBLE))", 4)} AS pmi_bits
+FROM p
+JOIN m m1 ON m1.w = p.w1
+JOIN m m2 ON m2.w = p.w2
+CROSS JOIN nd
+WHERE p.n12 * nd.n_docs > m1.nw * m2.nw
+"""
+
+
+# --- chi² discriminative terms per source -----------------------------------
+_CHI2_MIN_DF = 5
+_CHI2_TOPK = 10
+
+
+def q_chi2_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 discriminative terms per source by the chi² statistic on
+    the doc-level 2×2 presence table (the classic feature-selection /
+    domain-classifier signal). All four cells a,b,c,d are exact BIGINT
+    doc counts; chi² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) is built
+    from BIGINT products ((ad−bc)² ≤ N⁴ stays exact through sf0.1;
+    at web scale flip the products to DOUBLE — both engines round the
+    identical operands identically either way) converted once to
+    double, so ranks compare identical bit patterns; tie-break is the
+    term. df floor 5; terms in every doc (c+d=0) and single-source
+    corpora (b+d=0) are excluded before the division.
+
+    Scale: the (source, term) relation is vocab×sources-bounded; the
+    rank window is partitioned by source. N is a broadcast scalar."""
+    t = (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(f"array_distinct({_SPARK_TOKS})")).alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sw = t.groupBy("source", "w").agg(F.count(F.lit(1)).alias("a"))
+    nw = sw.groupBy("w").agg(F.sum("a").alias("nw"))
+    ns = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("ns"))
+    )
+    nd = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))
+    cells = (
+        sw.join(nw, "w")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nd))
+        .filter(
+            (F.col("nw") >= _CHI2_MIN_DF)
+            & (F.col("nw") < F.col("n_docs"))  # c+d > 0
+            & (F.col("ns") < F.col("n_docs"))  # b+d > 0
+        )
+        .select(
+            "source",
+            "w",
+            "a",
+            (F.col("nw") - F.col("a")).alias("b"),
+            (F.col("ns") - F.col("a")).alias("c"),
+            (
+                F.col("n_docs") - F.col("ns") - F.col("nw") + F.col("a")
+            ).alias("d"),
+            "nw",
+            "n_docs",
+        )
+    )
+    diff = F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    den = (
+        (F.col("a") + F.col("b"))
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    )
+    scored = cells.select(
+        "source",
+        "w",
+        "a",
+        "nw",
+        (
+            (diff * diff).cast("double")
+            * F.col("n_docs")
+            / den.cast("double")
+        ).alias("_chi2"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("_chi2"), "w")
+    )
+    return (
+        scored.withColumn("rank", rk.cast("int"))
+        .filter(F.col("rank") <= _CHI2_TOPK)
+        .select(
+            "source",
+            "w",
+            F.col("a").alias("df_in_source"),
+            F.col("nw").alias("df_total"),
+            stable_round(F.col("_chi2"), 4).alias("chi2"),
+            "rank",
+        )
+    )
+
+
+SQL_CHI2_TERMS = f"""
+WITH t AS (
+  SELECT DISTINCT doc_id, source, w
+  FROM (SELECT doc_id, source, unnest({_TOKS}) AS w FROM documents)
+),
+sw AS (SELECT source, w, COUNT(*) AS a FROM t GROUP BY 1, 2),
+nw AS (SELECT w, CAST(SUM(a) AS BIGINT) AS nw FROM sw GROUP BY 1),
+ns AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+cells AS (
+  SELECT sw.source, sw.w, sw.a, nw.nw - sw.a AS b, ns.ns - sw.a AS c,
+         nd.n_docs - ns.ns - nw.nw + sw.a AS d, nw.nw, nd.n_docs
+  FROM sw
+  JOIN nw ON nw.w = sw.w
+  JOIN ns ON ns.source = sw.source
+  CROSS JOIN nd
+  WHERE nw.nw >= {_CHI2_MIN_DF}
+    AND nw.nw < nd.n_docs
+    AND ns.ns < nd.n_docs
+),
+scored AS (
+  SELECT source, w, a, nw,
+         CAST((a * d - b * c) * (a * d - b * c) AS DOUBLE) * n_docs
+           / CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE)
+           AS chi2_raw
+  FROM cells
+)
+SELECT source, w, a AS df_in_source, nw AS df_total,
+       {sql_stable_round("chi2_raw", 4)} AS chi2, rank
+FROM (
+  SELECT source, w, a, nw, chi2_raw,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY chi2_raw DESC, w
+         ) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {_CHI2_TOPK}
+"""
+
+
+# --- Zipf rank-frequency fit ------------------------------------------------
+_ZIPF_TOPK = 100
+
+
+def q_zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: OLS slope of log2(freq) on log2(rank)
+    over the top-100 terms — the corpus-health diagnostic (natural
+    text sits near −1; templated or deduplicated-to-death corpora
+    drift off). Ranks are exact integers under a (freq DESC, term)
+    tie-break; each log2 term is one IEEE op on exact ints; the five
+    OLS sums are order-sensitive only at ~1e-12 relative, far under
+    the stable_round(4) grain.
+
+    Scale: the (source, term) count relation is vocab-bounded; the
+    per-source rank window is partitioned by source; the regression
+    aggregates ≤100 rows per source. No scalar cross-joins."""
+    tc = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.expr(_SPARK_TOKS)).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("c"), "w")
+    )
+    top = tc.withColumn("r", rk).filter(F.col("r") <= _ZIPF_TOPK)
+    x = F.log2(F.col("r").cast("double"))
+    y = F.log2(F.col("c").cast("double"))
+    agg = top.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    den = F.col("n_terms") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = (
+        F.col("n_terms") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    ) / den
+    return agg.select(
+        "source",
+        "n_terms",
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(stable_round(slope, 4))
+        .alias("zipf_slope"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(
+            stable_round(
+                (F.col("_sy") - slope * F.col("_sx"))
+                / F.col("n_terms"),
+                4,
+            )
+        )
+        .alias("zipf_intercept"),
+    )
+
+
+SQL_ZIPF_SLOPE = f"""
+WITH tc AS (
+  SELECT source, w, COUNT(*) AS c
+  FROM (SELECT source, unnest({_TOKS}) AS w FROM documents)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT source, w, c, r FROM (
+    SELECT source, w, c,
+           row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS r
+    FROM tc
+  ) WHERE r <= {_ZIPF_TOPK}
+),
+agg AS (
+  SELECT source, COUNT(*) AS n_terms,
+         SUM(log2(CAST(r AS DOUBLE))) AS sx,
+         SUM(log2(CAST(c AS DOUBLE))) AS sy,
+         SUM(log2(CAST(r AS DOUBLE)) * log2(CAST(c AS DOUBLE))) AS sxy,
+         SUM(log2(CAST(r AS DOUBLE)) * log2(CAST(r AS DOUBLE))) AS sxx
+  FROM top GROUP BY 1
+)
+SELECT source, n_terms,
+       CASE WHEN n_terms * sxx - sx * sx = 0 THEN NULL
+            ELSE {sql_stable_round(
+                "(n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)", 4)}
+       END AS zipf_slope,
+       CASE WHEN n_terms * sxx - sx * sx = 0 THEN NULL
+            ELSE {sql_stable_round(
+                "(sy - ((n_terms * sxy - sx * sy)"
+                " / (n_terms * sxx - sx * sx)) * sx) / n_terms", 4)}
+       END AS zipf_intercept
+FROM agg
+"""
+
+
+# --- temperature-based source mixing ----------------------------------------
+def q_mixing_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights — the multilingual /
+    multi-domain sampling-exponent smoothing (public: the α-scaled
+    sampling of XLM/mBERT and the data-mixture literature): each
+    source's sampling weight ∝ size^α with α = 1/2, which upweights
+    small sources relative to natural (α=1) sampling. Sizes are exact
+    BIGINT char sums; sqrt is one IEEE op per source; the Σ over the
+    handful of sources rounds at 6. boost is the temperature/natural
+    ratio (upsampling factor).
+
+    Scale: one column-pruned scan (source, n_chars), one |sources|-row
+    aggregate, a broadcast 1-row total. Nothing else."""
+    per = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_chars").alias("tot_chars"),
+        F.sum(F.sqrt(F.col("n_chars").cast("double"))).alias("tot_sqrt"),
+    )
+    w_nat = F.col("n_chars").cast("double") / F.col("tot_chars")
+    w_tmp = F.sqrt(F.col("n_chars").cast("double")) / F.col("tot_sqrt")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            stable_round(w_nat, 6).alias("w_natural"),
+            stable_round(w_tmp, 6).alias("w_temperature"),
+            stable_round(w_tmp / w_nat, 4).alias("boost"),
+        )
+    )
+
+
+SQL_MIXING_WEIGHTS = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_chars) AS BIGINT) AS tot_chars,
+         SUM(sqrt(CAST(n_chars AS DOUBLE))) AS tot_sqrt
+  FROM per
+)
+SELECT source, n_docs, n_chars,
+       {sql_stable_round("CAST(n_chars AS DOUBLE) / tot_chars", 6)}
+         AS w_natural,
+       {sql_stable_round("sqrt(CAST(n_chars AS DOUBLE)) / tot_sqrt", 6)}
+         AS w_temperature,
+       {sql_stable_round(
+           "(sqrt(CAST(n_chars AS DOUBLE)) / tot_sqrt)"
+           " / (CAST(n_chars AS DOUBLE) / tot_chars)", 4)} AS boost
+FROM per CROSS JOIN tot
+"""
+
+
+# --- boundary-replicated concurrency ----------------------------------------
+_ACTIVE_WINDOW_S = 1800  # each event marks its type "active" for 30 min
+
+
+def q_concurrent_active_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per (event_type, hour): how many events of the
+    type were inside their 30-minute activity window at once (max over
+    the hour) — the capacity-planning twin of rolling_active_users.
+    Concurrency at each event is a trailing RANGE count; the max of a
+    step function over an hour is attained at one of its events.
+
+    Scale: the window is partitioned by (event_type, DAY), not by type
+    alone — the 100×-safe layout. Cross-midnight correctness comes
+    from BOUNDARY REPLICATION: events in the last 30 min of each day
+    are copied into the next day's partition as carry rows that feed
+    the trailing counts but are filtered before output. Day tasks are
+    independent; no unbounded timeline ever sits in one task."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.col("ts").cast("long").alias("ep"),
+        F.to_date("ts").alias("day"),
+        "ts",
+    )
+    nxt = F.date_add(F.col("day"), 1)
+    carry = ev.filter(
+        F.col("ep") >= F.unix_timestamp(nxt.cast("timestamp")) - _ACTIVE_WINDOW_S
+    ).select(
+        "event_type",
+        "ep",
+        nxt.alias("day"),
+        "ts",
+        F.lit(1).alias("carry"),
+    )
+    un = ev.withColumn("carry", F.lit(0)).unionByName(carry)
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("ep")
+        .rangeBetween(-_ACTIVE_WINDOW_S, 0)
+    )
+    act = un.withColumn("conc", F.count(F.lit(1)).over(w)).filter(
+        F.col("carry") == 0
+    )
+    return (
+        act.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            F.max("conc").alias("peak_concurrency"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SQL_CONCURRENT_ACTIVE = f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         CAST(ts AS DATE) AS day, ts, 0 AS carry
+  FROM events
+),
+cr AS (
+  SELECT event_type, ep, day + INTERVAL 1 DAY AS day, ts, 1 AS carry
+  FROM ev
+  WHERE ep >= CAST(floor(epoch(CAST(day + INTERVAL 1 DAY AS TIMESTAMP)))
+              AS BIGINT) - {_ACTIVE_WINDOW_S}
+),
+un AS (SELECT * FROM ev UNION ALL SELECT * FROM cr),
+act AS (
+  SELECT event_type, ts,
+         COUNT(*) OVER (
+           PARTITION BY event_type, day ORDER BY ep
+           RANGE BETWEEN {_ACTIVE_WINDOW_S} PRECEDING AND CURRENT ROW
+         ) AS conc,
+         carry
+  FROM un
+)
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       MAX(conc) AS peak_concurrency, COUNT(*) AS n_events
+FROM act WHERE carry = 0
+GROUP BY 1, 2
+"""
+
+
+# --- hour-grid gap detection ------------------------------------------------
+def q_missing_hours_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-coverage audit per event_type: the expected hour grid
+    between the type's first and last hour vs the hours actually
+    observed — ingestion-gap detection (a silent feed outage shows up
+    as missing hours, not as an error). Pure timestamp/integer
+    arithmetic, no floats.
+
+    Scale: the grid explode is (span-hours)-bounded PER TYPE from a
+    1-row-per-type aggregate — never a per-event explode; the anti
+    join keys are (type, hour)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    )
+    obs = ev.distinct()
+    span = obs.groupBy("event_type").agg(
+        F.min("hr").alias("h0"),
+        F.max("hr").alias("h1"),
+        F.count(F.lit(1)).alias("n_observed"),
+    )
+    grid = span.select(
+        "event_type",
+        "n_observed",
+        F.explode(
+            F.expr("sequence(h0, h1, interval 1 hour)")
+        ).alias("hr"),
+    )
+    missing = grid.join(obs, ["event_type", "hr"], "left_anti")
+    gaps = missing.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_missing"),
+        F.min("hr").alias("first_gap_hour"),
+    )
+    return (
+        span.join(gaps, "event_type", "left")
+        .select(
+            "event_type",
+            (
+                (
+                    F.col("h1").cast("long") - F.col("h0").cast("long")
+                )
+                / 3600
+                + 1
+            )
+            .cast("long")
+            .alias("n_expected"),
+            "n_observed",
+            F.coalesce("n_missing", F.lit(0)).alias("n_missing"),
+            "first_gap_hour",
+        )
+    )
+
+
+SQL_MISSING_HOURS = """
+WITH obs AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hr FROM events
+),
+span AS (
+  SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1,
+         COUNT(*) AS n_observed
+  FROM obs GROUP BY 1
+),
+grid AS (
+  SELECT s.event_type, g.hr
+  FROM span s, unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) g(hr)
+),
+gaps AS (
+  SELECT g.event_type, COUNT(*) AS n_missing, MIN(g.hr) AS first_gap_hour
+  FROM grid g LEFT JOIN obs o
+    ON o.event_type = g.event_type AND o.hr = g.hr
+  WHERE o.hr IS NULL
+  GROUP BY 1
+)
+SELECT s.event_type,
+       CAST((CAST(floor(epoch(h1)) AS BIGINT)
+             - CAST(floor(epoch(h0)) AS BIGINT)) // 3600 + 1
+            AS BIGINT) AS n_expected,
+       s.n_observed,
+       COALESCE(ga.n_missing, 0) AS n_missing,
+       ga.first_gap_hour
+FROM span s LEFT JOIN gaps ga ON ga.event_type = s.event_type
+"""
+
+
+# --- class-balance weights --------------------------------------------------
+def q_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label training weights over the embedding corpus: inverse
+    frequency N/(K·n) (the classic class-rebalancing weight) and its
+    sqrt-damped variant, both normalized to sum to 1. Counts are
+    exact; inv_freq_weight is a single division of exact integers;
+    the normalized columns round at 6 (small-sum order noise only).
+
+    Scale: one |labels|-row aggregate + a broadcast 1-row total."""
+    per = (
+        load_table(spark, sf_dir, "embeddings")
+        .groupBy(F.col("label").cast("int").alias("label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = per.agg(
+        F.sum("n").alias("n_total"),
+        F.count(F.lit(1)).alias("k_labels"),
+        F.sum(F.lit(1.0) / F.col("n")).alias("sum_inv"),
+        F.sum(F.lit(1.0) / F.sqrt(F.col("n").cast("double"))).alias(
+            "sum_sqrt_inv"
+        ),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "n",
+            (
+                F.col("n_total").cast("double")
+                / (F.col("k_labels") * F.col("n"))
+            ).alias("inv_freq_weight"),
+            stable_round(
+                (F.lit(1.0) / F.col("n")) / F.col("sum_inv"), 6
+            ).alias("w_inv_norm"),
+            stable_round(
+                (F.lit(1.0) / F.sqrt(F.col("n").cast("double")))
+                / F.col("sum_sqrt_inv"),
+                6,
+            ).alias("w_sqrt_norm"),
+        )
+    )
+
+
+SQL_CLASS_BALANCE = f"""
+WITH per AS (
+  SELECT CAST(label AS INTEGER) AS label, COUNT(*) AS n
+  FROM embeddings GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total, COUNT(*) AS k_labels,
+         SUM(1.0 / n) AS sum_inv,
+         SUM(1.0 / sqrt(CAST(n AS DOUBLE))) AS sum_sqrt_inv
+  FROM per
+)
+SELECT label, n,
+       CAST(n_total AS DOUBLE) / (k_labels * n) AS inv_freq_weight,
+       {sql_stable_round("(1.0 / n) / sum_inv", 6)} AS w_inv_norm,
+       {sql_stable_round(
+           "(1.0 / sqrt(CAST(n AS DOUBLE))) / sum_sqrt_inv", 6)}
+         AS w_sqrt_norm
+FROM per CROSS JOIN tot
+"""
+
+
+# --- label-aware hard-negative mining ----------------------------------------
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for metric learning: for each vector, the most
+    similar vector with a DIFFERENT label among its k-means-cell
+    candidates — the supervised sibling of contrastive_pairs (whose
+    pos/neg split is threshold-based and label-blind). Candidates are
+    cell-bounded (never all-pairs); cosines are the exact integer-grid
+    kind, so ranks compare identical bit patterns; anchors whose cell
+    holds no other-label partner emit NULLs (visible, not dropped).
+
+    Scale: same shape as semdedup/contrastive — Σ|cell|²·d pair work,
+    label join on vec_id, per-anchor rank window partitioned by
+    anchor."""
+    from lab04_spark_streaming_spark.operators.similarity import (
+        cell_pair_cosines,
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = (
+        kmeans_assign(emb, k=8, iters=2)
+        .select("vec_id", F.col("cluster").alias("kcluster"))
+        .localCheckpoint(eager=False)
+    )
+    pairs = cell_pair_cosines(emb, assign).localCheckpoint(eager=False)
+    labels = emb.select("vec_id", F.col("label").cast("int").alias("label"))
+    sym = pairs.select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("other"), "cos"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("anchor"),
+            F.col("id_a").alias("other"),
+            "cos",
+        )
+    )
+    lab_a = labels.select(
+        F.col("vec_id").alias("anchor"), F.col("label").alias("anchor_label")
+    )
+    lab_o = labels.select(
+        F.col("vec_id").alias("other"), F.col("label").alias("other_label")
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("cos"), "other")
+    hard = (
+        sym.join(lab_a, "anchor")
+        .join(lab_o, "other")
+        .filter(F.col("anchor_label") != F.col("other_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor",
+            "anchor_label",
+            F.col("other").alias("neg_id"),
+            F.col("other_label").alias("neg_label"),
+            F.col("cos").alias("neg_cos"),
+        )
+    )
+    return (
+        lab_a.join(hard.drop("anchor_label"), "anchor", "left")
+        .select("anchor", "anchor_label", "neg_id", "neg_label", "neg_cos")
+    )
+
+
+def _sql_hard_negative() -> str:
+    from lab04_spark_streaming_spark.plans.pipeline_extras import (
+        _SQL_KMEANS_C1,
+    )
+
+    return f"""
+WITH {_SQL_KMEANS_C1},
+d2 AS (
+  SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dist
+  FROM pos p JOIN c1 c ON p.pos = c.pos
+  GROUP BY 1, 2
+),
+a2 AS (
+  SELECT vec_id, cid AS kcluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1
+),
+norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM pos GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
+  FROM (SELECT p.*, s.kcluster FROM pos p JOIN a2 s ON p.vec_id = s.vec_id) a
+  JOIN (SELECT p.*, s.kcluster FROM pos p JOIN a2 s ON p.vec_id = s.vec_id) b
+    ON a.pos = b.pos AND a.kcluster = b.kcluster AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+cospairs AS (
+  SELECT id_a, id_b, dot / (sqrt(x.n2) * sqrt(y.n2)) AS cos
+  FROM dots
+  JOIN norms x ON x.vec_id = id_a
+  JOIN norms y ON y.vec_id = id_b
+),
+sym AS (
+  SELECT id_a AS anchor, id_b AS other, cos FROM cospairs
+  UNION ALL
+  SELECT id_b AS anchor, id_a AS other, cos FROM cospairs
+),
+lab AS (SELECT vec_id, CAST(label AS INTEGER) AS label FROM embeddings),
+hard AS (
+  SELECT anchor, other AS neg_id, other_label AS neg_label,
+         cos AS neg_cos
+  FROM (
+    SELECT s.anchor, s.other, s.cos, lo.label AS other_label,
+           row_number() OVER (
+             PARTITION BY s.anchor ORDER BY s.cos DESC, s.other
+           ) AS rn
+    FROM sym s
+    JOIN lab la ON la.vec_id = s.anchor
+    JOIN lab lo ON lo.vec_id = s.other
+    WHERE la.label <> lo.label
+  ) WHERE rn = 1
+)
+SELECT la.vec_id AS anchor, la.label AS anchor_label,
+       h.neg_id, h.neg_label, h.neg_cos
+FROM lab la LEFT JOIN hard h ON h.anchor = la.vec_id
+"""
+
+
+# --- burst debounce ----------------------------------------------------------
+_DEBOUNCE_GAP_S = 600
+
+
+def q_debounce_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst collapse (debounce): within each (user, event_type),
+    events chained closer than 10 minutes form one burst; only the
+    burst's first event is kept and the rest counted as suppressed —
+    the retry/duplicate-click collapser that runs before funnel or
+    attribution analytics (the dedup family's temporal member). Same
+    gap-chain construction as sessionize, keyed finer. All integer
+    epochs; first-of-burst is the (ts, event_id) minimum.
+
+    Scale: every window is partitioned by (user, type); state per
+    partition is one lag + one running sum."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        F.col("ts").cast("long").alias("ep"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ep", "event_id"
+    )
+    chained = ev.withColumn(
+        "new_burst",
+        F.when(
+            F.col("ep") - F.lag("ep").over(w) > _DEBOUNCE_GAP_S, 1
+        )
+        .otherwise(0),
+    ).withColumn(
+        "burst_id",
+        F.sum("new_burst").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    wb = Window.partitionBy("user_id", "event_type", "burst_id")
+    return (
+        chained.withColumn(
+            "rn",
+            F.row_number().over(
+                wb.orderBy("ep", "event_id")
+            ),
+        )
+        .withColumn("n_in_burst", F.count(F.lit(1)).over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("burst_id").cast("long").alias("burst_id"),
+            F.col("event_id").alias("kept_event_id"),
+            F.col("ts").alias("burst_start"),
+            (F.col("n_in_burst") - 1).alias("n_suppressed"),
+        )
+    )
+
+
+SQL_DEBOUNCE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+),
+chained AS (
+  SELECT *,
+         CAST(SUM(new_burst) OVER (
+           PARTITION BY user_id, event_type ORDER BY ep, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS burst_id
+  FROM (
+    SELECT *,
+           CASE WHEN ep - lag(ep) OVER (
+                  PARTITION BY user_id, event_type ORDER BY ep, event_id
+                ) > {_DEBOUNCE_GAP_S}
+                THEN 1 ELSE 0 END AS new_burst
+    FROM ev
+  )
+)
+SELECT user_id, event_type, burst_id, kept_event_id, burst_start,
+       n_in_burst - 1 AS n_suppressed
+FROM (
+  SELECT user_id, event_type, burst_id, event_id AS kept_event_id,
+         ts AS burst_start,
+         row_number() OVER (
+           PARTITION BY user_id, event_type, burst_id
+           ORDER BY ep, event_id
+         ) AS rn,
+         COUNT(*) OVER (
+           PARTITION BY user_id, event_type, burst_id
+         ) AS n_in_burst
+  FROM chained
+) WHERE rn = 1
+"""
+
+
+# --- interval-union active time ----------------------------------------------
+_ACTIVITY_SPAN_S = 300
+
+
+def q_interval_union_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user active time as the measure of the UNION of 5-minute
+    activity intervals (one opened at each event) — the classic
+    merged-intervals sweep (billing/engagement minutes): overlapping
+    intervals must not double-count. An interval starts a new island
+    iff its start exceeds the running max of previous ends; islands
+    are then summed exactly in BIGINT seconds.
+
+    Scale: the running max and island numbering are per-user
+    partitioned windows (lag-1 state); island aggregation re-shuffles
+    on the same user key. No global order anywhere."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long") + _ACTIVITY_SPAN_S).alias("e"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = ev.withColumn(
+        "new_island",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island_id",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_island = isl.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("i_start"),
+        F.max("e").alias("i_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.sum("n_events").alias("n_events"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start")).alias("active_seconds"),
+    )
+
+
+SQL_INTERVAL_UNION = f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + {_ACTIVITY_SPAN_S} AS e,
+         event_id
+  FROM events
+),
+isl AS (
+  SELECT *,
+         CAST(SUM(new_island) OVER (
+           PARTITION BY user_id ORDER BY s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS island_id
+  FROM (
+    SELECT *,
+           CASE WHEN max_prev_e IS NULL OR s > max_prev_e
+                THEN 1 ELSE 0 END AS new_island
+    FROM (
+      SELECT *,
+             MAX(e) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS max_prev_e
+      FROM ev
+    )
+  )
+),
+per_island AS (
+  SELECT user_id, island_id, MIN(s) AS i_start, MAX(e) AS i_end,
+         COUNT(*) AS n_events
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, CAST(SUM(n_events) AS BIGINT) AS n_events,
+       COUNT(*) AS n_islands,
+       CAST(SUM(i_end - i_start) AS BIGINT) AS active_seconds
+FROM per_island GROUP BY 1
+"""
+
+
+def specs():
+    from lab04_spark_streaming_spark.registry import QuerySpec
+
+    return [
+        QuerySpec("pmi_word_pairs", q_pmi_word_pairs, SQL_PMI_WORD_PAIRS),
+        QuerySpec(
+            "chi2_terms_by_source", q_chi2_terms_by_source, SQL_CHI2_TERMS
+        ),
+        QuerySpec(
+            "zipf_slope_by_source", q_zipf_slope_by_source, SQL_ZIPF_SLOPE
+        ),
+        QuerySpec(
+            "mixing_weights_temperature",
+            q_mixing_weights_temperature,
+            SQL_MIXING_WEIGHTS,
+        ),
+        QuerySpec(
+            "concurrent_active_30m",
+            q_concurrent_active_30m,
+            SQL_CONCURRENT_ACTIVE,
+        ),
+        QuerySpec(
+            "missing_hours_by_type",
+            q_missing_hours_by_type,
+            SQL_MISSING_HOURS,
+        ),
+        QuerySpec(
+            "class_balance_weights",
+            q_class_balance_weights,
+            SQL_CLASS_BALANCE,
+        ),
+        QuerySpec(
+            "hard_negative_mining",
+            q_hard_negative_mining,
+            _sql_hard_negative(),
+        ),
+        QuerySpec("debounce_keep_first", q_debounce_keep_first, SQL_DEBOUNCE),
+        QuerySpec(
+            "interval_union_time", q_interval_union_time, SQL_INTERVAL_UNION
+        ),
+    ]

@@ -33,6 +33,7 @@ from lab04_spark_streaming_spark.plans import (
     timeseries,
     tpch_full,
     wave7,
+    wave8,
 )
 
 
@@ -132,6 +133,7 @@ def all_specs() -> list[QuerySpec]:
     specs += corpus.specs()
     specs += mining.specs()
     specs += wave7.specs()
+    specs += wave8.specs()
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
     by_name = {s.name: s for s in specs}

@@ -686,7 +686,14 @@ def _unpartitioned_window_orders(plan: str) -> list[str]:
     orders = []
     for m in re.finditer(r"\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)\n", plan):
         groups = re.findall(r"\[[^][]*\]", m.group(1))
-        if len(groups) == 2:  # funcs + order, no partition spec
+        # 3 groups = funcs + partition + order (partitioned, fine).
+        # 2 groups is ambiguous: funcs + ORDER (global window — flag)
+        # or funcs + PARTITION for an orderless frame like
+        # count() OVER (PARTITION BY k) (partitioned, fine). Order
+        # specs always carry a sort direction; partition specs never.
+        if len(groups) == 2 and re.search(
+            r"\b(ASC|DESC)\b", groups[1]
+        ):
             orders.append(groups[1])
     return orders
 
@@ -835,6 +842,49 @@ def test_r7_wave_plan_hygiene(spark, sf_dir):
     assert orders and all("chunk" in o for o in orders), orders
 
 
+def test_r8_wave_plan_hygiene(spark, sf_dir):
+    """Round-8 wave: every window is partitioned (no single-task
+    timeline anywhere — concurrency is day-partitioned with boundary
+    replication, debounce/interval-union are user-partitioned);
+    column pruning reaches the scans (mixing weights never read text,
+    class balance never reads the embedding arrays)."""
+    from lab04_spark_streaming_spark.plans import wave8 as w8
+
+    for fn in (
+        w8.q_chi2_terms_by_source,
+        w8.q_zipf_slope_by_source,
+        w8.q_concurrent_active_30m,
+        w8.q_debounce_keep_first,
+        w8.q_interval_union_time,
+        w8.q_hard_negative_mining,
+    ):
+        plan = plan_of(fn(spark, sf_dir))
+        assert _unpartitioned_window_orders(plan) == [], fn.__name__
+
+    reads = [
+        l
+        for l in plan_of(
+            w8.q_mixing_weights_temperature(spark, sf_dir)
+        ).splitlines()
+        if "ReadSchema" in l
+    ]
+    assert reads and all("text" not in l for l in reads), reads
+
+    reads = [
+        l
+        for l in plan_of(
+            w8.q_class_balance_weights(spark, sf_dir)
+        ).splitlines()
+        if "ReadSchema" in l
+    ]
+    assert reads and all("embedding" not in l for l in reads), reads
+
+    # the concurrency window partitions by (event_type, day) — the
+    # boundary-replication layout, not a per-type global timeline.
+    conc = plan_of(w8.q_concurrent_active_30m(spark, sf_dir))
+    assert "day" in conc and "event_type" in conc
+
+
 def test_all_registered_queries_plan_hygiene(spark, sf_dir):
     """GLOBAL gate over every registered query (the per-wave audits
     only cover their own wave): no CartesianProduct anywhere, ever;
@@ -863,6 +913,10 @@ def test_all_registered_queries_plan_hygiene(spark, sf_dir):
         "scd2_point_in_time",
         # two 1-row aggregates cross-joined into the report row
         "vocab_novelty_snapshot",
+        # wave8 1-row scalar totals (corpus N / source totals / label
+        # totals) broadcast into vocab- or |labels|-bounded relations
+        "pmi_word_pairs", "chi2_terms_by_source",
+        "mixing_weights_temperature", "class_balance_weights",
     }
     offenders = []
     for s in all_specs():
