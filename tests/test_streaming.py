@@ -515,6 +515,98 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         assert expected[k] == v, (k, expected[k], v)
 
 
+def test_debounce_stream_twin_matches_batch(spark, tmp_path):
+    """The wave-8 batch debounce (plans/wave8.q_debounce_keep_first) is
+    a gap-chain with a finer key — so its streaming twin IS
+    sessionize_stream keyed on a composite (user, type) key with
+    gap=600: every finalized stream session must map 1:1 onto a batch
+    burst (same ordinal, same start, n_suppressed = n_events - 1).
+    Sentinel far-future events per key push the watermark so all real
+    bursts finalize."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from lab04_spark_streaming_spark.plans import wave8
+    from lab04_spark_streaming_spark.streaming.state import sessionize_stream
+
+    types = ["view", "click"]
+    gap_s = wave8._DEBOUNCE_GAP_S
+    rows = []
+    eid = 0
+    for user in (1, 2):
+        for ti, etype in enumerate(types):
+            t = T0 + dt.timedelta(minutes=user * 3 + ti)
+            for burst, (n, gap_after) in enumerate(
+                [(3, gap_s + 1), (1, gap_s), (2, gap_s + 900)]
+            ):
+                for i in range(n):
+                    rows.append((eid, t, user, etype, 1.0, "{}"))
+                    eid += 1
+                    t += dt.timedelta(seconds=gap_s)  # exactly-gap: chains
+                t += dt.timedelta(seconds=gap_after - gap_s + gap_s)
+            # sentinel: finalizes every real burst of this key
+            rows.append(
+                (eid, T0 + dt.timedelta(days=1, minutes=eid), user, etype,
+                 1.0, "{}")
+            )
+            eid += 1
+    d = str(tmp_path / "debounce")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+
+    batch = {
+        (r.user_id, r.event_type, r.burst_id): (
+            r.burst_start,
+            r.n_suppressed,
+        )
+        for r in wave8.q_debounce_keep_first(spark, d).collect()
+    }
+
+    ckey_schema = StructType(
+        [
+            StructField("ckey", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+        ]
+    )
+    src = str(tmp_path / "debounce_stream")
+    spark.createDataFrame(
+        [
+            (r[2] * 8 + types.index(r[3]), r[1], r[0])
+            for r in rows
+        ],
+        ckey_schema,
+    ).coalesce(1).write.parquet(src)
+    stream = file_stream(spark, src, ckey_schema)
+    out = sessionize_stream(stream, "ts", "ckey", gap_s=gap_s)
+    memory_sink_once(out, "debounce_out", "append")
+    streamed = {}
+    for r in spark.table("debounce_out").collect():
+        user, ti = divmod(r.user_id, 8)
+        streamed[(user, types[ti], r.session_id)] = (
+            r.session_start,
+            r.n_events - 1,
+        )
+    # every real (non-sentinel) batch burst must be emitted identically;
+    # sentinel bursts are the lone trailing burst per key.
+    real = {
+        k: v
+        for k, v in batch.items()
+        if v[0] < T0 + dt.timedelta(days=1)
+    }
+    assert real, "fixture produced no real bursts"
+    for k, v in real.items():
+        assert k in streamed, k
+        assert streamed[k] == v, (k, v, streamed[k])
+
+
 def test_kafka_source_options_contract():
     """Broker-free contract test (VERDICT r5 item 2): the options the
     builder passes to the Kafka reader must equal the reference's
