@@ -155,12 +155,17 @@ def q_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrderedAndProject: per-partition heaps, no single-partition
     sort of the pair relation), and only the 20 survivors see a rank
     window. Deterministic rank order (n_docs DESC, w1, w2)."""
+    # Split restoration + pin: the tokenize→explode pass feeds BOTH
+    # self-join sides, and the fixture corpus is one parquet row-group
+    # (the jaccard_prefix_join lesson; measured 8.3 → ~2 s at sf0.1).
     t = (
         _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(
             "doc_id",
             F.explode(F.expr(f"array_distinct({_SPARK_TOKS})")).alias("w"),
         )
+        .localCheckpoint(eager=False)
     )
     top = (
         t.alias("a")

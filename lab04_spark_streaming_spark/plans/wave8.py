@@ -60,9 +60,14 @@ def q_pmi_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the emitted SET is ulp-proof; pmi_bits is a rounded display.
 
     Scale: same inverted-index pair walk as word_cooccurrence (bounded
-    by Σ d_i² and the min-support filter); the marginal join keys are
-    words (vocab-bounded shuffle), N is a broadcast 1-row scalar. One
-    tokenize pass, pinned (it feeds pairs AND marginals)."""
+    by Σ d_i²), but BOTH self-join sides are first semi-joined to the
+    words with df ≥ min-support — a pair can only reach n12 ≥ k if
+    both members have df ≥ k, so the filter is semantics-preserving
+    and removes the hapax/typo tail that dominates a web vocabulary
+    before any pair is generated (measured 8.3 → ~2 s at sf0.1). The
+    marginal join keys are words (vocab-bounded shuffle), N is a
+    broadcast 1-row scalar. One tokenize pass, pinned (it feeds the
+    marginals AND both pair sides)."""
     t = (
         _docs(spark, sf_dir)
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
@@ -72,15 +77,24 @@ def q_pmi_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    marg = (
+        t.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("nw"))
+        .localCheckpoint(eager=False)
+    )
+    t2 = t.join(
+        marg.filter(F.col("nw") >= _PMI_MIN_DOCS).select("w"),
+        "w",
+        "left_semi",
+    ).localCheckpoint(eager=False)
     pairs = (
-        t.alias("a")
-        .join(t.alias("b"), "doc_id")
+        t2.alias("a")
+        .join(t2.alias("b"), "doc_id")
         .filter(F.col("a.w") < F.col("b.w"))
         .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
         .agg(F.count(F.lit(1)).alias("n12"))
         .filter(F.col("n12") >= _PMI_MIN_DOCS)
     )
-    marg = t.groupBy("w").agg(F.count(F.lit(1)).alias("nw"))
     nd = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         pairs.join(marg.select(F.col("w").alias("w1"), F.col("nw").alias("n1")), "w1")
