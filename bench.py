@@ -50,6 +50,10 @@ HEADLINE = [
     # the basket self-join (pair fan-out + marginals + top-k).
     "source_kl_divergence",
     "copurchase_lift",
+    # r8 wave: the df-prefiltered document pair walk (PMI) and the
+    # boundary-replicated day-partitioned concurrency windows.
+    "pmi_word_pairs",
+    "concurrent_active_30m",
 ]
 
 
