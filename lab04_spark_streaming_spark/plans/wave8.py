@@ -393,8 +393,17 @@ def q_mixing_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("tot_chars"),
         F.sum(F.sqrt(F.col("n_chars").cast("double"))).alias("tot_sqrt"),
     )
-    w_nat = F.col("n_chars").cast("double") / F.col("tot_chars")
-    w_tmp = F.sqrt(F.col("n_chars").cast("double")) / F.col("tot_sqrt")
+    # Degenerate-corpus guards: an all-empty corpus has tot_chars =
+    # tot_sqrt = 0 (weights undefined → NULL); a zero-char source has
+    # w_natural = w_temperature = 0 and boost 0/0 → NULL.
+    w_nat = F.when(
+        F.col("tot_chars") == 0, F.lit(None).cast("double")
+    ).otherwise(F.col("n_chars").cast("double") / F.col("tot_chars"))
+    w_tmp = F.when(
+        F.col("tot_sqrt") == 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.sqrt(F.col("n_chars").cast("double")) / F.col("tot_sqrt")
+    )
     return (
         per.crossJoin(F.broadcast(tot))
         .select(
@@ -403,7 +412,12 @@ def q_mixing_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             stable_round(w_nat, 6).alias("w_natural"),
             stable_round(w_tmp, 6).alias("w_temperature"),
-            stable_round(w_tmp / w_nat, 4).alias("boost"),
+            F.when(
+                (F.col("n_chars") == 0) | (F.col("tot_chars") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(stable_round(w_tmp / w_nat, 4))
+            .alias("boost"),
         )
     )
 
@@ -420,13 +434,17 @@ tot AS (
   FROM per
 )
 SELECT source, n_docs, n_chars,
+       CASE WHEN tot_chars = 0 THEN NULL ELSE
        {sql_stable_round("CAST(n_chars AS DOUBLE) / tot_chars", 6)}
-         AS w_natural,
+       END AS w_natural,
+       CASE WHEN tot_sqrt = 0 THEN NULL ELSE
        {sql_stable_round("sqrt(CAST(n_chars AS DOUBLE)) / tot_sqrt", 6)}
-         AS w_temperature,
+       END AS w_temperature,
+       CASE WHEN n_chars = 0 OR tot_chars = 0 THEN NULL ELSE
        {sql_stable_round(
            "(sqrt(CAST(n_chars AS DOUBLE)) / tot_sqrt)"
-           " / (CAST(n_chars AS DOUBLE) / tot_chars)", 4)} AS boost
+           " / (CAST(n_chars AS DOUBLE) / tot_chars)", 4)}
+       END AS boost
 FROM per CROSS JOIN tot
 """
 

@@ -17,7 +17,7 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from lab04_spark_streaming_spark.plans import llm, wave7
+from lab04_spark_streaming_spark.plans import llm, wave7, wave8
 from tests.oracle_harness import compare_query
 
 # Mix of scripts, digits, punctuation, whitespace — and '' docs.
@@ -44,6 +44,14 @@ _PROP_QUERIES = [
     (wave7.q_bpe_encode_apply, wave7.SQL_BPE_ENCODE_APPLY),
     (wave7.q_vocab_novelty_snapshot, wave7.SQL_VOCAB_NOVELTY),
     (wave7.q_cross_source_duplication, wave7.SQL_CROSS_SOURCE_DUPLICATION),
+    # r8 wave: association/selection queries — the membership tests are
+    # integer, but empty docs, hapax-only vocabularies, single-source
+    # degenerate splits and all-equal frequencies (zero Zipf variance)
+    # are exactly the guard paths worth fuzzing.
+    (wave8.q_pmi_word_pairs, wave8.SQL_PMI_WORD_PAIRS),
+    (wave8.q_chi2_terms_by_source, wave8.SQL_CHI2_TERMS),
+    (wave8.q_zipf_slope_by_source, wave8.SQL_ZIPF_SLOPE),
+    (wave8.q_mixing_weights_temperature, wave8.SQL_MIXING_WEIGHTS),
 ]
 
 
@@ -55,7 +63,11 @@ _PROP_QUERIES = [
 @given(corpus=_CORPUS)
 def test_random_corpus_cross_engine_parity(spark, tmp_path_factory, corpus):
     d = str(tmp_path_factory.mktemp("propdocs"))
-    rows = [(i, t, "en", "src", len(t)) for i, t in enumerate(corpus)]
+    # two sources: exercises the per-source splits (chi2, KL, mixing)
+    # and the cross-source queries with a non-degenerate catalog
+    rows = [
+        (i, t, "en", f"s{i % 2}", len(t)) for i, t in enumerate(corpus)
+    ]
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -194,6 +206,13 @@ def test_random_events_timeseries_cross_engine_parity(
                 wave7.q_stats_rollup_incremental,
                 wave7.SQL_STATS_ROLLUP_INCREMENTAL,
             ),
+            # r8: the temporal-coverage layer — duplicate timestamps,
+            # exact gap boundaries and single-event users are the
+            # chain/island/grid edge cases.
+            (wave8.q_debounce_keep_first, wave8.SQL_DEBOUNCE),
+            (wave8.q_interval_union_time, wave8.SQL_INTERVAL_UNION),
+            (wave8.q_concurrent_active_30m, wave8.SQL_CONCURRENT_ACTIVE),
+            (wave8.q_missing_hours_by_type, wave8.SQL_MISSING_HOURS),
         ]:
             compare_query(spark, con, fn, sql, d)
     finally:
