@@ -553,6 +553,39 @@ c1 AS (
   GROUP BY 1, 2
 )"""
 
+# Shared continuation: assign every vector to its 2-round cell (d2/a2),
+# then exact integer-grid cosines for every within-cell pair — the ONE
+# SQL mirror of operators/similarity.cell_pair_cosines, composed by the
+# contrastive-pairs (plans/mining.py) and hard-negative (plans/wave8.py)
+# oracles so the verified fragment cannot drift between them.
+_SQL_CELL_COSPAIRS = _SQL_KMEANS_C1 + """,
+d2 AS (
+  SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dist
+  FROM pos p JOIN c1 c ON p.pos = c.pos
+  GROUP BY 1, 2
+),
+a2 AS (
+  SELECT vec_id, cid AS kcluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1
+),
+norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM pos GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
+  FROM (SELECT p.*, s.kcluster FROM pos p JOIN a2 s ON p.vec_id = s.vec_id) a
+  JOIN (SELECT p.*, s.kcluster FROM pos p JOIN a2 s ON p.vec_id = s.vec_id) b
+    ON a.pos = b.pos AND a.kcluster = b.kcluster AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+cospairs AS (
+  SELECT id_a, id_b,
+         dot / (sqrt(x.n2) * sqrt(y.n2)) AS cos
+  FROM dots
+  JOIN norms x ON x.vec_id = id_a
+  JOIN norms y ON y.vec_id = id_b
+)"""
+
 SQL_KMEANS_CLUSTERS = f"""
 WITH {_SQL_KMEANS_C1},
 d2 AS (

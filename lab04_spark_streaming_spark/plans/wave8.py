@@ -457,15 +457,21 @@ def q_concurrent_active_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrency per (event_type, hour): how many events of the
     type were inside their 30-minute activity window at once (max over
     the hour) — the capacity-planning twin of rolling_active_users.
-    Concurrency at each event is a trailing RANGE count; the max of a
-    step function over an hour is attained at one of its events.
+    Concurrency is a trailing RANGE count over an is-event indicator.
+    The count step function rises only at events and the hour's true
+    max can also sit at the HOUR START (activity carried from the
+    previous hour), so each (type, day) contributes 24 zero-weight
+    PROBE rows that sample the count at every hour boundary — max over
+    {probes ∪ events} is exact, and hours whose whole activity is
+    carried in appear with n_events = 0 rather than vanishing.
 
     Scale: the window is partitioned by (event_type, DAY), not by type
     alone — the 100×-safe layout. Cross-midnight correctness comes
     from BOUNDARY REPLICATION: events in the last 30 min of each day
     are copied into the next day's partition as carry rows that feed
-    the trailing counts but are filtered before output. Day tasks are
-    independent; no unbounded timeline ever sits in one task."""
+    the trailing counts but never emit. Probes are 24 rows per
+    (type, day) from a distinct aggregate, never per-event. Day tasks
+    are independent; no unbounded timeline ever sits in one task."""
     ev = _events(spark, sf_dir).select(
         "event_type",
         F.col("ts").cast("long").alias("ep"),
@@ -473,6 +479,8 @@ def q_concurrent_active_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
     )
     nxt = F.date_add(F.col("day"), 1)
+    # carries COUNT (they are real previous-day events still active
+    # after midnight) but never emit.
     carry = ev.filter(
         F.col("ep") >= F.unix_timestamp(nxt.cast("timestamp")) - _ACTIVE_WINDOW_S
     ).select(
@@ -480,16 +488,48 @@ def q_concurrent_active_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ep",
         nxt.alias("day"),
         "ts",
-        F.lit(1).alias("carry"),
+        F.lit(1).alias("is_event"),
+        F.lit(0).alias("emit"),
     )
-    un = ev.withColumn("carry", F.lit(0)).unionByName(carry)
+    # probe days: event days AND carry-target days (a day with zero
+    # events can still open with carried activity in hour 00)
+    probes = (
+        ev.select("event_type", "day")
+        .unionByName(carry.select("event_type", "day"))
+        .distinct()
+        .select(
+            "event_type",
+            "day",
+            F.explode(
+                F.expr(
+                    "sequence(cast(day as timestamp), "
+                    "cast(day as timestamp) + interval 23 hours, "
+                    "interval 1 hour)"
+                )
+            ).alias("ts"),
+        )
+        .select(
+            "event_type",
+            F.col("ts").cast("long").alias("ep"),
+            "day",
+            "ts",
+            F.lit(0).alias("is_event"),
+            F.lit(1).alias("emit"),
+        )
+    )
+    un = (
+        ev.withColumn("is_event", F.lit(1))
+        .withColumn("emit", F.lit(1))
+        .unionByName(carry)
+        .unionByName(probes)
+    )
     w = (
         Window.partitionBy("event_type", "day")
         .orderBy("ep")
         .rangeBetween(-_ACTIVE_WINDOW_S, 0)
     )
-    act = un.withColumn("conc", F.count(F.lit(1)).over(w)).filter(
-        F.col("carry") == 0
+    act = un.withColumn("conc", F.sum("is_event").over(w)).filter(
+        F.col("emit") == 1
     )
     return (
         act.groupBy(
@@ -497,37 +537,51 @@ def q_concurrent_active_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.max("conc").alias("peak_concurrency"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_event").alias("n_events"),
         )
+        .filter(F.col("peak_concurrency") > 0)
     )
 
 
 SQL_CONCURRENT_ACTIVE = f"""
 WITH ev AS (
   SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
-         CAST(ts AS DATE) AS day, ts, 0 AS carry
+         CAST(ts AS DATE) AS day, ts, 1 AS is_event, 1 AS emit
   FROM events
 ),
 cr AS (
-  SELECT event_type, ep, day + INTERVAL 1 DAY AS day, ts, 1 AS carry
+  SELECT event_type, ep, day + INTERVAL 1 DAY AS day, ts,
+         1 AS is_event, 0 AS emit
   FROM ev
   WHERE ep >= CAST(floor(epoch(CAST(day + INTERVAL 1 DAY AS TIMESTAMP)))
               AS BIGINT) - {_ACTIVE_WINDOW_S}
 ),
-un AS (SELECT * FROM ev UNION ALL SELECT * FROM cr),
+pr AS (
+  SELECT d.event_type, CAST(floor(epoch(g.hr)) AS BIGINT) AS ep, d.day,
+         g.hr AS ts, 0 AS is_event, 1 AS emit
+  FROM (SELECT DISTINCT event_type, day FROM ev
+        UNION SELECT DISTINCT event_type, day FROM cr) d,
+       unnest(generate_series(CAST(d.day AS TIMESTAMP),
+                              CAST(d.day AS TIMESTAMP) + INTERVAL 23 HOUR,
+                              INTERVAL 1 HOUR)) g(hr)
+),
+un AS (
+  SELECT * FROM ev UNION ALL SELECT * FROM cr UNION ALL SELECT * FROM pr
+),
 act AS (
-  SELECT event_type, ts,
-         COUNT(*) OVER (
+  SELECT event_type, ts, is_event, emit,
+         CAST(SUM(is_event) OVER (
            PARTITION BY event_type, day ORDER BY ep
            RANGE BETWEEN {_ACTIVE_WINDOW_S} PRECEDING AND CURRENT ROW
-         ) AS conc,
-         carry
+         ) AS BIGINT) AS conc
   FROM un
 )
 SELECT event_type, date_trunc('hour', ts) AS hour,
-       MAX(conc) AS peak_concurrency, COUNT(*) AS n_events
-FROM act WHERE carry = 0
+       MAX(conc) AS peak_concurrency,
+       CAST(SUM(is_event) AS BIGINT) AS n_events
+FROM act WHERE emit = 1
 GROUP BY 1, 2
+HAVING MAX(conc) > 0
 """
 
 
@@ -553,7 +607,6 @@ def q_missing_hours_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = span.select(
         "event_type",
-        "n_observed",
         F.explode(
             F.expr("sequence(h0, h1, interval 1 hour)")
         ).alias("hr"),
@@ -741,37 +794,15 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_hard_negative() -> str:
+    # Composes the SAME verified kmeans-cell + within-cell-cosine SQL
+    # fragment as the contrastive-pairs oracle (single source of truth
+    # in pipeline_extras — the two oracles cannot drift apart).
     from lab04_spark_streaming_spark.plans.pipeline_extras import (
-        _SQL_KMEANS_C1,
+        _SQL_CELL_COSPAIRS,
     )
 
     return f"""
-WITH {_SQL_KMEANS_C1},
-d2 AS (
-  SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dist
-  FROM pos p JOIN c1 c ON p.pos = c.pos
-  GROUP BY 1, 2
-),
-a2 AS (
-  SELECT vec_id, cid AS kcluster FROM (
-    SELECT vec_id, cid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-    FROM d2) WHERE rn = 1
-),
-norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM pos GROUP BY vec_id),
-dots AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
-  FROM (SELECT p.*, s.kcluster FROM pos p JOIN a2 s ON p.vec_id = s.vec_id) a
-  JOIN (SELECT p.*, s.kcluster FROM pos p JOIN a2 s ON p.vec_id = s.vec_id) b
-    ON a.pos = b.pos AND a.kcluster = b.kcluster AND a.vec_id < b.vec_id
-  GROUP BY 1, 2
-),
-cospairs AS (
-  SELECT id_a, id_b, dot / (sqrt(x.n2) * sqrt(y.n2)) AS cos
-  FROM dots
-  JOIN norms x ON x.vec_id = id_a
-  JOIN norms y ON y.vec_id = id_b
-),
+WITH {_SQL_CELL_COSPAIRS},
 sym AS (
   SELECT id_a AS anchor, id_b AS other, cos FROM cospairs
   UNION ALL

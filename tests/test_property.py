@@ -466,3 +466,66 @@ def test_stats_rollup_merge_path_on_straddling_hour(
     n_post = sum(1 for r in rows if r[1] >= cut and r[3] == "view")
     assert hour == cut.replace(minute=0, second=0, microsecond=0)
     assert n_pre >= 1 and n_post >= 1
+
+
+# --- concurrency: carried-over hour peaks (code-review r8 finding) ----------
+def test_concurrent_active_carried_hour_peak(spark, tmp_path_factory):
+    """An hour whose peak concurrency is CARRIED from the previous
+    hour's events (review scenario: a burst at 00:50-00:59, one lone
+    event at 01:45) must report the carried peak via the hour-start
+    probe rows — and hours that have no events but live carried
+    activity must appear with n_events = 0. Oracle: brute-force step
+    function evaluated at every event time and hour boundary."""
+    from lab04_spark_streaming_spark.plans import wave8
+
+    W = wave8._ACTIVE_WINDOW_S
+    base = dt.datetime(2024, 3, 5, 0, 50, 0)
+    evs = [base + dt.timedelta(seconds=30 * i) for i in range(10)]
+    evs.append(dt.datetime(2024, 3, 5, 1, 45, 0))
+    # cross-midnight carry case too: 23:55 burst -> 00:xx next day
+    evs += [
+        dt.datetime(2024, 3, 6, 23, 55, 0) + dt.timedelta(seconds=60 * i)
+        for i in range(4)
+    ]
+    rows = [
+        (i, t, 1, "view", 1.0, "{}") for i, t in enumerate(evs)
+    ]
+    d = str(tmp_path_factory.mktemp("concpeak"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    got = {
+        (r.hour, ): (r.peak_concurrency, r.n_events)
+        for r in wave8.q_concurrent_active_30m(spark, d).collect()
+    }
+
+    # brute force: closed activity interval [t, t+W]; sample at every
+    # event time and hour start
+    eps = sorted(int(t.timestamp()) for t in evs)
+
+    def conc_at(s):
+        return sum(1 for e in eps if e <= s <= e + W)
+
+    hours = sorted({e - e % 3600 for e in eps} | {
+        h
+        for e in eps
+        for h in range(e - e % 3600, e + W + 3600, 3600)
+    })
+    expected = {}
+    for h in hours:
+        samples = [conc_at(h)] + [
+            conc_at(e) for e in eps if h <= e < h + 3600
+        ]
+        peak = max(samples)
+        n_ev = sum(1 for e in eps if h <= e < h + 3600)
+        if peak > 0:
+            expected[(dt.datetime.utcfromtimestamp(h),)] = (peak, n_ev)
+    assert got == expected
+    # the named review scenario: hour 01:00 carries the 10-burst peak
+    assert got[(dt.datetime(2024, 3, 5, 1, 0),)][0] >= 10
+    # cross-midnight: 00:00 hour next day carries the 23:55 burst
+    assert (dt.datetime(2024, 3, 7, 0, 0),) in got

@@ -547,7 +547,11 @@ def test_debounce_stream_twin_matches_batch(spark, tmp_path):
                     rows.append((eid, t, user, etype, 1.0, "{}"))
                     eid += 1
                     t += dt.timedelta(seconds=gap_s)  # exactly-gap: chains
-                t += dt.timedelta(seconds=gap_after - gap_s + gap_s)
+                # inner loop already advanced t by gap_s past the last
+                # event, so add only the remainder: the real inter-burst
+                # gap becomes gap_after exactly (gap_after == gap_s then
+                # CHAINS across the burst groups — the boundary case).
+                t += dt.timedelta(seconds=gap_after - gap_s)
             # sentinel: finalizes every real burst of this key
             rows.append(
                 (eid, T0 + dt.timedelta(days=1, minutes=eid), user, etype,
