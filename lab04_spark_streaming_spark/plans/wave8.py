@@ -1012,6 +1012,190 @@ FROM per_island GROUP BY 1
 """
 
 
+# --- tokenizer vocabulary coverage curve ------------------------------------
+_COVERAGE_KS = (100, 1000)
+
+
+def q_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer budget diagnostic: the fraction of total token volume
+    covered by the k most frequent words (k = 100, 1000) — the curve
+    that sizes a vocabulary before BPE training. Exact integer counts;
+    coverage is one division of exact BIGINTs; the only global order
+    is orderBy().limit(1000) (TakeOrderedAndProject) and the rank
+    window then sees just the 1000 survivors.
+
+    Scale: vocab-bounded count relation, per-partition top-k heaps, a
+    broadcast 1-row total. Never a global sort of the vocabulary."""
+    tc = (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(F.explode(F.expr(_SPARK_TOKS)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = tc.agg(
+        # empty vocabulary (all-empty corpus): 0, not NULL
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_total_tokens"),
+        F.count(F.lit(1)).alias("n_vocab"),
+    )
+    kmax = max(_COVERAGE_KS)
+    top = tc.orderBy(F.desc("c"), "w").limit(kmax)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("c"), "w"))
+    )
+    cov = ranked.agg(
+        *[
+            F.sum(F.when(F.col("rank") <= k, F.col("c")).otherwise(0)).alias(
+                f"_cov{k}"
+            )
+            for k in _COVERAGE_KS
+        ]
+    )
+    stacked = cov.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.col(f"_cov{k}").alias("covered_tokens"),
+                    )
+                    for k in _COVERAGE_KS
+                ]
+            )
+        ).alias("s")
+    ).select("s.k", "s.covered_tokens")
+    return (
+        stacked.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_vocab",
+            "n_total_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.when(
+                F.col("n_total_tokens") == 0, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.col("n_total_tokens")
+            )
+            .alias("coverage"),
+        )
+    )
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH tc AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_total_tokens,
+         COUNT(*) AS n_vocab
+  FROM tc
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank FROM tc
+),
+cov AS (
+  SELECT k.k,
+         CAST(COALESCE(SUM(CASE WHEN r.rank <= k.k THEN r.c END), 0)
+              AS BIGINT) AS covered_tokens
+  FROM (VALUES {", ".join(f"({k})" for k in _COVERAGE_KS)}) k(k)
+  LEFT JOIN ranked r ON r.rank <= {max(_COVERAGE_KS)}
+  GROUP BY 1
+)
+SELECT cov.k, tot.n_vocab, tot.n_total_tokens, cov.covered_tokens,
+       CASE WHEN tot.n_total_tokens = 0 THEN NULL
+            ELSE CAST(cov.covered_tokens AS DOUBLE) / tot.n_total_tokens
+       END AS coverage
+FROM cov CROSS JOIN tot
+"""
+
+
+# --- deseasonalized outliers -------------------------------------------------
+def q_deseasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly profile: residuals against each
+    (type, hour-of-day) mean, flagged against the per-type p99 of
+    |residual| — composes seasonal_factors' moment grid with
+    mad_outliers' robust-threshold shape (a raw z-score would let the
+    daily cycle masquerade as anomalies). The hod means are exact
+    decimal moments → identical doubles; each residual is one IEEE
+    subtraction; the p99 threshold interpolates identical double
+    multisets in both engines (the mad_outliers precedent), so the
+    flag comparison is bit-deterministic.
+
+    Scale: (type, hod) grid is broadcast; two grouped percentile
+    passes on the type key. No windows."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.hour("ts").alias("hod"), "value"
+    )
+    hm = ev.groupBy("event_type", "hod").agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("hod_mean")
+    )
+    resid = ev.join(F.broadcast(hm), ["event_type", "hod"]).select(
+        "event_type",
+        F.abs(F.col("value") - F.col("hod_mean")).alias("a"),
+    )
+    thr = resid.groupBy("event_type").agg(
+        F.expr("percentile(a, 0.99)").alias("p99_abs_resid"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        resid.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("p99_abs_resid").alias("p99_abs_resid"),
+            F.sum(
+                F.when(F.col("a") > F.col("p99_abs_resid"), 1).otherwise(0)
+            ).alias("n_beyond"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "p99_abs_resid",
+            "n_beyond",
+            (F.col("n_beyond").cast("double") / F.col("n")).alias(
+                "beyond_frac"
+            ),
+        )
+    )
+
+
+SQL_DESEASONAL_OUTLIERS = """
+WITH base AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hod, value FROM events
+),
+hm AS (
+  SELECT event_type, hod,
+         CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*)
+           AS hod_mean
+  FROM base GROUP BY 1, 2
+),
+resid AS (
+  SELECT b.event_type, abs(b.value - h.hod_mean) AS a
+  FROM base b JOIN hm h ON h.event_type = b.event_type AND h.hod = b.hod
+),
+thr AS (
+  SELECT event_type, quantile_cont(a, 0.99) AS p99_abs_resid,
+         COUNT(*) AS n
+  FROM resid GROUP BY 1
+)
+SELECT r.event_type, t.n, t.p99_abs_resid,
+       CAST(SUM(CASE WHEN r.a > t.p99_abs_resid THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_beyond,
+       CAST(SUM(CASE WHEN r.a > t.p99_abs_resid THEN 1 ELSE 0 END)
+            AS DOUBLE) / t.n AS beyond_frac
+FROM resid r JOIN thr t ON t.event_type = r.event_type
+GROUP BY r.event_type, t.n, t.p99_abs_resid
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -1051,5 +1235,13 @@ def specs():
         QuerySpec("debounce_keep_first", q_debounce_keep_first, SQL_DEBOUNCE),
         QuerySpec(
             "interval_union_time", q_interval_union_time, SQL_INTERVAL_UNION
+        ),
+        QuerySpec(
+            "vocab_coverage_topk", q_vocab_coverage_topk, SQL_VOCAB_COVERAGE
+        ),
+        QuerySpec(
+            "deseasonal_outliers",
+            q_deseasonal_outliers,
+            SQL_DESEASONAL_OUTLIERS,
         ),
     ]

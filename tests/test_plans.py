@@ -775,6 +775,10 @@ def test_r7_unbounded_rank_window_allowlist():
             "copurchase rank: 20 survivors; skyline chunk-carry: "
             "n_chunks rows (fixed price domain / chunk width)",
         ),
+        "plans/wave8.py": (
+            1,
+            "vocab coverage rank: 1000 orderBy+limit survivors",
+        ),
     }
     for py in root.rglob("*.py"):
         rel = str(py.relative_to(root))
@@ -917,6 +921,7 @@ def test_all_registered_queries_plan_hygiene(spark, sf_dir):
         # totals) broadcast into vocab- or |labels|-bounded relations
         "pmi_word_pairs", "chi2_terms_by_source",
         "mixing_weights_temperature", "class_balance_weights",
+        "vocab_coverage_topk",
     }
     offenders = []
     for s in all_specs():

@@ -52,6 +52,7 @@ _PROP_QUERIES = [
     (wave8.q_chi2_terms_by_source, wave8.SQL_CHI2_TERMS),
     (wave8.q_zipf_slope_by_source, wave8.SQL_ZIPF_SLOPE),
     (wave8.q_mixing_weights_temperature, wave8.SQL_MIXING_WEIGHTS),
+    (wave8.q_vocab_coverage_topk, wave8.SQL_VOCAB_COVERAGE),
 ]
 
 
@@ -213,6 +214,7 @@ def test_random_events_timeseries_cross_engine_parity(
             (wave8.q_interval_union_time, wave8.SQL_INTERVAL_UNION),
             (wave8.q_concurrent_active_30m, wave8.SQL_CONCURRENT_ACTIVE),
             (wave8.q_missing_hours_by_type, wave8.SQL_MISSING_HOURS),
+            (wave8.q_deseasonal_outliers, wave8.SQL_DESEASONAL_OUTLIERS),
         ]:
             compare_query(spark, con, fn, sql, d)
     finally:
