@@ -168,3 +168,71 @@ def compact_parquet(
     df = spark.read.parquet(path)
     df.repartition(n_out).write.mode("overwrite").parquet(out_path)
     return n_out
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+):
+    """JSON-lines ingestion with corrupt-record QUARANTINE — the
+    landing-zone reader a production feed needs: explicit schema (no
+    inference pass over 100 TB), PERMISSIVE parse, and the raw line of
+    every unparseable record preserved in ``corrupt_col``. Returns
+    (good, quarantined): ``good`` drops the corrupt column; callers
+    route ``quarantined`` to a dead-letter sink instead of silently
+    losing rows (or crashing the whole scan, FAILFAST-style).
+
+    Scale: a TEXT scan + ``from_json`` per branch — line-splittable
+    like any text source, and deliberately NOT the raw
+    ``spark.read.json`` corrupt-column route, which cannot be filtered
+    on the corrupt column without materializing the whole parse first
+    (SPARK-26108 / QUERY_ONLY_CORRUPT_RECORD_COLUMN). Both branches
+    share ONE corruption definition (the PERMISSIVE parser's corrupt
+    field), so every input line lands in exactly one output."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    full = StructType(
+        list(schema.fields) + [StructField(corrupt_col, StringType())]
+    )
+    parsed = spark.read.text(path).select(
+        F.col("value"),
+        F.from_json(
+            F.col("value"),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ).alias("_j"),
+    )
+    good = (
+        parsed.filter(F.col(f"_j.{corrupt_col}").isNull())
+        .select("_j.*")
+        .drop(corrupt_col)
+    )
+    quarantined = parsed.filter(
+        F.col(f"_j.{corrupt_col}").isNotNull()
+    ).select(F.col("value").alias("raw_line"))
+    return good, quarantined
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema,
+    header: bool = True,
+    delimiter: str = ",",
+    ts_format: str | None = None,
+):
+    """CSV ingestion with an explicit schema — no inference job, no
+    type drift between files. Timestamps parse with ``ts_format`` when
+    the feed uses a non-ISO layout. Malformed rows surface as NULLs in
+    their typed columns (PERMISSIVE), keeping the scan splittable."""
+    r = (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+    )
+    if ts_format:
+        r = r.option("timestampFormat", ts_format)
+    return r.csv(path)

@@ -147,6 +147,99 @@ def test_zorder_layout_narrows_file_stats(spark, sf_dir, tmp_path):
     assert z_tspan < 31 * 86400
 
 
+def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
+    """read_jsonl must parse good lines against the explicit schema and
+    QUARANTINE corrupt ones with their raw text — never drop rows
+    silently, never fail the scan (the dead-letter landing-zone
+    contract)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from lab04_spark_streaming_spark.sources.files import read_jsonl
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                '{"id": 1, "sym": "BTC", "px": 67000.5}',
+                '{"id": 2, "sym": "ETH", "px": 3500.25}',
+                '{"id": 3, "sym": "SOL" "px": 150.0}',  # missing comma
+                "not json at all",
+                '{"id": 4, "sym": "ADA", "px": 0.5}',
+            ]
+        )
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("sym", StringType()),
+            StructField("px", DoubleType()),
+        ]
+    )
+    good, bad = read_jsonl(spark, str(p), schema)
+    got = {(r.id, r.sym, r.px) for r in good.collect()}
+    assert got == {
+        (1, "BTC", 67000.5),
+        (2, "ETH", 3500.25),
+        (4, "ADA", 0.5),
+    }
+    raw = {r.raw_line for r in bad.collect()}
+    assert raw == {
+        '{"id": 3, "sym": "SOL" "px": 150.0}',
+        "not json at all",
+    }
+    assert good.columns == ["id", "sym", "px"]  # corrupt col dropped
+
+
+def test_csv_reader_round_trip_with_ts_format(spark, tmp_path):
+    """read_csv with an explicit schema + custom timestampFormat must
+    round-trip typed rows exactly (no inference job, no type drift)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from lab04_spark_streaming_spark.sources.files import read_csv
+
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "id|ts|sym|px\n"
+        "1|05/03/2024 14:30:00|BTC|67000.5\n"
+        "2|05/03/2024 14:30:10|ETH|3500.25\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("sym", StringType()),
+            StructField("px", DoubleType()),
+        ]
+    )
+    df = read_csv(
+        spark,
+        str(p),
+        schema,
+        delimiter="|",
+        ts_format="dd/MM/yyyy HH:mm:ss",
+    )
+    got = {(r.id, r.ts, r.sym, r.px) for r in df.collect()}
+    import datetime as _dt
+
+    assert got == {
+        (1, _dt.datetime(2024, 3, 5, 14, 30, 0), "BTC", 67000.5),
+        (2, _dt.datetime(2024, 3, 5, 14, 30, 10), "ETH", 3500.25),
+    }
+
+
 def test_compaction_small_files(spark, sf_dir, tmp_path):
     """64 tiny part files compact to the planned ceil(total/target)
     count with identical content — the per-directory maintenance unit
