@@ -1196,6 +1196,151 @@ GROUP BY r.event_type, t.n, t.p99_abs_resid
 """
 
 
+# --- k-anonymity audit -------------------------------------------------------
+_K_ANON = 5
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before a data release: group sizes under the
+    quasi-identifier (nation, market segment) — any group smaller than
+    k = 5 is re-identifiable and must be suppressed or generalized
+    (the k-anonymity criterion; the governance sibling of pii_scrub).
+    Pure integer counts, one grouped aggregate.
+
+    Scale: one shuffle on the bounded quasi-identifier key space."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            (F.col("n") < _K_ANON).alias("at_risk"),
+        )
+    )
+
+
+SQL_K_ANONYMITY = f"""
+SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+       COUNT(*) < {_K_ANON} AS at_risk
+FROM customer
+GROUP BY 1, 2
+"""
+
+
+# --- kNN label-noise detection ----------------------------------------------
+def q_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screening for supervised corpora: each vector's
+    agreement with its k-means-cell neighbours' labels — a vector
+    whose neighbourhood overwhelmingly disagrees is a likely
+    mislabel (neighborhood-voting cleanup, cf. Confident Learning,
+    Northcutt 2021). Reuses the verified cell-pair machinery; the
+    agreement fraction is one division of exact counts; suspects are
+    agreement < 0.5 with >= 3 neighbours (integer-threshold test,
+    2·n_same < n_neighbors — ulp-proof).
+
+    Scale: Σ|cell|²·d pair work, label join on vec_id, one grouped
+    aggregate per anchor. No windows."""
+    from lab04_spark_streaming_spark.operators.similarity import (
+        cell_pair_cosines,
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = (
+        kmeans_assign(emb, k=8, iters=2)
+        .select("vec_id", F.col("cluster").alias("kcluster"))
+        .localCheckpoint(eager=False)
+    )
+    pairs = cell_pair_cosines(emb, assign).localCheckpoint(eager=False)
+    labels = emb.select("vec_id", F.col("label").cast("int").alias("label"))
+    sym = pairs.select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("other")
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("anchor"), F.col("id_a").alias("other")
+        )
+    )
+    lab_a = labels.select(
+        F.col("vec_id").alias("anchor"), F.col("label").alias("anchor_label")
+    )
+    lab_o = labels.select(
+        F.col("vec_id").alias("other"), F.col("label").alias("other_label")
+    )
+    votes = (
+        sym.join(lab_a, "anchor")
+        .join(lab_o, "other")
+        .groupBy("anchor", "anchor_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum(
+                F.when(
+                    F.col("anchor_label") == F.col("other_label"), 1
+                ).otherwise(0)
+            ).alias("n_same"),
+        )
+    )
+    return (
+        lab_a.join(votes.drop("anchor_label"), "anchor", "left")
+        .select(
+            "anchor",
+            "anchor_label",
+            F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
+            F.coalesce("n_same", F.lit(0)).alias("n_same"),
+            F.when(
+                F.coalesce("n_neighbors", F.lit(0)) == 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.col("n_same").cast("double") / F.col("n_neighbors")
+            )
+            .alias("agreement"),
+            (
+                (F.coalesce("n_neighbors", F.lit(0)) >= 3)
+                & (
+                    F.lit(2) * F.coalesce("n_same", F.lit(0))
+                    < F.coalesce("n_neighbors", F.lit(0))
+                )
+            ).alias("suspect"),
+        )
+    )
+
+
+def _sql_label_noise() -> str:
+    from lab04_spark_streaming_spark.plans.pipeline_extras import (
+        _SQL_CELL_COSPAIRS,
+    )
+
+    return f"""
+WITH {_SQL_CELL_COSPAIRS},
+sym AS (
+  SELECT id_a AS anchor, id_b AS other FROM cospairs
+  UNION ALL
+  SELECT id_b AS anchor, id_a AS other FROM cospairs
+),
+lab AS (SELECT vec_id, CAST(label AS INTEGER) AS label FROM embeddings),
+votes AS (
+  SELECT s.anchor, COUNT(*) AS n_neighbors,
+         CAST(SUM(CASE WHEN la.label = lo.label THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_same
+  FROM sym s
+  JOIN lab la ON la.vec_id = s.anchor
+  JOIN lab lo ON lo.vec_id = s.other
+  GROUP BY 1
+)
+SELECT la.vec_id AS anchor, la.label AS anchor_label,
+       COALESCE(v.n_neighbors, 0) AS n_neighbors,
+       COALESCE(v.n_same, 0) AS n_same,
+       CASE WHEN COALESCE(v.n_neighbors, 0) = 0 THEN NULL
+            ELSE CAST(v.n_same AS DOUBLE) / v.n_neighbors END AS agreement,
+       COALESCE(v.n_neighbors, 0) >= 3
+         AND 2 * COALESCE(v.n_same, 0) < COALESCE(v.n_neighbors, 0)
+         AS suspect
+FROM lab la LEFT JOIN votes v ON v.anchor = la.vec_id
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -1244,4 +1389,8 @@ def specs():
             q_deseasonal_outliers,
             SQL_DESEASONAL_OUTLIERS,
         ),
+        QuerySpec(
+            "k_anonymity_audit", q_k_anonymity_audit, SQL_K_ANONYMITY
+        ),
+        QuerySpec("label_noise_knn", q_label_noise_knn, _sql_label_noise()),
     ]

@@ -274,6 +274,9 @@ def test_random_embeddings_ann_cross_engine_parity(
             "ann_ivf_trained_topk",
             # r7: per-label centroid drift on the same grid
             "embedding_centroid_shift",
+            # r8: label-aware mining over the shared cell-pair fragment
+            "hard_negative_mining",
+            "label_noise_knn",
         ]:
             s = by_name[name]
             compare_query(spark, con, s.fn, s.sql, d)
