@@ -1341,6 +1341,49 @@ FROM lab la LEFT JOIN votes v ON v.anchor = la.vec_id
 """
 
 
+# --- VariantType semi-structured path ----------------------------------------
+def q_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload aggregation through Spark 4's native
+    VariantType (`parse_json` → `variant_get`) — the modern engine
+    path for JSON columns: the payload parses ONCE into a binary
+    variant (shredded, no per-access string re-parse the
+    `get_json_object` route pays; that legacy route is covered by
+    json_map_funcs). Typed extraction then feeds exact integer
+    aggregates.
+
+    Scale: parse + extract are per-row codegen expressions; one
+    bounded-key shuffle. The variant never leaves the plan — only
+    typed scalars are emitted."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("k").alias("n_with_k"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.sum(F.col("k").cast("long")).alias("k_sum"),
+        (
+            F.sum(F.col("k").cast("long")).cast("double") / F.count("k")
+        ).alias("k_avg"),
+    )
+
+
+SQL_PROPS_VARIANT = """
+WITH ev AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_with_k,
+       MIN(k) AS k_min, MAX(k) AS k_max,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       CAST(SUM(k) AS DOUBLE) / COUNT(k) AS k_avg
+FROM ev
+GROUP BY 1
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -1393,4 +1436,7 @@ def specs():
             "k_anonymity_audit", q_k_anonymity_audit, SQL_K_ANONYMITY
         ),
         QuerySpec("label_noise_knn", q_label_noise_knn, _sql_label_noise()),
+        QuerySpec(
+            "props_variant_stats", q_props_variant_stats, SQL_PROPS_VARIANT
+        ),
     ]
