@@ -1384,6 +1384,220 @@ GROUP BY 1
 """
 
 
+# --- A/B test (Welch) --------------------------------------------------------
+def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: users split into two arms by the
+    deterministic assignment user_id % 2, per-user value totals, and
+    Welch's t statistic (unequal variances) between the arms — the
+    standard A/B significance computation, done with exact decimal
+    moments end to end: per-user sums stay DECIMAL into the arm-level
+    sum and sum-of-squares (decimal(15,4)² = decimal(31,8), exact), so
+    the arm moments are order-free and the t/df doubles are identical
+    cross-engine; display at stable_round(4).
+
+    Scale: one shuffle on user, one |arms|-row aggregate."""
+    per_user = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,4)"))
+            .cast("decimal(15,4)")
+            .alias("m")
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "m")
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").cast("double").alias("_s"),
+        F.sum(F.col("m") * F.col("m")).cast("double").alias("_sq"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("_s").alias("sa"),
+        F.col("_sq").alias("qa"),
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("_s").alias("sb"),
+        F.col("_sq").alias("qb"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+    ma = F.col("sa") / F.col("n_a")
+    mb = F.col("sb") / F.col("n_b")
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    se2 = va / F.col("n_a") + vb / F.col("n_b")
+    t = (ma - mb) / F.sqrt(se2)
+    df_w = (se2 * se2) / (
+        (va / F.col("n_a")) * (va / F.col("n_a")) / (F.col("n_a") - 1)
+        + (vb / F.col("n_b")) * (vb / F.col("n_b")) / (F.col("n_b") - 1)
+    )
+    degenerate = (
+        (F.col("n_a") <= 1) | (F.col("n_b") <= 1) | (se2 <= 0)
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        stable_round(ma, 4).alias("mean_a"),
+        stable_round(mb, 4).alias("mean_b"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(stable_round(t, 4))
+        .alias("t_stat"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(stable_round(df_w, 4))
+        .alias("df_welch"),
+    )
+
+
+SQL_AB_TEST_WELCH = f"""
+WITH per_user AS (
+  SELECT user_id % 2 AS arm,
+         CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DECIMAL(15,4)) AS m
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, COUNT(*) AS n, CAST(SUM(m) AS DOUBLE) AS s,
+         CAST(SUM(m * m) AS DOUBLE) AS q
+  FROM per_user GROUP BY 1
+),
+j AS (
+  SELECT a.n AS n_a, a.s AS sa, a.q AS qa,
+         b.n AS n_b, b.s AS sb, b.q AS qb
+  FROM arms a CROSS JOIN arms b
+  WHERE a.arm = 0 AND b.arm = 1
+),
+c AS (
+  SELECT n_a, n_b, sa / n_a AS ma, sb / n_b AS mb,
+         (qa - sa * sa / n_a) / (n_a - 1) AS va,
+         (qb - sb * sb / n_b) / (n_b - 1) AS vb
+  FROM j
+),
+d AS (
+  SELECT *, va / n_a + vb / n_b AS se2 FROM c
+)
+SELECT n_a, n_b,
+       {sql_stable_round("ma", 4)} AS mean_a,
+       {sql_stable_round("mb", 4)} AS mean_b,
+       CASE WHEN n_a <= 1 OR n_b <= 1 OR se2 <= 0 THEN NULL
+            ELSE {sql_stable_round("(ma - mb) / sqrt(se2)", 4)}
+       END AS t_stat,
+       CASE WHEN n_a <= 1 OR n_b <= 1 OR se2 <= 0 THEN NULL
+            ELSE {sql_stable_round(
+                "(se2 * se2) / ((va / n_a) * (va / n_a) / (n_a - 1)"
+                " + (vb / n_b) * (vb / n_b) / (n_b - 1))", 4)}
+       END AS df_welch
+FROM d
+"""
+
+
+# --- CDC apply (latest-op snapshot) ------------------------------------------
+def q_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply — the MERGE-style compaction every
+    lakehouse table maintenance job runs: events are treated as a CDC
+    feed on per-user state ('signup' insert, 'view'/'click'/'purchase'
+    update, 'error' tombstone); the snapshot keeps, per user, the
+    LATEST op by (ts, event_id) and drops users whose latest op is a
+    tombstone. One partitioned rank, pure integer/timestamp
+    tie-breaks.
+
+    Scale: one shuffle on the key; at 100 TB this is the per-key
+    last-writer-wins compaction (Delta/Iceberg MERGE INTO shape)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("event_type") != "error")
+    )
+    n_ops = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ops"))
+    return latest.join(n_ops, "user_id").select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+        "n_ops",
+    )
+
+
+SQL_CDC_APPLY = """
+WITH ranked AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+),
+n_ops AS (SELECT user_id, COUNT(*) AS n_ops FROM events GROUP BY 1)
+SELECT r.user_id, r.event_type AS last_op, r.value AS last_value,
+       r.ts AS last_ts, n.n_ops
+FROM ranked r JOIN n_ops n ON n.user_id = r.user_id
+WHERE r.rn = 1 AND r.event_type <> 'error'
+"""
+
+
+# --- funnel time-to-convert ---------------------------------------------------
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency readout: per user, seconds from the FIRST
+    'view' to the first 'purchase' AFTER it; p50/p90/avg over the
+    converting users — the timing companion of funnel_conversion
+    (which reports rates). Deltas are whole-second BIGINTs; the
+    percentiles interpolate identical integer multisets in both
+    engines; avg is one exact-integer division.
+
+    Scale: two per-user min-aggregates and a |1|-row summary."""
+    ev = _events(spark, sf_dir)
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("long")).alias("t_view"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("long").alias("t_p")
+    )
+    conv = (
+        purchases.join(first_view, "user_id")
+        .filter(F.col("t_p") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("t_p") - F.col("t_view")).alias("delta_s"))
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile(delta_s, 0.5)").alias("p50_s"),
+        F.expr("percentile(delta_s, 0.9)").alias("p90_s"),
+        (
+            F.sum("delta_s").cast("double") / F.count(F.lit(1))
+        ).alias("avg_s"),
+    )
+
+
+SQL_FUNNEL_TIME_TO_CONVERT = """
+WITH fv AS (
+  SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+conv AS (
+  SELECT e.user_id,
+         MIN(CAST(floor(epoch(e.ts)) AS BIGINT) - fv.t_view) AS delta_s
+  FROM events e
+  JOIN fv ON fv.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= fv.t_view
+  GROUP BY 1
+)
+SELECT COUNT(*) AS n_converted,
+       quantile_cont(delta_s, 0.5) AS p50_s,
+       quantile_cont(delta_s, 0.9) AS p90_s,
+       CAST(SUM(delta_s) AS DOUBLE) / COUNT(*) AS avg_s
+FROM conv
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -1438,5 +1652,12 @@ def specs():
         QuerySpec("label_noise_knn", q_label_noise_knn, _sql_label_noise()),
         QuerySpec(
             "props_variant_stats", q_props_variant_stats, SQL_PROPS_VARIANT
+        ),
+        QuerySpec("ab_test_welch", q_ab_test_welch, SQL_AB_TEST_WELCH),
+        QuerySpec("cdc_apply_latest", q_cdc_apply_latest, SQL_CDC_APPLY),
+        QuerySpec(
+            "funnel_time_to_convert",
+            q_funnel_time_to_convert,
+            SQL_FUNNEL_TIME_TO_CONVERT,
         ),
     ]

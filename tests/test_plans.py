@@ -922,6 +922,7 @@ def test_all_registered_queries_plan_hygiene(spark, sf_dir):
         "pmi_word_pairs", "chi2_terms_by_source",
         "mixing_weights_temperature", "class_balance_weights",
         "vocab_coverage_topk",
+        "ab_test_welch",  # 1-row arm-B relation into the 1-row arm-A
     }
     offenders = []
     for s in all_specs():
