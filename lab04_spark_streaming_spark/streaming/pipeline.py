@@ -121,6 +121,60 @@ def stage3_zscore(
     return out
 
 
+def stream_stream_outer_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    l_ts: str,
+    r_ts: str,
+    lower_s: int = 0,
+    upper_s: int = 0,
+    watermark: str = WATERMARK,
+    how: str = "left_outer",
+) -> DataFrame:
+    """Stream-stream OUTER equi-join with a bounded event-time band —
+    the enrich-or-emit-anyway pattern (stage3's inner join drops
+    unmatched ticks; production monitoring usually wants them kept
+    with NULL stats). Structured Streaming requires both watermarks
+    plus a time-interval condition so it can bound the join state AND
+    know when an unmatched row is FINAL: a left row emits with NULL
+    right columns once the right watermark passes
+    ``l_ts + upper_s`` — so outer results are correct, just deferred
+    by the watermark. State per side is (band + watermark) × rate,
+    evicted continuously.
+
+    ``on`` are the equi keys (must exist on both sides); right-side
+    non-key columns collide-checked like enrich_stream_temporal."""
+    clash = sorted(
+        (set(right.columns) - set(on) - {r_ts}) & set(left.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"stream_stream_outer_join: right columns {clash} collide "
+            "with left columns — alias them before joining."
+        )
+    if left.isStreaming:
+        left = left.withWatermark(l_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(r_ts, watermark)
+    cond = (
+        (F.col(f"r.{r_ts}") >= F.col(f"l.{l_ts}") - F.expr(
+            f"INTERVAL {lower_s} SECONDS"
+        ))
+        & (F.col(f"r.{r_ts}") <= F.col(f"l.{l_ts}") + F.expr(
+            f"INTERVAL {upper_s} SECONDS"
+        ))
+    )
+    for k in on:
+        cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
+    r_cols = [c for c in right.columns if c not in set(on) and c != r_ts]
+    return (
+        left.alias("l")
+        .join(right.alias("r"), cond, how)
+        .select("l.*", *[F.col(f"r.{c}") for c in r_cols])
+    )
+
+
 def kafka_sink_options(
     bootstrap_servers: str, topic: str, checkpoint_dir: str
 ) -> dict[str, str]:

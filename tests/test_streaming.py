@@ -688,6 +688,101 @@ def test_interval_union_stream_twin_matches_batch(spark, tmp_path):
             assert (sn, si, sa) == (bn, bi, ba), u
 
 
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """Outer stream-stream join: matched left rows carry the right
+    value; unmatched left rows must STILL emit (NULL right columns)
+    once the watermark passes their join band — the semantics the
+    inner stage-3 join cannot give. Verified against the identical
+    batch left join."""
+    from lab04_spark_streaming_spark.streaming.pipeline import (
+        memory_sink_once,
+        stream_stream_outer_join,
+    )
+
+    def at(s):
+        return T0 + dt.timedelta(seconds=s)
+
+    left_rows = [
+        ("A", at(10), 1.0),
+        ("A", at(20), 2.0),   # no right partner
+        ("B", at(10), 3.0),
+        ("C", at(30), 4.0),   # key absent on the right entirely
+        ("A", at(500), 9.9),  # sentinel: advances both watermarks
+    ]
+    right_rows = [
+        ("A", at(10), 100.0),
+        ("B", at(12), 300.0),  # inside the +/-5s band of B@10
+        ("B", at(25), 301.0),  # outside every band
+        ("Z", at(500), 0.0),   # sentinel
+    ]
+    lp, rp = str(tmp_path / "ssl"), str(tmp_path / "ssr")
+    spark.createDataFrame(
+        left_rows, "sym string, ts timestamp, px double"
+    ).coalesce(1).write.parquet(lp)
+    spark.createDataFrame(
+        right_rows, "sym string, rts timestamp, stat double"
+    ).coalesce(1).write.parquet(rp)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    ls = StructType(
+        [
+            StructField("sym", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("px", DoubleType()),
+        ]
+    )
+    rs = StructType(
+        [
+            StructField("sym", StringType()),
+            StructField("rts", TimestampType()),
+            StructField("stat", DoubleType()),
+        ]
+    )
+    out = stream_stream_outer_join(
+        file_stream(spark, lp, ls),
+        file_stream(spark, rp, rs),
+        on=["sym"],
+        l_ts="ts",
+        r_ts="rts",
+        lower_s=5,
+        upper_s=5,
+    )
+    memory_sink_once(out, "ss_outer", "append")
+    got = {
+        (r.sym, r.ts, r.px, r.stat)
+        for r in spark.table("ss_outer").collect()
+        if r.ts < T0 + dt.timedelta(seconds=400)  # drop sentinels
+    }
+
+    batch_out = stream_stream_outer_join(
+        spark.createDataFrame(left_rows, ls),
+        spark.createDataFrame(right_rows, rs),
+        on=["sym"],
+        l_ts="ts",
+        r_ts="rts",
+        lower_s=5,
+        upper_s=5,
+    )
+    expected = {
+        (r.sym, r.ts, r.px, r.stat)
+        for r in batch_out.collect()
+        if r.ts < T0 + dt.timedelta(seconds=400)
+    }
+    assert got == expected
+    # the unmatched rows really are present with NULL right columns
+    assert ("A", T0 + dt.timedelta(seconds=20), 2.0, None) in got
+    assert ("C", T0 + dt.timedelta(seconds=30), 4.0, None) in got
+    # and the matched one carries its stat
+    assert ("A", T0 + dt.timedelta(seconds=10), 1.0, 100.0) in got
+
+
 def test_kafka_source_options_contract():
     """Broker-free contract test (VERDICT r5 item 2): the options the
     builder passes to the Kafka reader must equal the reference's
