@@ -91,9 +91,12 @@ def stable_round(c: Column, digits: int = 4) -> Column:
 
 
 def sql_stable_round(col: str, digits: int = 4) -> str:
-    """DuckDB SQL mirroring :func:`stable_round`."""
+    """DuckDB SQL mirroring :func:`stable_round`. ``col`` is
+    parenthesized before the scale multiply — a compound expression
+    with a top-level +/- would otherwise bind only its last factor to
+    the scale (caught live on ``a - b * c / d``, round 8)."""
     p = float(10**digits)
-    return f"floor({col} * {p} + 0.5) / {p}"
+    return f"floor(({col}) * {p} + 0.5) / {p}"
 
 
 def sql_exact_std(col: str, scale: int = 4) -> str:

@@ -1492,6 +1492,127 @@ FROM d
 """
 
 
+# --- CUPED variance reduction -------------------------------------------------
+_CUPED_CUTOFF = "2024-01-16 00:00:00"
+
+
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED pre-period adjustment (Deng et al. 2013, public): per-user
+    pre-cutoff activity X predicts post-cutoff metric Y; the adjusted
+    metric Y − θ(X − X̄) with θ = cov(X,Y)/var(X) keeps the mean and
+    shrinks the variance by the squared correlation — the standard
+    experiment-sensitivity lever. Per-user X/Y are exact decimal sums
+    kept DECIMAL through the second-level moment sums (products at
+    decimal(31,8), exact — the Welch discipline), so θ and both
+    variances are identical doubles; display at stable_round(6).
+
+    Scale: one shuffle on user, one 1-row moment aggregate."""
+    ev = _events(spark, sf_dir)
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts") < _CUPED_CUTOFF,
+                    F.col("value").cast("decimal(30,4)"),
+                ).otherwise(F.lit(0).cast("decimal(30,4)"))
+            )
+            .cast("decimal(15,4)")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= _CUPED_CUTOFF,
+                    F.col("value").cast("decimal(30,4)"),
+                ).otherwise(F.lit(0).cast("decimal(30,4)"))
+            )
+            .cast("decimal(15,4)")
+            .alias("y"),
+        )
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    # structurally-safe denominator: greatest(n-1, 1) never divides by
+    # zero, and every n <= 1 output is NULLed below anyway — ANSI mode
+    # raises on 1/0 even inside a not-taken guard's operand evaluation.
+    dof = F.greatest(n - 1, F.lit(1))
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / dof
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / dof
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / dof
+    theta = cov / var_x
+    var_adj = var_y - cov * cov / var_x
+    # n <= 1 must be guarded on EVERY moment output, not just the
+    # ratios: the (n - 1) denominator itself divides by zero under
+    # ANSI mode (caught by the random-events fuzz on a 1-user series).
+    degenerate = (n <= 1) | (var_x <= 0)
+    return m.select(
+        n.alias("n_users"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(stable_round(theta, 6))
+        .alias("theta"),
+        F.when(n <= 1, F.lit(None).cast("double"))
+        .otherwise(stable_round(var_y, 4))
+        .alias("var_y"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(stable_round(var_adj, 4))
+        .alias("var_y_adjusted"),
+        F.when(
+            degenerate | (var_y <= 0), F.lit(None).cast("double")
+        )
+        .otherwise(stable_round(cov * cov / (var_x * var_y), 6))
+        .alias("var_reduction_frac"),
+    )
+
+
+SQL_CUPED = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}'
+                       THEN CAST(value AS DECIMAL(30,4))
+                       ELSE CAST(0 AS DECIMAL(30,4)) END)
+              AS DECIMAL(15,4)) AS x,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}'
+                       THEN CAST(value AS DECIMAL(30,4))
+                       ELSE CAST(0 AS DECIMAL(30,4)) END)
+              AS DECIMAL(15,4)) AS y
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM per_user
+),
+c AS (
+  SELECT n,
+         (sxy - sx * sy / n) / greatest(n - 1, 1) AS cov,
+         (sxx - sx * sx / n) / greatest(n - 1, 1) AS var_x,
+         (syy - sy * sy / n) / greatest(n - 1, 1) AS var_y
+  FROM m
+)
+SELECT n AS n_users,
+       CASE WHEN n <= 1 OR var_x <= 0 THEN NULL
+            ELSE {sql_stable_round("cov / var_x", 6)} END AS theta,
+       CASE WHEN n <= 1 THEN NULL
+            ELSE {sql_stable_round("var_y", 4)} END AS var_y,
+       CASE WHEN n <= 1 OR var_x <= 0 THEN NULL
+            ELSE {sql_stable_round("var_y - cov * cov / var_x", 4)}
+       END AS var_y_adjusted,
+       CASE WHEN n <= 1 OR var_x <= 0 OR var_y <= 0 THEN NULL
+            ELSE {sql_stable_round("cov * cov / (var_x * var_y)", 6)}
+       END AS var_reduction_frac
+FROM c
+"""
+
+
 # --- CDC apply (latest-op snapshot) ------------------------------------------
 def q_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-capture apply — the MERGE-style compaction every
@@ -1654,6 +1775,7 @@ def specs():
             "props_variant_stats", q_props_variant_stats, SQL_PROPS_VARIANT
         ),
         QuerySpec("ab_test_welch", q_ab_test_welch, SQL_AB_TEST_WELCH),
+        QuerySpec("cuped_adjustment", q_cuped_adjustment, SQL_CUPED),
         QuerySpec("cdc_apply_latest", q_cdc_apply_latest, SQL_CDC_APPLY),
         QuerySpec(
             "funnel_time_to_convert",

@@ -216,6 +216,7 @@ def test_random_events_timeseries_cross_engine_parity(
             (wave8.q_missing_hours_by_type, wave8.SQL_MISSING_HOURS),
             (wave8.q_deseasonal_outliers, wave8.SQL_DESEASONAL_OUTLIERS),
             (wave8.q_ab_test_welch, wave8.SQL_AB_TEST_WELCH),
+            (wave8.q_cuped_adjustment, wave8.SQL_CUPED),
             (wave8.q_cdc_apply_latest, wave8.SQL_CDC_APPLY),
             (
                 wave8.q_funnel_time_to_convert,
