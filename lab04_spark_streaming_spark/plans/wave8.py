@@ -1341,6 +1341,93 @@ FROM lab la LEFT JOIN votes v ON v.anchor = la.vec_id
 """
 
 
+# --- SimHash accuracy evaluation ---------------------------------------------
+def q_simhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy evaluation for the SimHash family — the
+    measure-don't-guess gate minhash_error provides for MinHash: for
+    every hamming-band candidate pair, the 32-bit agreement fraction
+    (a random-hyperplane angle proxy, NOT a Jaccard estimator —
+    emitted for calibration) beside the exact token-set Jaccard.
+    Exact integer counts, single double divisions — even the sketch's
+    error is hash-checked cross-engine. Candidate-bounded: the exact
+    verify touches only band survivors, never all pairs."""
+    from lab04_spark_streaming_spark.operators import dedup as dd
+    from lab04_spark_streaming_spark.operators.textops import expr_tokens
+
+    docs = _docs(spark, sf_dir)
+    pairs = dd.simhash_pairs(docs)
+    toks = expr_tokens("text")
+    sets = (
+        docs.filter(F.expr(f"size(array_distinct({toks})) > 0"))
+        .select(
+            "doc_id", F.expr(f"array_distinct({toks})").alias("s")
+        )
+        .localCheckpoint(eager=False)
+    )
+    xa = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    xb = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        pairs.join(xa, "id_a")
+        .join(xb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            ((F.lit(32) - F.col("hamming")) / F.lit(32.0)).alias(
+                "bit_agreement"
+            ),
+            F.expr("size(array_intersect(sa, sb))").alias("inter_sz"),
+            F.expr(
+                "size(sa) + size(sb) - size(array_intersect(sa, sb))"
+            ).alias("union_sz"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            "bit_agreement",
+            (
+                F.col("inter_sz") / F.col("union_sz").cast("double")
+            ).alias("exact_jaccard"),
+        )
+    )
+
+
+def _sql_simhash_error() -> str:
+    from lab04_spark_streaming_spark.plans.llm import _sql_simhash
+
+    return f"""
+WITH tok AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+             WHERE len(list_distinct({_TOKS})) > 0),
+sh AS (SELECT doc_id, CAST({_sql_simhash()} AS BIGINT) AS simhash FROM tok),
+bands AS (
+  SELECT doc_id, simhash, b AS band,
+         CAST((simhash >> (b * 8)) % 256 AS INTEGER) AS band_val
+  FROM sh, unnest([0, 1, 2, 3]) u(b)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+  FROM cands
+  WHERE bit_count(xor(sa, sb)) <= 3
+)
+SELECT p.id_a, p.id_b, p.hamming,
+       (32 - p.hamming) / 32.0 AS bit_agreement,
+       CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+         / (len(ta.toks) + len(tb.toks)
+            - len(list_intersect(ta.toks, tb.toks))) AS exact_jaccard
+FROM pairs p
+JOIN tok ta ON ta.doc_id = p.id_a
+JOIN tok tb ON tb.doc_id = p.id_b
+"""
+
+
 # --- VariantType semi-structured path ----------------------------------------
 def q_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured payload aggregation through Spark 4's native
@@ -1776,6 +1863,7 @@ def specs():
         ),
         QuerySpec("ab_test_welch", q_ab_test_welch, SQL_AB_TEST_WELCH),
         QuerySpec("cuped_adjustment", q_cuped_adjustment, SQL_CUPED),
+        QuerySpec("simhash_error", q_simhash_error, _sql_simhash_error()),
         QuerySpec("cdc_apply_latest", q_cdc_apply_latest, SQL_CDC_APPLY),
         QuerySpec(
             "funnel_time_to_convert",

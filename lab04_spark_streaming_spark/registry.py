@@ -114,13 +114,13 @@ _STAMP_FIRST: list[str] = [
     "decontamination_containment",
     "boilerplate_ngrams",
     "substring_dedup_coverage",
-    # (window full at 50. Deferred to r9: the 19 round-8 wave queries
+    # (window full at 50. Deferred to r9: the 20 round-8 wave queries
     # (plans/wave8.py), word_cooccurrence (r7 stamp; r8 change is a
     # pure split-restore repartition + checkpoint — values unchanged,
     # driver-sim re-verified), dedup_clusters (r6 stamp, r7 change is
     # a pure localCheckpoint — values provably unchanged) and the r5
     # cohort (42 queries, unchanged code, stamps 3 rounds old at r9).
-    # All 202 stay covered every round by the local type-exact
+    # All 203 stay covered every round by the local type-exact
     # harness, tests/test_oracle_parity.py.)
 ]
 
