@@ -34,6 +34,7 @@ from lab04_spark_streaming_spark.plans import (
     tpch_full,
     wave7,
     wave8,
+    wave9,
 )
 
 
@@ -137,6 +138,7 @@ def all_specs() -> list[QuerySpec]:
     specs += mining.specs()
     specs += wave7.specs()
     specs += wave8.specs()
+    specs += wave9.specs()
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
     by_name = {s.name: s for s in specs}
