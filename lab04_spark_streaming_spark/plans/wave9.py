@@ -34,7 +34,16 @@ from lab04_spark_streaming_spark.functions.guards import (
     sql_stable_round,
     stable_round,
 )
+from lab04_spark_streaming_spark.operators.textops import (
+    expr_norm_digest,
+    expr_tokens,
+    sql_norm_digest,
+    sql_tokens,
+)
 from lab04_spark_streaming_spark.sources.files import load_table
+
+_SPARK_TOKS = expr_tokens("text")
+_TOKS = sql_tokens("text")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -935,6 +944,803 @@ GROUP BY g.q
 """
 
 
+# --- blocking-scheme evaluation --------------------------------------------
+_BLOCK_PREFIX_CHARS = 16
+
+
+def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking-scheme report card: pair
+    completeness (what fraction of TRUE duplicate pairs share a
+    block) and reduction ratio (what fraction of the n·(n−1)/2
+    all-pairs space the blocks avoid) for raw-text-prefix blocking,
+    judged against the normalized-digest duplicate truth that
+    dedup_exact_normalized established. Both metrics come from GROUP
+    SIZES alone — Σ C(m,2) over digest groups, prefix groups, and
+    joint (digest, prefix) groups — so no pair is ever enumerated and
+    every decision is BIGINT; pc/rr are displays. A raw prefix can
+    split normalized-equal docs (case/whitespace differ in the first
+    {chars} chars), which is exactly the leakage this measures.
+
+    Scale: three grouped aggregates over one scan; group-size
+    combinatorics replace the pair join entirely — this is how you
+    evaluate blocking on a corpus where materializing candidates
+    would already be the expensive step."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(expr_norm_digest("text")).alias("dg"),
+        F.substring("text", 1, _BLOCK_PREFIX_CHARS).alias("blk"),
+    )
+    n_tot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    def pair_sum(df, *keys):
+        return (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("m"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("m") * (F.col("m") - 1) / 2), F.lit(0)
+                )
+                .cast("long")
+                .alias("p")
+            )
+        )
+
+    truth = pair_sum(docs, "dg").withColumnRenamed("p", "n_truth_pairs")
+    cand = pair_sum(docs, "blk").withColumnRenamed("p", "n_cand_pairs")
+    inter = pair_sum(docs, "dg", "blk").withColumnRenamed("p", "n_inter")
+    return (
+        truth.crossJoin(cand)
+        .crossJoin(inter)
+        .crossJoin(n_tot)
+        .select(
+            "n_truth_pairs",
+            "n_cand_pairs",
+            "n_inter",
+            stable_round(
+                F.when(F.col("n_truth_pairs") == 0, F.lit(1.0)).otherwise(
+                    F.col("n_inter").cast("double")
+                    / F.col("n_truth_pairs").cast("double")
+                ),
+                6,
+            ).alias("pair_completeness"),
+            stable_round(
+                1.0
+                - F.col("n_cand_pairs").cast("double")
+                / (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("double"),
+                6,
+            ).alias("reduction_ratio"),
+        )
+    )
+
+
+q_blocking_eval.__doc__ = q_blocking_eval.__doc__.format(
+    chars=_BLOCK_PREFIX_CHARS
+)
+
+
+SQL_BLOCKING_EVAL = f"""
+WITH d AS (
+  SELECT doc_id, {sql_norm_digest("text")} AS dg,
+         substring(text, 1, {_BLOCK_PREFIX_CHARS}) AS blk
+  FROM documents
+),
+truth AS (
+  SELECT CAST(COALESCE(SUM(m * (m - 1) / 2), 0) AS BIGINT) AS n_truth_pairs
+  FROM (SELECT COUNT(*) AS m FROM d GROUP BY dg)
+),
+cand AS (
+  SELECT CAST(COALESCE(SUM(m * (m - 1) / 2), 0) AS BIGINT) AS n_cand_pairs
+  FROM (SELECT COUNT(*) AS m FROM d GROUP BY blk)
+),
+inter AS (
+  SELECT CAST(COALESCE(SUM(m * (m - 1) / 2), 0) AS BIGINT) AS n_inter
+  FROM (SELECT COUNT(*) AS m FROM d GROUP BY dg, blk)
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d)
+SELECT n_truth_pairs, n_cand_pairs, n_inter,
+       {sql_stable_round(
+           "CASE WHEN n_truth_pairs = 0 THEN 1.0 ELSE"
+           " CAST(n_inter AS DOUBLE) / CAST(n_truth_pairs AS DOUBLE) END",
+           6)} AS pair_completeness,
+       {sql_stable_round(
+           "1.0 - CAST(n_cand_pairs AS DOUBLE)"
+           " / CAST(n_docs * (n_docs - 1) / 2 AS DOUBLE)", 6)}
+         AS reduction_ratio
+FROM truth, cand, inter, tot
+"""
+
+
+# --- DSIR importance weights -----------------------------------------------
+_DSIR_TARGET_SOURCES = ("src0", "src1")
+_DSIR_BUCKETS = 1024
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023, public): score every document by the hashed-unigram
+    log-likelihood ratio between a target domain ({targets} as the
+    stand-in "high-quality" slice) and the raw proposal (the rest) —
+    the standard recipe for "select web data that looks like the
+    curated set". Features are md5-hash buckets (B = {buckets}),
+    bucket probabilities add-1 smoothed from exact integer counts;
+    each per-token log2 ratio is a deterministic double on top of two
+    exact divisions, and the per-doc sum is displayed at
+    stable_round(4) (summation-order error ~1e-15, far below grain —
+    same argument as unigram_logprob's green stamp).
+
+    Scale: the bucket LM is a B-row broadcast relation; scoring is
+    one broadcast join over the token stream, no shuffle wider than
+    the per-doc aggregate."""
+    tgt_list = ", ".join(f"'{s}'" for s in _DSIR_TARGET_SOURCES)
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.expr(f"source in ({tgt_list})").alias("is_tgt"),
+        F.explode(F.expr(_SPARK_TOKS)).alias("w"),
+    ).select(
+        "doc_id",
+        "source",
+        "is_tgt",
+        F.expr(
+            "pmod(cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint),"
+            f" {_DSIR_BUCKETS})"
+        ).alias("b"),
+    )
+    lm = toks.groupBy("b").agg(
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_tgt"), 0).otherwise(1)).alias("cp"),
+    )
+    totals = lm.agg(
+        F.sum("ct").alias("nt"), F.sum("cp").alias("np")
+    )
+    ratio = (
+        lm.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log2(
+                    (F.col("ct") + 1).cast("double")
+                    / (F.col("nt") + _DSIR_BUCKETS).cast("double")
+                )
+                - F.log2(
+                    (F.col("cp") + 1).cast("double")
+                    / (F.col("np") + _DSIR_BUCKETS).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        toks.filter(~F.col("is_tgt"))
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            stable_round(F.sum("lr"), 4).alias("dsir_log2w"),
+        )
+    )
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         source IN ({", ".join(f"'{s}'" for s in _DSIR_TARGET_SOURCES)}) AS is_tgt,
+         CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % {_DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, source, unnest({_TOKS}) AS w FROM documents)
+),
+lm AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS BIGINT) AS cp
+  FROM toks GROUP BY b
+),
+totals AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cp) AS BIGINT) AS np FROM lm
+),
+ratio AS (
+  SELECT b,
+         log2(CAST(ct + 1 AS DOUBLE) / CAST(nt + {_DSIR_BUCKETS} AS DOUBLE))
+         - log2(CAST(cp + 1 AS DOUBLE) / CAST(np + {_DSIR_BUCKETS} AS DOUBLE))
+           AS lr
+  FROM lm, totals
+)
+SELECT t.doc_id, t.source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       {sql_stable_round("SUM(lr)", 4)} AS dsir_log2w
+FROM toks t JOIN ratio r ON t.b = r.b
+WHERE NOT t.is_tgt
+GROUP BY t.doc_id, t.source
+"""
+
+
+# --- PAA + SAX symbolization -----------------------------------------------
+def q_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of the per-type hourly series (Lin et al.
+    2003, public): PAA-reduce `value` to hourly exact-decimal means,
+    discretize each hour into quartile symbols a–d, and emit one SAX
+    WORD per (event_type, day) — the representation that turns
+    time-series motif/anomaly mining into string matching (two days
+    behave alike iff their words match, grep-ably). The quartile
+    assignment is ntile(4) over (exact decimal mean, hour) — an
+    integer rank decision with a total order, so symbols can't flip
+    on a ulp; the word is a deterministic ORDER BY hour aggregation.
+
+    Scale: hours-per-type input to the ntile window (bounded by the
+    time range, not the row count); the heavy reduction is the
+    map-side-combined hourly aggregate."""
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            "hour",
+            (F.col("s") / F.col("n")).cast("decimal(38,12)").alias("paa"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("paa", "hour")
+    sym = hourly.withColumn(
+        "q", F.ntile(4).over(w)
+    ).withColumn(
+        "sym", F.element_at(F.lit(["a", "b", "c", "d"]), F.col("q"))
+    )
+    return (
+        sym.groupBy("event_type", F.to_date("hour").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("hour", "sym"))
+                    ),
+                    lambda x: x["sym"],
+                ),
+                "",
+            ).alias("sax_word"),
+        )
+    )
+
+
+SQL_SAX_WORDS = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) / COUNT(*)
+              AS DECIMAL(38,12)) AS paa
+  FROM events GROUP BY event_type, hour
+),
+sym AS (
+  SELECT event_type, hour,
+         ['a','b','c','d'][ntile(4) OVER (
+            PARTITION BY event_type ORDER BY paa, hour)] AS s
+  FROM hourly
+)
+SELECT event_type, CAST(hour AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       string_agg(s, '' ORDER BY hour) AS sax_word
+FROM sym GROUP BY event_type, CAST(hour AS DATE)
+"""
+
+
+# --- RAKE keyword extraction -----------------------------------------------
+_RAKE_STOPWORDS = (
+    "the a an and or of to in on for with at by from as is are was were "
+    "be been it this that these those we you they he she i not no"
+).split()
+_RAKE_TOP_K = 25
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, public): split each
+    document into candidate phrases at stopword boundaries, then
+    score each word by degree/frequency where degree sums the lengths
+    of the phrases it appears in — multi-word-phrase members outrank
+    bare frequent words, which is RAKE's whole trick over tf. freq
+    and degree are exact BIGINTs; the ranking key degree/freq is ONE
+    exact division of integers (correctly-rounded IEEE, identical
+    across engines) with a word tie-break. Top-{k} emitted.
+
+    Scale: phrase segmentation is a per-doc prefix count over token
+    positions (partitioned window); word stats shuffle on words
+    (vocab-bounded); the global top-k ranks the vocab-bounded stats
+    relation, never the token stream."""
+    stop_arr = ", ".join(f"'{w}'" for w in _RAKE_STOPWORDS)
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(F.expr(_SPARK_TOKS)).alias("pos", "w"),
+    ).withColumn(
+        "is_stop", F.expr(f"w in ({stop_arr})")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    phr = toks.withColumn(
+        "phrase_id",
+        F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(
+            wd.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).filter(~F.col("is_stop"))
+    plen = phr.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("phrase_len")
+    )
+    stats = (
+        phr.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("phrase_len").alias("degree"),
+        )
+    )
+    wr = Window.orderBy(
+        F.desc(F.col("degree").cast("double") / F.col("freq").cast("double")),
+        "w",
+    )
+    return (
+        stats.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= _RAKE_TOP_K)
+        .select(
+            "rank",
+            "w",
+            "freq",
+            "degree",
+            stable_round(
+                F.col("degree").cast("double") / F.col("freq").cast("double"),
+                6,
+            ).alias("rake_score"),
+        )
+    )
+
+
+q_rake_keywords.__doc__ = q_rake_keywords.__doc__.format(k=_RAKE_TOP_K)
+
+
+SQL_RAKE_KEYWORDS = f"""
+WITH toks AS (
+  SELECT doc_id, pos, w,
+         w IN ({", ".join(f"'{w}'" for w in _RAKE_STOPWORDS)}) AS is_stop
+  FROM (
+    SELECT doc_id,
+           generate_subscripts({_TOKS}, 1) - 1 AS pos,
+           unnest({_TOKS}) AS w
+    FROM documents
+  )
+),
+phr AS (
+  SELECT doc_id, pos, w,
+         SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY pos) AS phrase_id,
+         is_stop
+  FROM toks
+),
+body AS (SELECT doc_id, phrase_id, w FROM phr WHERE NOT is_stop),
+plen AS (
+  SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS phrase_len
+  FROM body GROUP BY doc_id, phrase_id
+),
+stats AS (
+  SELECT b.w, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(p.phrase_len) AS BIGINT) AS degree
+  FROM body b JOIN plen p
+    ON b.doc_id = p.doc_id AND b.phrase_id = p.phrase_id
+  GROUP BY b.w
+),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE) DESC, w)
+         AS INTEGER) AS rank,
+         w, freq, degree
+  FROM stats
+)
+SELECT rank, w, freq, degree,
+       {sql_stable_round(
+           "CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE)", 6)} AS rake_score
+FROM ranked WHERE rank <= {_RAKE_TOP_K}
+"""
+
+
+# --- l-diversity audit ------------------------------------------------------
+_LDIV_L = 3
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the event log (Machanavajjhala et al.
+    2007, public) — the step BEYOND the k-anonymity group-size check
+    (wave8): a (event_type, day) release cell can be large yet still
+    leak if nearly every row belongs to the same user, so each cell
+    reports its size k, its sensitive-attribute diversity l
+    (distinct users), and the at_risk flag l < {l}. Pure integer
+    counts.
+
+    Scale: one grouped aggregate on the bounded (type, day) release
+    key; countDistinct is exact (the release decision can't ride an
+    approximation) and partial-aggregates map-side."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("k_size"),
+            F.countDistinct("user_id").alias("l_diversity"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "k_size",
+            "l_diversity",
+            (F.col("l_diversity") < _LDIV_L).alias("at_risk"),
+        )
+    )
+
+
+q_l_diversity_audit.__doc__ = q_l_diversity_audit.__doc__.format(l=_LDIV_L)
+
+
+SQL_L_DIVERSITY = f"""
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS k_size,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l_diversity,
+       COUNT(DISTINCT user_id) < {_LDIV_L} AS at_risk
+FROM events GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
+# --- Matryoshka truncation recall ------------------------------------------
+_MATRYOSHKA_QUERIES = 16
+_MATRYOSHKA_K = 10
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation eval (Kusupati et al. 2022,
+    public): for each probe vector, does cosine top-{k} computed on
+    the FIRST HALF of the embedding dimensions recover the full-dim
+    top-{k}? recall@k per probe tells you whether you can serve ANN
+    from a 2× cheaper index. Uses the repo's quantized-moment anchor
+    (floor(x·1e7+0.5) → BIGINT dot products — exact integers), so
+    both rankings are bit-identical across engines; ties break on
+    vec_id; recall is a ratio of integer counts.
+
+    Scale: probe set is a fixed small relation (vec_id <
+    {q}) broadcast against the corpus — probes·N pair work, the
+    brute-force baseline the IVF/PQ queries compare against."""
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    pos = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        "pos",
+        F.expr(
+            "cast(floor(cast(xf as double) * 10000000.0 + 0.5) as bigint)"
+        ).alias("x"),
+    )
+    qpos = pos.filter(F.col("vec_id") < _MATRYOSHKA_QUERIES).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("x").alias("qx")
+    )
+    half = F.floor(F.lit(64) / 2)
+    moments = (
+        pos.join(F.broadcast(qpos), "pos")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(F.col("x") * F.col("qx")).alias("dot_full"),
+            F.sum(F.col("x") * F.col("x")).alias("n2_full"),
+            F.sum(
+                F.when(F.col("pos") < half, F.col("x") * F.col("qx")).otherwise(0)
+            ).alias("dot_half"),
+            F.sum(
+                F.when(F.col("pos") < half, F.col("x") * F.col("x")).otherwise(0)
+            ).alias("n2_half"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(
+        F.desc(
+            F.col("dot_full").cast("double")
+            / F.sqrt(F.col("n2_full").cast("double"))
+        ),
+        "vec_id",
+    )
+    wh = Window.partitionBy("qid").orderBy(
+        F.desc(
+            F.when(F.col("n2_half") == 0, F.lit(0.0)).otherwise(
+                F.col("dot_half").cast("double")
+                / F.sqrt(F.col("n2_half").cast("double"))
+            )
+        ),
+        "vec_id",
+    )
+    ranked = moments.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wh).alias("rh"),
+    )
+    return (
+        ranked.filter(
+            (F.col("rf") <= _MATRYOSHKA_K) | (F.col("rh") <= _MATRYOSHKA_K)
+        )
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("rf") <= _MATRYOSHKA_K)
+                    & (F.col("rh") <= _MATRYOSHKA_K),
+                    1,
+                ).otherwise(0)
+            ).alias("n_overlap")
+        )
+        .select(
+            "qid",
+            "n_overlap",
+            stable_round(
+                F.col("n_overlap").cast("double") / F.lit(float(_MATRYOSHKA_K)),
+                4,
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+q_matryoshka_recall.__doc__ = q_matryoshka_recall.__doc__.format(
+    k=_MATRYOSHKA_K, q=_MATRYOSHKA_QUERIES
+)
+
+
+SQL_MATRYOSHKA_RECALL = f"""
+WITH pos AS (
+  SELECT vec_id, p - 1 AS pos,
+         CAST(floor(CAST(embedding[p] AS DOUBLE) * 10000000.0 + 0.5)
+              AS BIGINT) AS x
+  FROM (
+    SELECT vec_id, unnest(generate_series(1, len(embedding))) AS p, embedding
+    FROM embeddings
+  )
+),
+qpos AS (
+  SELECT vec_id AS qid, pos, x AS qx FROM pos
+  WHERE vec_id < {_MATRYOSHKA_QUERIES}
+),
+moments AS (
+  SELECT q.qid, p.vec_id,
+         CAST(SUM(p.x * q.qx) AS BIGINT) AS dot_full,
+         CAST(SUM(p.x * p.x) AS BIGINT) AS n2_full,
+         CAST(SUM(CASE WHEN p.pos < 32 THEN p.x * q.qx ELSE 0 END) AS BIGINT)
+           AS dot_half,
+         CAST(SUM(CASE WHEN p.pos < 32 THEN p.x * p.x ELSE 0 END) AS BIGINT)
+           AS n2_half
+  FROM pos p JOIN qpos q ON p.pos = q.pos AND p.vec_id <> q.qid
+  GROUP BY q.qid, p.vec_id
+),
+ranked AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+           CAST(dot_full AS DOUBLE) / sqrt(CAST(n2_full AS DOUBLE)) DESC,
+           vec_id) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+           CASE WHEN n2_half = 0 THEN 0.0 ELSE
+             CAST(dot_half AS DOUBLE) / sqrt(CAST(n2_half AS DOUBLE)) END DESC,
+           vec_id) AS rh
+  FROM moments
+)
+SELECT qid,
+       CAST(SUM(CASE WHEN rf <= {_MATRYOSHKA_K} AND rh <= {_MATRYOSHKA_K}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       {sql_stable_round(
+           f"CAST(SUM(CASE WHEN rf <= {_MATRYOSHKA_K} AND rh <= {_MATRYOSHKA_K}"
+           f" THEN 1 ELSE 0 END) AS DOUBLE) / {float(_MATRYOSHKA_K)}", 4)}
+         AS recall_at_k
+FROM ranked
+WHERE rf <= {_MATRYOSHKA_K} OR rh <= {_MATRYOSHKA_K}
+GROUP BY qid
+"""
+
+
+# --- CCNet-style perplexity buckets ----------------------------------------
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public):
+    decile documents by their unigram cross-entropy (the
+    unigram_logprob score) and keep the middle — head deciles are
+    boilerplate/stereotyped text, tail deciles are rare-token
+    gibberish, and LM pretraining keeps the middle band. The decile
+    is ntile(10) over (ROUNDED score, doc_id): because the sort key
+    is the stable_round(4) display value (identical across engines
+    by the unigram_logprob argument) plus a full tie-break, the
+    bucket assignment is deterministic even where raw doubles sit a
+    ulp apart. Output is the per-bucket report with the keep flag.
+
+    Scale: scoring is unigram_logprob's broadcast-LM shape; the
+    decile window ranks one row per document — at petabyte scale the
+    same decision is a quantile-sketch cut, here it's the exact
+    rank."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf").alias("n_total"))
+    scored = (
+        toks.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            stable_round(
+                -F.avg(F.log2(F.col("tf") / F.col("n_total").cast("double"))),
+                4,
+            ).alias("score")
+        )
+    )
+    w = Window.orderBy("score", "doc_id")
+    bucketed = scored.withColumn("bucket", F.ntile(10).over(w))
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "min_score",
+            "max_score",
+            ((F.col("bucket") >= 2) & (F.col("bucket") <= 9)).alias("keep"),
+        )
+    )
+
+
+SQL_PERPLEXITY_BUCKETS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS tf FROM toks GROUP BY 1),
+total AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM freq),
+scored AS (
+  SELECT t.doc_id,
+         {sql_stable_round(
+             "-AVG(log2(f.tf / CAST(tt.n_total AS DOUBLE)))", 4)} AS score
+  FROM toks t JOIN freq f ON t.w = f.w CROSS JOIN total tt
+  GROUP BY t.doc_id
+),
+bucketed AS (
+  SELECT doc_id, score,
+         ntile(10) OVER (ORDER BY score, doc_id) AS bucket
+  FROM scored
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(score) AS min_score, MAX(score) AS max_score,
+       bucket >= 2 AND bucket <= 9 AS keep
+FROM bucketed GROUP BY bucket
+"""
+
+
+# --- sequence-pattern matching over sessions -------------------------------
+# (name, regex, negate) — regexes stay in the RE2 ∩ java.util.regex
+# common subset (no lookaround: DuckDB is RE2); "absence" patterns are
+# a positive regex plus the negate flag instead of a lookahead.
+_SEQ_PATTERNS = [
+    ("view_then_purchase", ">view>.*>purchase>", False),
+    ("click_then_error", ">click>.*>error>", False),
+    ("signup_first", "^>signup>", False),
+    ("no_purchase", ">purchase>", True),
+]
+
+
+def q_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence-pattern census: build each
+    30-min session's delimited event-type string (same session
+    construction as sessionize_gap30m) and count sessions matching a
+    small library of behavioural regexes — the declarative way to ask
+    "how many journeys view→…→purchase" without hand-rolling a
+    funnel per pattern. The session string is a deterministic ORDER
+    BY (ts, event_id) aggregation; matches are exact string regexes;
+    counts BIGINT, share a display.
+
+    Scale: per-user partitioned sessionization windows; the pattern
+    relation is a broadcast literal; session strings are bounded by
+    session length (the 30-min gap bounds them in practice)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.when(
+                F.col("ts").cast("long")
+                - F.lag(F.col("ts").cast("long")).over(w)
+                > 1800,
+                1,
+            )
+            .otherwise(0)
+            .alias("new_session"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    strings = sess.groupBy("user_id", "session_id").agg(
+        F.concat(
+            F.lit(">"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ),
+            F.lit(">"),
+        ).alias("seq")
+    )
+    pats = spark.createDataFrame(
+        _SEQ_PATTERNS, ["pattern_name", "pattern", "negate"]
+    )
+    j = strings.crossJoin(F.broadcast(pats))
+    return (
+        j.groupBy("pattern_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(
+                F.when(
+                    F.expr("regexp_like(seq, pattern)") != F.col("negate"), 1
+                ).otherwise(0)
+            ).alias("n_matched"),
+        )
+        .select(
+            "pattern_name",
+            "n_sessions",
+            "n_matched",
+            stable_round(
+                F.col("n_matched").cast("double")
+                / F.col("n_sessions").cast("double"),
+                6,
+            ).alias("match_frac"),
+        )
+    )
+
+
+_SEQ_PATTERNS_SQL = ", ".join(
+    f"('{n}', '{p}', {str(neg).upper()})" for n, p, neg in _SEQ_PATTERNS
+)
+
+SQL_SEQUENCE_PATTERNS = f"""
+WITH with_gap AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM with_gap
+),
+strings AS (
+  SELECT user_id, session_id,
+         '>' || string_agg(event_type, '>' ORDER BY ts, event_id) || '>' AS seq
+  FROM sess GROUP BY user_id, session_id
+),
+pats AS (
+  SELECT * FROM (VALUES {_SEQ_PATTERNS_SQL})
+    AS t(pattern_name, pattern, negate)
+)
+SELECT p.pattern_name,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN regexp_matches(s.seq, p.pattern) <> p.negate
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       {sql_stable_round(
+           "CAST(SUM(CASE WHEN regexp_matches(s.seq, p.pattern) <> p.negate"
+           " THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)",
+           6)} AS match_frac
+FROM strings s, pats p
+GROUP BY p.pattern_name
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -954,4 +1760,20 @@ def specs():
         QuerySpec("triangle_count", q_triangle_count, SQL_TRIANGLE_COUNT),
         QuerySpec("compaction_bins", q_compaction_bins, SQL_COMPACTION_BINS),
         QuerySpec("zonemap_pruning", q_zonemap_pruning, SQL_ZONEMAP_PRUNING),
+        QuerySpec("blocking_eval", q_blocking_eval, SQL_BLOCKING_EVAL),
+        QuerySpec("dsir_weights", q_dsir_weights, SQL_DSIR_WEIGHTS),
+        QuerySpec("sax_words", q_sax_words, SQL_SAX_WORDS),
+        QuerySpec("rake_keywords", q_rake_keywords, SQL_RAKE_KEYWORDS),
+        QuerySpec(
+            "l_diversity_audit", q_l_diversity_audit, SQL_L_DIVERSITY
+        ),
+        QuerySpec(
+            "matryoshka_recall", q_matryoshka_recall, SQL_MATRYOSHKA_RECALL
+        ),
+        QuerySpec(
+            "perplexity_buckets", q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS
+        ),
+        QuerySpec(
+            "sequence_patterns", q_sequence_patterns, SQL_SEQUENCE_PATTERNS
+        ),
     ]
