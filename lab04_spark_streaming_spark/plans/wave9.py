@@ -1004,9 +1004,13 @@ def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("pair_completeness"),
             stable_round(
-                1.0
-                - F.col("n_cand_pairs").cast("double")
-                / (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("double"),
+                F.when(F.col("n_docs") < 2, F.lit(1.0)).otherwise(
+                    1.0
+                    - F.col("n_cand_pairs").cast("double")
+                    / (
+                        F.col("n_docs") * (F.col("n_docs") - 1) / 2
+                    ).cast("double")
+                ),
                 6,
             ).alias("reduction_ratio"),
         )
@@ -1043,8 +1047,9 @@ SELECT n_truth_pairs, n_cand_pairs, n_inter,
            " CAST(n_inter AS DOUBLE) / CAST(n_truth_pairs AS DOUBLE) END",
            6)} AS pair_completeness,
        {sql_stable_round(
-           "1.0 - CAST(n_cand_pairs AS DOUBLE)"
-           " / CAST(n_docs * (n_docs - 1) / 2 AS DOUBLE)", 6)}
+           "CASE WHEN n_docs < 2 THEN 1.0 ELSE"
+           " 1.0 - CAST(n_cand_pairs AS DOUBLE)"
+           " / CAST(n_docs * (n_docs - 1) / 2 AS DOUBLE) END", 6)}
          AS reduction_ratio
 FROM truth, cand, inter, tot
 """
@@ -1741,6 +1746,768 @@ GROUP BY p.pattern_name
 """
 
 
+# --- Poisson bootstrap CI --------------------------------------------------
+_BOOT_REPS = 100
+_BOOT_TYPE = "click"
+
+
+def _poisson1_thresholds(kmax: int = 8) -> list[int]:
+    """Cumulative Poisson(1) CDF scaled to the 32-bit hash domain —
+    identical integer literals in both engines, so the per-(row,
+    replicate) weight is a pure integer bucket lookup."""
+    import math
+
+    cum, thresholds, p = 0.0, [], math.exp(-1.0)
+    fact = 1.0
+    for k in range(kmax):
+        if k > 0:
+            fact *= k
+        cum += math.exp(-1.0) / fact
+        thresholds.append(min(int(cum * 4294967296.0), 4294967296))
+    return thresholds
+
+
+_BOOT_THRESH = _poisson1_thresholds()
+
+
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean({t}.value) —
+    the bootstrap that works on a cluster (Chamandy et al. 2012,
+    Google's "Estimating Uncertainty for Massive Data Streams",
+    public): instead of resampling n rows with replacement (a global
+    operation), each row independently receives a Poisson(1) weight
+    per replicate, so the resample is a map-side expression and the
+    {r} replicates aggregate in one shuffle. Weights come from an
+    integer threshold ladder on a 32-bit md5 (identical literals both
+    engines — no float RNG anywhere); replicate means are exact
+    DECIMAL sums over weighted values divided once into double; the
+    CI bounds are rank statistics (row_number over (mean, rep) —
+    integer decision) at the 2.5th/97.5th percentile ranks.
+
+    Scale: fan-out ×{r} is map-side; the only shuffle carries {r}
+    partial aggregates per partition. The rank window sees {r} rows."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == _BOOT_TYPE)
+    reps = spark.range(_BOOT_REPS).select(F.col("id").alias("rep"))
+    h = F.expr(
+        "cast(conv(substring(md5(concat('boot|', cast(rep as string), '|',"
+        " cast(event_id as string))), 1, 8), 16, 10) as bigint)"
+    )
+    # weight = number of thresholds the hash clears
+    wexpr = sum(
+        (h >= F.lit(t)).cast("int") for t in _BOOT_THRESH
+    )
+    dec = F.col("value").cast("decimal(30,6)")
+    per = (
+        ev.crossJoin(F.broadcast(reps))
+        .withColumn("w", wexpr)
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("w") * dec).alias("s"),
+            F.sum("w").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            "rep",
+            (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+                "m"
+            ),
+        )
+    )
+    w = Window.orderBy("m", "rep")
+    ranked = per.withColumn("r", F.row_number().over(w))
+    lo_rank = max(1, int(0.025 * _BOOT_REPS))
+    hi_rank = int(0.975 * _BOOT_REPS)
+    obs = ev.agg(
+        (
+            F.sum(dec).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_obs")
+    )
+    ci = ranked.agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.max(F.when(F.col("r") == lo_rank, F.col("m"))).alias("lo"),
+        F.max(F.when(F.col("r") == hi_rank, F.col("m"))).alias("hi"),
+    )
+    return ci.crossJoin(F.broadcast(obs)).select(
+        "n_reps",
+        stable_round(F.col("mean_obs"), 6).alias("mean_obs"),
+        stable_round(F.col("lo"), 6).alias("ci_lo"),
+        stable_round(F.col("hi"), 6).alias("ci_hi"),
+    )
+
+
+q_poisson_bootstrap.__doc__ = q_poisson_bootstrap.__doc__.format(
+    t=_BOOT_TYPE, r=_BOOT_REPS
+)
+
+
+def _sql_poisson_bootstrap() -> str:
+    lo_rank = max(1, int(0.025 * _BOOT_REPS))
+    hi_rank = int(0.975 * _BOOT_REPS)
+    wexpr = " + ".join(
+        f"CASE WHEN h >= {t} THEN 1 ELSE 0 END" for t in _BOOT_THRESH
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_id, CAST(value AS DECIMAL(30,6)) AS v
+  FROM events WHERE event_type = '{_BOOT_TYPE}'
+),
+fan AS (
+  SELECT rp.rep, ev.v,
+         CAST(('0x' || substring(md5('boot|' || CAST(rp.rep AS VARCHAR)
+               || '|' || CAST(ev.event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM ev, range({_BOOT_REPS}) AS rp(rep)
+),
+per AS (
+  SELECT rep,
+         CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+  FROM (SELECT rep, v, {wexpr} AS w FROM fan)
+  GROUP BY rep HAVING SUM(w) > 0
+),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m, rep) AS r FROM per
+),
+obs AS (
+  SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_obs FROM ev
+),
+ci AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+         MAX(CASE WHEN r = {lo_rank} THEN m END) AS lo,
+         MAX(CASE WHEN r = {hi_rank} THEN m END) AS hi
+  FROM ranked
+)
+SELECT n_reps,
+       {sql_stable_round("mean_obs", 6)} AS mean_obs,
+       {sql_stable_round("lo", 6)} AS ci_lo,
+       {sql_stable_round("hi", 6)} AS ci_hi
+FROM ci, obs
+"""
+
+
+# --- reciprocal-rank fusion ------------------------------------------------
+_RRF_K = 60
+_RRF_DEPTH = 100
+_RRF_TOP = 20
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-search result fusion by Reciprocal Rank Fusion
+    (Cormack et al. 2009, public): fuse the LEXICAL ranking (BM25 for
+    the fixed keyword query, corpus.q_bm25_topk's scoring) with the
+    VECTOR ranking (cosine vs probe vector 0 on the integer-moment
+    grid, doc_id ≡ vec_id) as score = Σ 1/({k}+rank) over the two
+    top-{d} lists — the standard way RAG stacks combine keyword and
+    embedding retrieval without score calibration. Both input ranks
+    are integer decisions (rounded-BM25/integer-moment cosine with id
+    tie-breaks); each 1/({k}+r) is one exact division and their sum
+    is a fixed 2-term expression — bit-stable; final order ties break
+    on doc_id.
+
+    Scale: both rankings are top-{d} TakeOrdered relations (tiny);
+    the fusion join is broadcast; nothing rescans the corpus."""
+    from lab04_spark_streaming_spark.plans.corpus import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    k1, b = _BM25_K1, _BM25_B
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SPARK_TOKS).alias("_toks")
+    )
+    dl = docs.select(
+        "doc_id", F.expr("cast(size(_toks) as bigint)").alias("dl")
+    )
+    corpus_stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"filter(_toks, t -> array_contains(array({terms}), t))"
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    lex_scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus_stats))
+        .join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "_idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.floor(F.sum("_s") * 10000.0 + 0.5).cast("bigint").alias("_bq"))
+    )
+    lex_rank = (
+        lex_scored.withColumn(
+            "r_lex",
+            F.row_number().over(Window.orderBy(F.desc("_bq"), "doc_id")),
+        )
+        .filter(F.col("r_lex") <= _RRF_DEPTH)
+        .select("doc_id", "r_lex")
+    )
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    pos = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        "vec_id",
+        "pos",
+        F.expr(
+            "cast(floor(cast(xf as double) * 10000000.0 + 0.5) as bigint)"
+        ).alias("x"),
+    )
+    qpos = pos.filter(F.col("vec_id") == 0).select(
+        "pos", F.col("x").alias("qx")
+    )
+    mom = (
+        pos.join(F.broadcast(qpos), "pos")
+        .filter(F.col("vec_id") != 0)
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("x") * F.col("qx")).alias("dot"),
+            F.sum(F.col("x") * F.col("x")).alias("n2"),
+        )
+    )
+    vec_rank = (
+        mom.withColumn(
+            "r_vec",
+            F.row_number().over(
+                Window.orderBy(
+                    F.desc(
+                        F.col("dot").cast("double")
+                        / F.sqrt(F.col("n2").cast("double"))
+                    ),
+                    "vec_id",
+                )
+            ),
+        )
+        .filter(F.col("r_vec") <= _RRF_DEPTH)
+        .select(F.col("vec_id").alias("doc_id"), "r_vec")
+    )
+    fused = (
+        lex_rank.join(vec_rank, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(1.0 / (_RRF_K + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("r_vec")), F.lit(0.0)),
+        )
+    )
+    wr = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= _RRF_TOP)
+        .select(
+            "rank",
+            "doc_id",
+            "r_lex",
+            "r_vec",
+            stable_round(F.col("rrf"), 6).alias("rrf_score"),
+        )
+    )
+
+
+q_rrf_fusion.__doc__ = q_rrf_fusion.__doc__.format(
+    k=_RRF_K, d=_RRF_DEPTH
+)
+
+
+def _sql_rrf_fusion() -> str:
+    from lab04_spark_streaming_spark.plans.corpus import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    k1, b = _BM25_K1, _BM25_B
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(list_filter(t,
+          x -> list_contains([{terms}], x))) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+lex_scored AS (
+  SELECT tf.doc_id,
+         CAST(floor(SUM(
+           ln(1.0 + (c.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * ({k1} + 1))
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / c.avgdl))
+         ) * 10000.0 + 0.5) AS BIGINT) AS bq
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus c JOIN dfreq ON tf.term = dfreq.term
+  GROUP BY tf.doc_id
+),
+lex_rank AS (
+  SELECT doc_id, r_lex FROM (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY bq DESC, doc_id) AS BIGINT)
+             AS r_lex
+    FROM lex_scored
+  ) WHERE r_lex <= {_RRF_DEPTH}
+),
+pos AS (
+  SELECT vec_id, p - 1 AS pos,
+         CAST(floor(CAST(embedding[p] AS DOUBLE) * 10000000.0 + 0.5)
+              AS BIGINT) AS x
+  FROM (
+    SELECT vec_id, unnest(generate_series(1, len(embedding))) AS p, embedding
+    FROM embeddings
+  )
+),
+qpos AS (SELECT pos, x AS qx FROM pos WHERE vec_id = 0),
+mom AS (
+  SELECT p.vec_id, SUM(p.x * q.qx) AS dot, SUM(p.x * p.x) AS n2
+  FROM pos p JOIN qpos q ON p.pos = q.pos
+  WHERE p.vec_id <> 0 GROUP BY p.vec_id
+),
+vec_rank AS (
+  SELECT doc_id, r_vec FROM (
+    SELECT vec_id AS doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY
+             CAST(dot AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) DESC, vec_id)
+           AS BIGINT) AS r_vec
+    FROM mom
+  ) WHERE r_vec <= {_RRF_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec,
+         COALESCE(1.0 / ({_RRF_K} + l.r_lex), 0.0)
+         + COALESCE(1.0 / ({_RRF_K} + v.r_vec), 0.0) AS rrf
+  FROM lex_rank l FULL OUTER JOIN vec_rank v ON l.doc_id = v.doc_id
+)
+SELECT rank, doc_id, r_lex, r_vec,
+       {sql_stable_round("rrf", 6)} AS rrf_score
+FROM (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER)
+           AS rank,
+         doc_id, r_lex, r_vec, rrf
+  FROM fused
+) WHERE rank <= {_RRF_TOP}
+"""
+
+
+# --- Jensen–Shannon divergence matrix --------------------------------------
+_JS_SOURCES = ["src0", "src1", "src2", "src3", "src4", "src5"]
+
+
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between source unigram
+    distributions — the bounded, symmetric upgrade of wave7's
+    one-vs-rest KL: JS(p,q) = ½KL(p‖m)+½KL(q‖m) with m the mixture,
+    defined even where supports differ (a word absent from q
+    contributes p·1 bit, no smoothing hack needed). Restricted to a
+    fixed {n}-source panel so the pair relation stays bounded. Word
+    probabilities are exact integer counts over per-source totals
+    (exact divisions); the per-word log2 terms sum to a
+    stable_round(4) display (KL precedent); n_words is the exact
+    integer support size of the union.
+
+    Scale: per-source word counts shuffle once (vocab-bounded); the
+    pair expansion joins count relations on word within the fixed
+    panel, never raw tokens."""
+    srcs = ", ".join(f"'{s}'" for s in _JS_SOURCES)
+    wc = (
+        _docs(spark, sf_dir)
+        .filter(F.expr(f"source in ({srcs})"))
+        .select("source", F.explode(F.expr(_SPARK_TOKS)).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = wc.groupBy("source").agg(F.sum("c").alias("n"))
+    wct = wc.join(tot, "source")
+    a = wct.select(
+        F.col("source").alias("s1"),
+        "w",
+        F.col("c").alias("ca"),
+        F.col("n").alias("na"),
+    )
+    bb = wct.select(
+        F.col("source").alias("s2"),
+        "w",
+        F.col("c").alias("cb"),
+        F.col("n").alias("nb"),
+    )
+    srcs_df = tot.select(F.col("source").alias("s"), F.col("n"))
+    pairs = (
+        srcs_df.alias("x")
+        .join(srcs_df.alias("y"), F.col("x.s") < F.col("y.s"))
+        .select(
+            F.col("x.s").alias("s1"),
+            F.col("x.n").alias("na"),
+            F.col("y.s").alias("s2"),
+            F.col("y.n").alias("nb"),
+        )
+    )
+    joined = pairs.join(a.drop("na"), ["s1"]).join(
+        bb.drop("nb"), ["s2", "w"], "left_outer"
+    )
+    # union support: words of s1 LEFT OUTER + words of s2 not in s1
+    only_b = (
+        pairs.join(bb.drop("nb"), ["s2"])
+        .join(
+            a.drop("na").withColumnRenamed("ca", "_ca"),
+            ["s1", "w"],
+            "left_anti",
+        )
+        .withColumn("ca", F.lit(0))
+    )
+    both = joined.withColumn(
+        "cb", F.coalesce("cb", F.lit(0))
+    ).unionByName(only_b.select(*joined.columns))
+    p = F.col("ca").cast("double") / F.col("na").cast("double")
+    q = F.col("cb").cast("double") / F.col("nb").cast("double")
+    m = (p + q) / 2
+    term = F.when(F.col("ca") > 0, 0.5 * p * F.log2(p / m)).otherwise(
+        0.0
+    ) + F.when(F.col("cb") > 0, 0.5 * q * F.log2(q / m)).otherwise(0.0)
+    return both.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        stable_round(F.sum(term), 4).alias("js_bits"),
+    )
+
+
+q_js_divergence.__doc__ = q_js_divergence.__doc__.format(
+    n=len(_JS_SOURCES)
+)
+
+
+def _sql_js_divergence() -> str:
+    srcs = ", ".join(f"'{s}'" for s in _JS_SOURCES)
+    return f"""
+WITH wc AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest({_TOKS}) AS w FROM documents
+        WHERE source IN ({srcs}))
+  GROUP BY source, w
+),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM wc GROUP BY source),
+pairs AS (
+  SELECT x.source AS s1, x.n AS na, y.source AS s2, y.n AS nb
+  FROM tot x JOIN tot y ON x.source < y.source
+),
+support AS (
+  SELECT p.s1, p.s2, p.na, p.nb, u.w,
+         COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+  FROM pairs p
+  JOIN (SELECT DISTINCT s1, s2, w FROM (
+          SELECT p2.s1, p2.s2, wc.w FROM pairs p2
+          JOIN wc ON wc.source = p2.s1
+          UNION ALL
+          SELECT p2.s1, p2.s2, wc.w FROM pairs p2
+          JOIN wc ON wc.source = p2.s2
+        )) u
+    ON u.s1 = p.s1 AND u.s2 = p.s2
+  LEFT JOIN wc ca ON ca.source = p.s1 AND ca.w = u.w
+  LEFT JOIN wc cb ON cb.source = p.s2 AND cb.w = u.w
+),
+terms AS (
+  SELECT s1, s2, w,
+         CASE WHEN ca > 0 THEN
+           0.5 * (CAST(ca AS DOUBLE) / na)
+           * log2((CAST(ca AS DOUBLE) / na)
+                  / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
+         ELSE 0.0 END
+         + CASE WHEN cb > 0 THEN
+           0.5 * (CAST(cb AS DOUBLE) / nb)
+           * log2((CAST(cb AS DOUBLE) / nb)
+                  / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
+         ELSE 0.0 END AS term
+  FROM support
+)
+SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_words,
+       {sql_stable_round("SUM(term)", 4)} AS js_bits
+FROM terms GROUP BY s1, s2
+"""
+
+
+# --- k-center greedy coreset ------------------------------------------------
+_KCENTER_K = 6
+
+
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection over the embedding table
+    (farthest-point traversal, the classic 2-approximation of
+    Gonzalez 1985 — the diversity-sampling backbone of active
+    learning and "pick k maximally-spread exemplars" data curation).
+    Seeded at vec_id 0; each round selects the point farthest from
+    the selected set and emits its covering radius at selection time.
+    All distances are integer squared-L2 on the 1e-7 quantized grid
+    (the kmeans/IVF convention), argmax ties break on vec_id, so the
+    selected SET is exact; no floats anywhere in the output.
+
+    Scale: the min-distance relation is one row per vector, updated
+    per round by a broadcast join against the one new center's d
+    components (k−1 rounds, each one scan-shaped job — the standard
+    distributed farthest-point sweep); localCheckpoint keeps the
+    iteration's plan flat exactly like kmeans_assign."""
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    pos = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "xf"))
+        .select(
+            "vec_id",
+            "pos",
+            F.expr(
+                "cast(floor(cast(xf as double) * 10000000.0 + 0.5) as bigint)"
+            ).alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def dist_to(center_pos: DataFrame) -> DataFrame:
+        diff = F.col("x") - F.col("c")
+        return (
+            pos.join(F.broadcast(center_pos), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(diff * diff).alias("dnew"))
+        )
+
+    c0 = pos.filter(F.col("vec_id") == 0).select(
+        "pos", F.col("x").alias("c")
+    )
+    mind = dist_to(c0).withColumnRenamed("dnew", "mind").localCheckpoint(
+        eager=False
+    )
+    selected = spark.createDataFrame(
+        [(0, 0, None)], "step int, vec_id long, radius_sq long"
+    )
+    for step in range(1, _KCENTER_K):
+        arg = (
+            mind.orderBy(F.desc("mind"), "vec_id")
+            .limit(1)
+            .select("vec_id", F.col("mind").alias("radius_sq"))
+            .localCheckpoint(eager=False)
+        )
+        selected = selected.unionByName(
+            arg.select(
+                F.lit(step).alias("step"), "vec_id", "radius_sq"
+            )
+        )
+        cpos = pos.join(
+            F.broadcast(arg.select("vec_id")), "vec_id"
+        ).select("pos", F.col("x").alias("c"))
+        mind = (
+            mind.join(dist_to(cpos), "vec_id")
+            .select(
+                "vec_id", F.least("mind", "dnew").alias("mind")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return selected
+
+
+def _sql_kcenter_coreset() -> str:
+    parts = [
+        """
+WITH pos AS (
+  SELECT vec_id, p - 1 AS pos,
+         CAST(floor(CAST(embedding[p] AS DOUBLE) * 10000000.0 + 0.5)
+              AS BIGINT) AS x
+  FROM (
+    SELECT vec_id, unnest(generate_series(1, len(embedding))) AS p, embedding
+    FROM embeddings
+  )
+),
+mind0 AS (
+  SELECT p.vec_id, CAST(SUM((p.x - c.x) * (p.x - c.x)) AS BIGINT) AS mind
+  FROM pos p JOIN pos c ON c.vec_id = 0 AND p.pos = c.pos
+  GROUP BY p.vec_id
+)"""
+    ]
+    for s in range(1, _KCENTER_K):
+        parts.append(
+            f""",
+sel{s} AS (
+  SELECT vec_id, mind FROM mind{s - 1}
+  ORDER BY mind DESC, vec_id LIMIT 1
+),
+mind{s} AS (
+  SELECT m.vec_id, LEAST(m.mind, d.dnew) AS mind
+  FROM mind{s - 1} m JOIN (
+    SELECT p.vec_id, CAST(SUM((p.x - c.x) * (p.x - c.x)) AS BIGINT) AS dnew
+    FROM pos p JOIN pos c
+      ON c.vec_id = (SELECT vec_id FROM sel{s}) AND p.pos = c.pos
+    GROUP BY p.vec_id
+  ) d ON m.vec_id = d.vec_id
+)"""
+        )
+    selects = [
+        "SELECT 0 AS step, CAST(0 AS BIGINT) AS vec_id,"
+        " CAST(NULL AS BIGINT) AS radius_sq"
+    ]
+    for s in range(1, _KCENTER_K):
+        selects.append(
+            f"SELECT {s} AS step, vec_id, mind AS radius_sq FROM sel{s}"
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# --- MinHash-LSH band tuning ------------------------------------------------
+_LSH_CONFIGS = [(4, 8), (8, 4), (16, 2), (32, 1)]  # (bands, rows)
+_LSH_SIM_FLOOR = 0.05
+_LSH_DF_CAP = 1000
+
+
+def q_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH (bands, rows) tuning report grounded in THIS
+    corpus: bucket the exact 3-shingle Jaccard of every
+    shingle-sharing pair (the dedup pipeline's verification relation)
+    into 0.05 bins, then for each candidate (b, r) config report the
+    expected number of detected pairs Σ 1−(1−s^r)^b over the bins —
+    the S-curve integral every LSH deployment tunes before committing
+    a signature width. The bin assignment is an exact integer
+    division floor(20·inter/union) (no float compare); the S-curve
+    term is a fixed closed-form expression of the bin midpoint
+    (identical constants both engines); expected counts are
+    stable_round displays over exact integer bin counts.
+
+    Scale: pair generation is the df-capped inverted-index walk every
+    dedup query here uses (bounded by Σ d_i², hot shingles dropped);
+    the config grid multiplies BINS (≤20 rows per config), not
+    pairs."""
+    from lab04_spark_streaming_spark.operators.textops import expr_shingles
+
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sh = (
+        docs.withColumn("_toks", F.expr(_SPARK_TOKS))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"array_distinct({expr_shingles('_toks', 3)})")
+            ).alias("shingle"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rare = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("_df")
+    ).filter(F.col("_df") <= _LSH_DF_CAP)
+    shc = sh.join(rare.select("shingle"), "shingle", "left_semi")
+    shc = shc.localCheckpoint(eager=False)
+    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        shc.alias("a")
+        .join(shc.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    binned = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("n_sh", "sa")
+        .join(sizes.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .withColumnRenamed("n_sh", "sb")
+        .withColumn("un", F.col("sa") + F.col("sb") - F.col("n_inter"))
+        .filter(
+            F.col("n_inter") * 100
+            >= F.col("un") * F.lit(int(_LSH_SIM_FLOOR * 100))
+        )
+        .withColumn(
+            "bin",
+            F.least(
+                F.lit(19), F.floor(20 * F.col("n_inter") / F.col("un"))
+            ).cast("int"),
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    cfg = spark.createDataFrame(_LSH_CONFIGS, ["bands", "rws"])
+    s_mid = (F.col("bin").cast("double") + 0.5) / 20.0
+    detect_p = 1.0 - F.pow(
+        1.0 - F.pow(s_mid, F.col("rws").cast("double")),
+        F.col("bands").cast("double"),
+    )
+    return (
+        binned.crossJoin(F.broadcast(cfg))
+        .groupBy("bands", "rws")
+        .agg(
+            F.sum("n_pairs").alias("n_pairs_considered"),
+            stable_round(
+                F.sum(F.col("n_pairs").cast("double") * detect_p), 4
+            ).alias("expected_detected"),
+        )
+    )
+
+
+def _sql_lsh_band_tuning() -> str:
+    cfgs = ", ".join(f"({b}, {r})" for b, r in _LSH_CONFIGS)
+    floor_pct = int(_LSH_SIM_FLOOR * 100)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         x -> x <> '') AS toks
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(toks) - 2),
+           i -> toks[i+0] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM tok t(doc_id, toks)
+),
+sh AS (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle IN (
+    SELECT shingle FROM sh0 GROUP BY shingle
+    HAVING COUNT(*) <= {_LSH_DF_CAP})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+binned AS (
+  SELECT CAST(LEAST(19, FLOOR(20 * n_inter / un)) AS INTEGER) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM (
+    SELECT i.n_inter, sa.n_sh + sb.n_sh - i.n_inter AS un
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+  )
+  WHERE n_inter * 100 >= un * {floor_pct}
+  GROUP BY bin
+),
+cfg AS (SELECT * FROM (VALUES {cfgs}) AS t(bands, rws))
+SELECT bands, rws,
+       CAST(SUM(n_pairs) AS BIGINT) AS n_pairs_considered,
+       {sql_stable_round(
+           "SUM(CAST(n_pairs AS DOUBLE) * (1.0 - pow(1.0 -"
+           " pow((CAST(bin AS DOUBLE) + 0.5) / 20.0,"
+           " CAST(rws AS DOUBLE)), CAST(bands AS DOUBLE))))", 4)}
+         AS expected_detected
+FROM binned, cfg
+GROUP BY bands, rws
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -1775,5 +2542,16 @@ def specs():
         ),
         QuerySpec(
             "sequence_patterns", q_sequence_patterns, SQL_SEQUENCE_PATTERNS
+        ),
+        QuerySpec(
+            "poisson_bootstrap", q_poisson_bootstrap, _sql_poisson_bootstrap()
+        ),
+        QuerySpec("rrf_fusion", q_rrf_fusion, _sql_rrf_fusion()),
+        QuerySpec("js_divergence", q_js_divergence, _sql_js_divergence()),
+        QuerySpec(
+            "kcenter_coreset", q_kcenter_coreset, _sql_kcenter_coreset()
+        ),
+        QuerySpec(
+            "lsh_band_tuning", q_lsh_band_tuning, _sql_lsh_band_tuning()
         ),
     ]

@@ -52,10 +52,14 @@ class QuerySpec:
 # and r02 go last.  Every query is still covered every round by the local
 # harness (tests/test_oracle_parity.py) regardless of position.
 _STAMP_FIRST: list[str] = [
-    # -- r08 window, executing the rotation plan written in r7 --
-    # (1) The 10 never-driver-stamped round-7 wave queries
-    # (plans/wave7.py): local-harness + driver-sim green, but driver
-    # evidence is the gate.
+    # -- r08 window, REVISED mid-round-8: the round-8 session added a
+    # 22-query wave-9 (plans/wave9.py), so the window now prioritizes
+    # NEVER-DRIVER-STAMPED queries exclusively — 10 wave-7 + 20 wave-8
+    # + 20 wave-9 — over the r4-stale-but-stamped cohort the earlier
+    # plan listed (a stale green stamp is strictly better evidence
+    # than no stamp at all; that cohort's code is unchanged since its
+    # stamps and re-verified locally every round).
+    # (1) The 10 never-driver-stamped round-7 wave queries.
     "source_kl_divergence",
     "user_event_entropy",
     "length_theil_by_source",
@@ -66,62 +70,59 @@ _STAMP_FIRST: list[str] = [
     "cross_source_duplication",
     "vocab_novelty_snapshot",
     "stats_rollup_incremental",
-    # (2) The 36 queries whose latest driver stamp is r4 (4 rounds old):
-    # TPC-H q15..q22, the dedup/text/multimodal first wave, the
-    # sampling wave. dedup_simhash and dedup_embedding_pairs also carry
-    # r7 physical-plan changes (split-restore + SRP band checkpoint),
-    # so their r4 stamps are doubly stale.
-    "q15_top_supplier",
-    "q16_supplier_part_types",
-    "q17_small_qty_revenue",
-    "q18_large_volume",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q21_suppliers_waiting",
-    "q22_global_sales",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
-    "dedup_jaccard_pairs",
-    "doc_chunking",
-    "knn_cosine_topk",
-    "dedup_embedding_pairs",
-    "ann_srp_buckets",
-    "text_metrics",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "tf_df_terms",
-    "tfidf_top_terms",
-    "multimodal_meta",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "quality_filter_pipeline",
-    "dedup_simhash_pairs",
-    "decontamination_pairs",
-    "pii_scrub",
-    "token_count_bpe",
-    "stratified_sample",
-    "train_test_split",
-    "domain_quota_sample",
-    "sequence_packing",
-    "ngram_repetition",
-    "embedding_normalize",
-    # (3) Four r5-stamped queries whose code changed in r7 AFTER their
-    # stamp (split-restore repartitions / shared norm-digest helpers /
-    # shingle-relation checkpoints), so the stamp no longer matches the
-    # running plan: re-stamp on the new code.
-    "dedup_exact_normalized",
-    "decontamination_containment",
-    "boilerplate_ngrams",
-    "substring_dedup_coverage",
-    # (window full at 50. Deferred to r9: the 20 round-8 wave queries
-    # (plans/wave8.py), word_cooccurrence (r7 stamp; r8 change is a
-    # pure split-restore repartition + checkpoint — values unchanged,
-    # driver-sim re-verified), dedup_clusters (r6 stamp, r7 change is
-    # a pure localCheckpoint — values provably unchanged) and the r5
-    # cohort (42 queries, unchanged code, stamps 3 rounds old at r9).
-    # All 203 stay covered every round by the local type-exact
+    # (2) The 20 never-driver-stamped round-8 wave queries
+    # (plans/wave8.py).
+    "pmi_word_pairs",
+    "chi2_terms_by_source",
+    "zipf_slope_by_source",
+    "mixing_weights_temperature",
+    "concurrent_active_30m",
+    "missing_hours_by_type",
+    "class_balance_weights",
+    "hard_negative_mining",
+    "debounce_keep_first",
+    "interval_union_time",
+    "vocab_coverage_topk",
+    "deseasonal_outliers",
+    "k_anonymity_audit",
+    "label_noise_knn",
+    "props_variant_stats",
+    "ab_test_welch",
+    "cuped_adjustment",
+    "simhash_error",
+    "cdc_apply_latest",
+    "funnel_time_to_convert",
+    # (3) 20 of the 22 round-9 wave queries (plans/wave9.py), built
+    # this round; the two single-aggregate trivial shapes
+    # (l_diversity_audit, compaction_bins) defer to r9 with the rest.
+    "ks_two_sample",
+    "mann_whitney_u",
+    "randomization_test",
+    "gini_concentration",
+    "kmv_distinct_sketch",
+    "weighted_sample",
+    "triangle_count",
+    "zonemap_pruning",
+    "blocking_eval",
+    "dsir_weights",
+    "sax_words",
+    "rake_keywords",
+    "matryoshka_recall",
+    "perplexity_buckets",
+    "sequence_patterns",
+    "poisson_bootstrap",
+    "rrf_fusion",
+    "js_divergence",
+    "kcenter_coreset",
+    "lsh_band_tuning",
+    # (window full at 50. Deferred to r9: l_diversity_audit,
+    # compaction_bins, the 36-query r4-stamped cohort (TPC-H q15-q22 +
+    # dedup/text/multimodal/sampling first waves, unchanged code), the
+    # 4 r5-stamped queries with r7 split-restore changes
+    # (dedup_exact_normalized, decontamination_containment,
+    # boilerplate_ngrams, substring_dedup_coverage), word_cooccurrence
+    # and dedup_clusters (pure checkpoint changes, values unchanged).
+    # All 225 stay covered every round by the local type-exact
     # harness, tests/test_oracle_parity.py.)
 ]
 
