@@ -779,6 +779,13 @@ def test_r7_unbounded_rank_window_allowlist():
             1,
             "vocab coverage rank: 1000 orderBy+limit survivors",
         ),
+        "plans/wave9.py": (
+            6,
+            "rake/rrf ranks: vocab- or top-depth-bounded stats "
+            "relations; perplexity decile: one row per doc (sketch "
+            "cut at petabyte scale, noted in docstring); poisson "
+            "bootstrap rank: R=100 replicate rows",
+        ),
     }
     for py in root.rglob("*.py"):
         rel = str(py.relative_to(root))
@@ -889,6 +896,66 @@ def test_r8_wave_plan_hygiene(spark, sf_dir):
     assert "day" in conc and "event_type" in conc
 
 
+def test_r9_wave_plan_hygiene(spark, sf_dir):
+    """Round-9 wave: the ECDF/rank scans ride pair- or key-partitioned
+    windows over distinct-value grids (never raw rows, never a single
+    global task); column pruning reaches the scans (Gini never reads
+    value/props, the triangle census reads only the two join keys,
+    the compaction planner never reads text); the documented global
+    ranks are bounded relations (vocab stats, 100 replicates, top-k
+    survivors)."""
+    from lab04_spark_streaming_spark.plans import wave9 as w9
+
+    for fn in (
+        w9.q_ks_two_sample,
+        w9.q_mann_whitney_u,
+        w9.q_gini_concentration,
+        w9.q_sax_words,
+        w9.q_compaction_bins,
+        w9.q_sequence_patterns,
+        w9.q_l_diversity_audit,
+    ):
+        plan = plan_of(fn(spark, sf_dir))
+        assert _unpartitioned_window_orders(plan) == [], fn.__name__
+
+    # Gini reads only (event_type, user_id): no value, no props.
+    reads = [
+        l
+        for l in plan_of(w9.q_gini_concentration(spark, sf_dir)).splitlines()
+        if "ReadSchema" in l
+    ]
+    assert reads and all(
+        "value" not in l and "props" not in l for l in reads
+    ), reads
+
+    # Triangle census scans only the two co-purchase join keys.
+    reads = [
+        l
+        for l in plan_of(w9.q_triangle_count(spark, sf_dir)).splitlines()
+        if "ReadSchema" in l
+    ]
+    assert reads and all(
+        "l_extendedprice" not in l and "l_quantity" not in l for l in reads
+    ), reads
+
+    # The compaction planner never touches document bodies.
+    reads = [
+        l
+        for l in plan_of(w9.q_compaction_bins(spark, sf_dir)).splitlines()
+        if "ReadSchema" in l
+    ]
+    assert reads and all("text" not in l for l in reads), reads
+
+    # Zone-map eval aggregates the fact ONCE; the threshold grid
+    # multiplies the tiny per-day stats relation, not the scan.
+    # (formatted plans list each node twice: tree + details section)
+    import re as _re
+
+    zplan = plan_of(w9.q_zonemap_pruning(spark, sf_dir))
+    n_scans = len(_re.findall(r"\(\d+\) Scan parquet", zplan))
+    assert n_scans == 1, n_scans
+
+
 def test_all_registered_queries_plan_hygiene(spark, sf_dir):
     """GLOBAL gate over every registered query (the per-wave audits
     only cover their own wave): no CartesianProduct anywhere, ever;
@@ -923,6 +990,16 @@ def test_all_registered_queries_plan_hygiene(spark, sf_dir):
         "mixing_weights_temperature", "class_balance_weights",
         "vocab_coverage_topk",
         "ab_test_welch",  # 1-row arm-B relation into the 1-row arm-A
+        # wave9 deliberate scalar/tiny-literal broadcasts: 1-row
+        # totals (obs stats, Σw, corpus N, bm25 corpus stats, CI
+        # report joins), the ≤types² pair relation (non-equi t1<t2),
+        # the 5-row threshold grid, the 4-row pattern/config
+        # relations, the 100-row replicate index fan-out
+        "ks_two_sample", "mann_whitney_u", "randomization_test",
+        "kmv_distinct_sketch", "weighted_sample", "zonemap_pruning",
+        "blocking_eval", "dsir_weights", "perplexity_buckets",
+        "sequence_patterns", "poisson_bootstrap", "rrf_fusion",
+        "js_divergence", "lsh_band_tuning", "triangle_count",
     }
     offenders = []
     for s in all_specs():
