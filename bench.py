@@ -54,6 +54,12 @@ HEADLINE = [
     # boundary-replicated day-partitioned concurrency windows.
     "pmi_word_pairs",
     "concurrent_active_30m",
+    # r9 wave: compact-forward triangle census (the heaviest graph
+    # plan), the ×100 map-side replicate fan-out (Poisson bootstrap),
+    # and the iterative farthest-point sweep (k-center coreset).
+    "triangle_count",
+    "poisson_bootstrap",
+    "kcenter_coreset",
 ]
 
 
