@@ -35,6 +35,7 @@ from lab04_spark_streaming_spark.plans import (
     wave7,
     wave8,
     wave9,
+    wave10,
 )
 
 
@@ -140,6 +141,7 @@ def all_specs() -> list[QuerySpec]:
     specs += wave7.specs()
     specs += wave8.specs()
     specs += wave9.specs()
+    specs += wave10.specs()
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
     by_name = {s.name: s for s in specs}

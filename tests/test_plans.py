@@ -786,6 +786,12 @@ def test_r7_unbounded_rank_window_allowlist():
             "cut at petabyte scale, noted in docstring); poisson "
             "bootstrap rank: R=100 replicate rows",
         ),
+        "plans/wave10.py": (
+            4,
+            "Kaplan-Meier cumulative scans: duration-grid rows; "
+            "quantile merge/audit scans: sources×k summary points "
+            "and the distinct-value grid",
+        ),
     }
     for py in root.rglob("*.py"):
         rel = str(py.relative_to(root))
@@ -1000,6 +1006,11 @@ def test_all_registered_queries_plan_hygiene(spark, sf_dir):
         "blocking_eval", "dsir_weights", "perplexity_buckets",
         "sequence_patterns", "poisson_bootstrap", "rrf_fusion",
         "js_divergence", "lsh_band_tuning", "triangle_count",
+        # wave10: 1-row span/total broadcasts (KM end-day + n_total,
+        # quantile totals × 4-row probe grid, hourly end_hour), the
+        # 9-row shard grid fan-out
+        "kaplan_meier", "rendezvous_sharding", "quantile_merge_eval",
+        "seasonal_naive_eval",
     }
     offenders = []
     for s in all_specs():
