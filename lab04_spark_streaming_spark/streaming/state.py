@@ -788,3 +788,138 @@ def scd2_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- streaming KMV distinct sketch -----------------------------------------
+KMV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("hour_start", TimestampType()),
+        StructField("n_sketch", LongType()),
+        StructField("kth_hash", LongType()),
+        StructField("est", DoubleType()),
+    ]
+)
+
+
+def _kmv_estimate(n_sketch: int, kth: int, k: int) -> float:
+    if n_sketch < k:
+        return float(n_sketch)
+    return float(k - 1) * 4294967296.0 / float(kth)
+
+
+def kmv_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    item_expr: str = "cast(user_id as string)",
+    k: int = 256,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming twin of the wave-9 KMV bottom-k distinct sketch
+    (plans/wave9.q_kmv_distinct_sketch, per-hour instead of
+    per-source): state per hour is the ≤ k smallest DISTINCT 32-bit
+    item hashes — constant-size, and MERGEABLE, which is exactly why a
+    bottom-k sketch can be maintained per micro-batch: merging a
+    batch's hashes into the held sketch and re-truncating to k is the
+    same operation as merging two per-partition sketches in the batch
+    query. An hour is EMITTED once the event-time watermark passes its
+    end; at that point the held sketch equals the batch bottom-k over
+    the hour's admitted rows bit-for-bit (md5-derived integers, no
+    floats in state), so kth_hash and the estimate match the batch
+    computation exactly (asserted in tests/test_streaming.py).
+
+    State size: ≤ k int64 per open hour — independent of row rate,
+    the property that distinguishes a sketch from collect_set."""
+    hour_us = 3_600_000_000
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        hs: set[int] = set(state.get[0]) if state.exists else set()
+        for pdf in batches:
+            hs.update(int(x) for x in pdf["_h"])
+        sk = sorted(hs)[:k]
+        h0_us = int(key[0])
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if h0_us + hour_us <= wm_us:
+            if state.exists:
+                state.remove()
+            if sk:
+                kth = sk[-1] if len(sk) == k else -1
+                yield pd.DataFrame(
+                    {
+                        "hour_start": [pd.Timestamp(h0_us, unit="us")],
+                        "n_sketch": [len(sk)],
+                        "kth_hash": [kth],
+                        "est": [
+                            _kmv_estimate(
+                                len(sk), sk[-1] if sk else -1, k
+                            )
+                        ],
+                    }
+                )
+        else:
+            state.update((sk,))
+            state.setTimeoutTimestamp(
+                max((h0_us + hour_us) // 1000, wm_us // 1000 + 1)
+            )
+
+    prepared = events.select(
+        F.unix_micros(F.date_trunc("hour", F.col(ts_col))).alias("_h0"),
+        F.expr(
+            f"cast(conv(substring(md5({item_expr}), 1, 8), 16, 10) as bigint)"
+        ).alias("_h"),
+        F.col(ts_col).alias("_event_time"),
+    ).withWatermark("_event_time", watermark)
+
+    return prepared.groupBy("_h0").applyInPandasWithState(
+        fn,
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=StructType(
+            [StructField("sketch", _array_of(LongType()))]
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def kmv_bottomk_hourly_batch(
+    df: DataFrame,
+    ts_col: str = "ts",
+    item_expr: str = "cast(user_id as string)",
+    k: int = 256,
+) -> DataFrame:
+    """Batch twin of :func:`kmv_stream` — the same bottom-k per hour
+    via a partitioned rank over distinct hashes (the wave-9 query's
+    shape on an hour key)."""
+    from pyspark.sql import Window
+
+    hh = (
+        df.select(
+            F.date_trunc("hour", F.col(ts_col)).alias("hour_start"),
+            F.expr(
+                f"cast(conv(substring(md5({item_expr}), 1, 8), 16, 10)"
+                " as bigint)"
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("hour_start").orderBy("h")
+    sk = hh.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(4294967296.0)
+        / F.col("kth_hash").cast("double")
+    )
+    return (
+        sk.groupBy("hour_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_sketch"),
+            F.coalesce(
+                F.max(F.when(F.col("r") == k, F.col("h"))), F.lit(-1)
+            ).alias("kth_hash"),
+        )
+        .select("hour_start", "n_sketch", "kth_hash", est.alias("est"))
+    )

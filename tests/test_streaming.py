@@ -1834,3 +1834,68 @@ def test_sessionize_rocksdb_checkpoint_stop_resume(spark, tmp_path):
         (1, 1): (1, at(3600)),
         (1, 2): (2, at(7200)),
     }
+
+
+def test_kmv_stream_matches_batch(spark, tmp_path):
+    """The streamed per-hour bottom-k KMV sketch must equal the batch
+    partitioned-rank computation exactly (same md5-derived integer
+    hashes, same k-truncation) for every watermark-closed hour —
+    including an hour with fewer than k distinct items (sketch exact)
+    and one with more (kth_hash picked)."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from lab04_spark_streaming_spark.streaming.state import (
+        kmv_bottomk_hourly_batch,
+        kmv_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+        ]
+    )
+    k = 16
+    rows = []
+    eid = 0
+    # hour 0: 7 distinct users (< k, sketch exact); hour 1: 40 (> k);
+    # hour 2: 40 with half overlapping hour 1's ids (distinct hashing)
+    for h, n_users in [(0, 7), (1, 40), (2, 40)]:
+        for u in range(n_users):
+            uid = u if h < 2 else u + 20
+            rows.append(
+                (eid, T0 + dt.timedelta(hours=h, minutes=u % 60), uid)
+            )
+            eid += 1
+    rows.append((eid, T0 + dt.timedelta(hours=6), 999))  # flush
+    d = tmp_path / "kmv"
+    d.mkdir()
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    stream = file_stream(spark, str(d / "events.parquet"), schema)
+    out = kmv_stream(stream, "ts", "cast(user_id as string)", k=k)
+    memory_sink_once(out, "kmv_out", "append")
+    streamed = {
+        r.hour_start: (r.n_sketch, r.kth_hash, r.est)
+        for r in spark.table("kmv_out").collect()
+    }
+    assert len(streamed) >= 3
+
+    batch = {
+        r.hour_start: (r.n_sketch, r.kth_hash, r.est)
+        for r in kmv_bottomk_hourly_batch(
+            df, "ts", "cast(user_id as string)", k=k
+        ).collect()
+    }
+    for hour, got in streamed.items():
+        assert batch[hour] == got, (hour, batch[hour], got)
+    # the sub-k hour is exact
+    sub_k = streamed[T0.replace(minute=0, second=0)]
+    assert sub_k[0] == 7 and sub_k[2] == 7.0
