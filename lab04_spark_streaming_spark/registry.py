@@ -36,6 +36,7 @@ from lab04_spark_streaming_spark.plans import (
     wave8,
     wave9,
     wave10,
+    wave11,
 )
 
 
@@ -142,6 +143,7 @@ def all_specs() -> list[QuerySpec]:
     specs += wave8.specs()
     specs += wave9.specs()
     specs += wave10.specs()
+    specs += wave11.specs()
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
     by_name = {s.name: s for s in specs}

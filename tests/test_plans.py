@@ -792,6 +792,10 @@ def test_r7_unbounded_rank_window_allowlist():
             "quantile merge/audit scans: sources×k summary points "
             "and the distinct-value grid",
         ),
+        "plans/wave11.py": (
+            1,
+            "PPR rank: top-20 orderBy+limit survivors",
+        ),
     }
     for py in root.rglob("*.py"):
         rel = str(py.relative_to(root))
@@ -1010,7 +1014,12 @@ def test_all_registered_queries_plan_hygiene(spark, sf_dir):
         # quantile totals × 4-row probe grid, hourly end_hour), the
         # 9-row shard grid fan-out
         "kaplan_meier", "rendezvous_sharding", "quantile_merge_eval",
-        "seasonal_naive_eval",
+        "seasonal_naive_eval", "feature_info_gain",  # 1-row H(label)
+        # wave11: 1-row seed/graph-size/corpus-stat broadcasts (PPR
+        # seed + per-iteration teleport join, BFS unreached row, FS
+        # m/u stats row, KN bigram-type total, conformal end-hour)
+        "ppr_related_parts", "bfs_hops", "fs_linkage",
+        "kneser_ney_bigram", "conformal_interval",
     }
     offenders = []
     for s in all_specs():
