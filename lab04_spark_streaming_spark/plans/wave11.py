@@ -339,15 +339,22 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(-(_WINNOW_W - 1), 0)
     )
-    # integer key (h, -pos): min = smallest hash, rightmost on ties
-    key = F.col("h") * F.lit(4096) + (F.lit(4095) - F.pmod(F.col("pos"), F.lit(4096)))
+    # INVERTIBLE integer key (h, rightmost-on-ties): the window min is
+    # decoded back to (h, pos), because the selected gram is the
+    # argmin of the whole window, not the row the window ends at.
+    # pos < 2^20 bound (a million shingles per document) keeps the
+    # pack collision-free; h < 2^32 keeps h·2^20 inside int64.
+    key = F.col("h") * F.lit(1048576) + (F.lit(1048575) - F.col("pos"))
     # full windows only (MOSS rule): docs shorter than w+n-1 tokens
     # yield no fingerprint — that's the guarantee's lower bound
     selected = (
         grams.withColumn("wmin", F.min(key).over(w))
         .filter(F.col("pos") >= _WINNOW_W - 1)
-        .filter(key == F.col("wmin"))
-        .select("doc_id", "h", "pos")
+        .select(
+            "doc_id",
+            F.expr("wmin div 1048576").alias("h"),
+            (F.lit(1048575) - F.pmod("wmin", F.lit(1048576))).alias("pos"),
+        )
         .distinct()
     )
     per_doc = grams.groupBy("doc_id").agg(
@@ -393,19 +400,22 @@ grams AS (
 ),
 keyed AS (
   SELECT doc_id, pos, h,
-         h * 4096 + (4095 - pos % 4096) AS k
+         h * 1048576 + (1048575 - pos) AS k
   FROM grams
 ),
 win AS (
-  SELECT doc_id, pos, h, k,
+  SELECT doc_id, pos,
          MIN(k) OVER w AS wmin
   FROM keyed
   WINDOW w AS (PARTITION BY doc_id ORDER BY pos
                ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW)
 ),
 selected AS (
-  SELECT DISTINCT doc_id, h, pos FROM win
-  WHERE pos >= {_WINNOW_W - 1} AND k = wmin
+  SELECT DISTINCT doc_id,
+         wmin // 1048576 AS h,
+         1048575 - (wmin % 1048576) AS pos
+  FROM win
+  WHERE pos >= {_WINNOW_W - 1}
 ),
 per_doc AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams GROUP BY doc_id
@@ -599,7 +609,7 @@ def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr(f"size({_SPARK_TOKS})") / _FS_TOK_BUCKET)
         .cast("long")
         .alias("tokb"),
-        F.expr(f"element_at({_SPARK_TOKS}, 1)").alias("w1"),
+        F.expr(f"try_element_at({_SPARK_TOKS}, 1)").alias("w1"),
     ).localCheckpoint(eager=False)
     pairs = (
         docs.alias("a")
