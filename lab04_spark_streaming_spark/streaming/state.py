@@ -923,3 +923,122 @@ def kmv_bottomk_hourly_batch(
         )
         .select("hour_start", "n_sketch", "kth_hash", est.alias("est"))
     )
+
+
+# --- streaming volume-anomaly monitor ---------------------------------------
+VOLUME_ANOMALY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("day", TimestampType()),
+        StructField("cnt", LongType()),
+        StructField("trailing_days", LongType()),
+        StructField("is_anomaly", BooleanType()),
+    ]
+)
+
+
+def volume_anomaly_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    trail_days: int = 7,
+    sigma: int = 3,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming twin of the wave-10 daily volume-anomaly monitor
+    (plans/wave10.q_volume_anomaly) — the alert evaluated where it
+    belongs, on the live stream: per event type, hold the open days'
+    counts plus the trailing ``trail_days`` FINALIZED daily counts,
+    and once the watermark passes a day's end emit that day with the
+    all-BIGINT flag (n·x − Σ)² > sigma²·(n·Σx² − Σ²) over the
+    trailing window — exactly the batch decision, so finalized days
+    match the batch query bit-for-bit on admitted rows (asserted in
+    tests/test_streaming.py). Days finalize in order (finality is
+    monotone in day), so the trailing buffer in state is always the
+    batch's ROWS BETWEEN trail PRECEDING AND 1 PRECEDING frame.
+
+    State per key: ≤ trail_days finalized counts + the open days'
+    partial counts — constant-size, independent of event rate."""
+    day_us = 86_400_000_000
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            tdays, tcnts, odays, ocnts = state.get
+            trail = list(zip(tdays, tcnts))
+            open_cnt = dict(zip(odays, ocnts))
+        else:
+            trail, open_cnt = [], {}
+        for pdf in batches:
+            for t in pdf["_ts_us"]:
+                d0 = int(t) - int(t) % day_us
+                open_cnt[d0] = open_cnt.get(d0, 0) + 1
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        out: list[tuple[int, int, int, bool]] = []
+        for d0 in sorted(open_cnt):
+            if d0 + day_us <= wm_us:
+                x = open_cnt.pop(d0)
+                window = [c for _, c in trail[-trail_days:]]
+                n = len(window)
+                flag = False
+                if n >= 3:
+                    s, sq = sum(window), sum(c * c for c in window)
+                    flag = (n * x - s) ** 2 > sigma * sigma * (
+                        n * sq - s * s
+                    )
+                out.append((d0, x, n, flag))
+                trail.append((d0, x))
+                trail = trail[-trail_days:]
+
+        if open_cnt or trail:
+            days = sorted(open_cnt)
+            state.update(
+                (
+                    [d for d, _ in trail],
+                    [c for _, c in trail],
+                    days,
+                    [open_cnt[d] for d in days],
+                )
+            )
+            if days:
+                state.setTimeoutTimestamp(
+                    max((days[0] + day_us) // 1000, wm_us // 1000 + 1)
+                )
+        elif state.exists:
+            state.remove()
+
+        if out:
+            yield pd.DataFrame(
+                {
+                    "event_type": [str(key[0])] * len(out),
+                    "day": [pd.Timestamp(d, unit="us") for d, _, _, _ in out],
+                    "cnt": [x for _, x, _, _ in out],
+                    "trailing_days": [n for _, _, n, _ in out],
+                    "is_anomaly": [f for _, _, _, f in out],
+                }
+            )
+
+    prepared = events.select(
+        F.col(key_col).alias("_key"),
+        F.unix_micros(F.col(ts_col)).alias("_ts_us"),
+        F.col(ts_col).alias("_event_time"),
+    ).withWatermark("_event_time", watermark)
+
+    return prepared.groupBy("_key").applyInPandasWithState(
+        fn,
+        outputStructType=VOLUME_ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=StructType(
+            [
+                StructField("trail_days", _array_of(LongType())),
+                StructField("trail_cnts", _array_of(LongType())),
+                StructField("open_days", _array_of(LongType())),
+                StructField("open_cnts", _array_of(LongType())),
+            ]
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1899,3 +1899,77 @@ def test_kmv_stream_matches_batch(spark, tmp_path):
     # the sub-k hour is exact
     sub_k = streamed[T0.replace(minute=0, second=0)]
     assert sub_k[0] == 7 and sub_k[2] == 7.0
+
+
+def test_volume_anomaly_stream_matches_batch(spark, tmp_path):
+    """Streamed daily volume-anomaly rows must equal the batch query's
+    (type, day) rows exactly — counts, trailing-window sizes AND the
+    integer 3-sigma flag — for every watermark-closed day, including a
+    genuine spike day that must flag."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from lab04_spark_streaming_spark.plans.wave10 import q_volume_anomaly
+    from lab04_spark_streaming_spark.streaming.state import (
+        volume_anomaly_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    day0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # steady ~10/day for 9 days, then a 60-event spike on day 9
+    for d in range(10):
+        n = 60 if d == 9 else 10 + (d % 3)
+        for i in range(n):
+            rows.append(
+                (
+                    eid,
+                    day0 + dt.timedelta(days=d, minutes=i),
+                    i,
+                    "click",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    rows.append(
+        (eid, day0 + dt.timedelta(days=20), 0, "click", 1.0, "{}")
+    )  # flush
+    d = tmp_path / "vol"
+    d.mkdir()
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    stream = file_stream(spark, str(d / "events.parquet"), schema)
+    out = volume_anomaly_stream(stream, "ts", "event_type")
+    memory_sink_once(out, "vol_out", "append")
+    streamed = {
+        (r.event_type, r.day.date()): (r.cnt, r.trailing_days, r.is_anomaly)
+        for r in spark.table("vol_out").collect()
+    }
+    assert len(streamed) >= 10
+
+    batch = {
+        (r.event_type, r.day): (r.cnt, r.trailing_days, r.is_anomaly)
+        for r in q_volume_anomaly(spark, str(d)).collect()
+    }
+    for k, got in streamed.items():
+        assert batch[k] == got, (k, batch[k], got)
+    # the spike day flags in both
+    assert streamed[("click", (day0 + dt.timedelta(days=9)).date())][2]
