@@ -116,8 +116,12 @@ def q_ppr_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(F.col("src").alias("seed"))
     )
-    nodes = deg.select(F.col("src").alias("x"), "deg").crossJoin(
-        F.broadcast(seed)
+    # nodes (deg × seed) is re-joined every iteration — pin it once or
+    # each round re-runs the degree aggregate AND the seed TakeOrdered
+    nodes = (
+        deg.select(F.col("src").alias("x"), "deg")
+        .crossJoin(F.broadcast(seed))
+        .localCheckpoint(eager=False)
     )
     pr = nodes.select(
         "x",
