@@ -191,3 +191,53 @@ def frame_sample_stub(media: DataFrame, every_ms: int = 40) -> DataFrame:
     return media.filter(F.col("kind") == "video").mapInPandas(
         sample_batches, FRAMES_SCHEMA
     )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+_PHASH_BITS = 60  # stays clear of the int64 sign bit
+
+
+def phash_stub(media: DataFrame) -> DataFrame:
+    """Perceptual-hash stage plumbing (the LAION-style image near-dup
+    primitive): a {b}-bit signature per payload, computed INSIDE the
+    Arrow-batched Python worker exactly where a real pHash (DCT of the
+    decoded image) would run. The deterministic fake samples {b}
+    evenly-spaced bytes and thresholds each against the floor-mean
+    byte — integer-only, so the signature is reproducible in SQL for
+    the oracle while the Spark side exercises the real decode-stage
+    shape. Swap the byte math for PIL+DCT to productionize; the
+    banding/join downstream is codec-agnostic."""
+
+    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                n = len(b)
+                if n == 0:
+                    hashes.append(0)
+                    continue
+                m = sum(b) // n
+                ph = 0
+                for i in range(_PHASH_BITS):
+                    p = (i * (n - 1)) // (_PHASH_BITS - 1) if n > 1 else 0
+                    if b[p] > m:
+                        ph |= 1 << i
+                hashes.append(ph)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(phash_batches, PHASH_SCHEMA)
+
+
+phash_stub.__doc__ = phash_stub.__doc__.format(b=_PHASH_BITS)

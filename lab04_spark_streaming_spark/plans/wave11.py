@@ -827,6 +827,113 @@ CROSS JOIN btot b
 """
 
 
+# --- media perceptual-hash near-dup pairs ------------------------------------
+_PHASH_BAND_BITS = 15
+_PHASH_MAX_HAMMING = 6
+
+
+def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the media table —
+    the image-dedup primitive of multimodal curation (LAION-style
+    pHash dedup), run through the REAL decode-stage plumbing: the
+    60-bit signature is computed in an Arrow-batched mapInPandas
+    worker (operators/multimodal.phash_stub — swap the byte math for
+    PIL+DCT and nothing downstream changes), then candidates come
+    from 4×{bb}-bit HAMMING BANDS (a pair within distance d < 4 must
+    agree on ≥ 1 band — the SimHash banding argument) and are
+    verified by exact bit_count(xor) ≤ {mh}. All-integer end to end.
+
+    Scale: the band join's shuffle keys are (band_idx, 15-bit chunk) —
+    never payloads, never all-pairs; the verify touches candidate
+    pairs only; the mapInPandas stage is embarrassingly parallel."""
+    from lab04_spark_streaming_spark.operators.multimodal import (
+        media_from_documents,
+        phash_stub,
+    )
+
+    media = media_from_documents(
+        _docs(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+    )
+    ph = phash_stub(media).localCheckpoint(eager=False)
+    bands = ph.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), j -> named_struct("
+                "'j', j, 'b', (phash div shiftleft(cast(1 as bigint),"
+                f" j * {_PHASH_BAND_BITS}))"
+                f" % shiftleft(cast(1 as bigint), {_PHASH_BAND_BITS})))"
+            )
+        ).alias("band"),
+    ).select("media_id", "phash", "band.j", "band.b")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["j", "b"])
+        .filter(F.col("x.media_id") < F.col("y.media_id"))
+        .select(
+            F.col("x.media_id").alias("id_a"),
+            F.col("y.media_id").alias("id_b"),
+            F.col("x.phash").alias("pa"),
+            F.col("y.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+
+
+q_media_phash_pairs.__doc__ = q_media_phash_pairs.__doc__.format(
+    bb=_PHASH_BAND_BITS, mh=_PHASH_MAX_HAMMING
+)
+
+
+def _sql_media_phash_pairs() -> str:
+    nb = 60
+    return f"""
+WITH d AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+stats AS (
+  SELECT media_id, text, n,
+         CASE WHEN n = 0 THEN 0 ELSE
+           list_aggregate(list_transform(generate_series(1, n),
+             i -> ord(substr(text, CAST(i AS INTEGER), 1))), 'sum') // n
+         END AS m
+  FROM d
+),
+ph AS (
+  SELECT media_id,
+         CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE
+           CAST(list_aggregate(list_transform(generate_series(0, {nb - 1}),
+             i -> CASE WHEN ord(substr(text,
+                    CAST(CASE WHEN n > 1 THEN (i * (n - 1)) // {nb - 1}
+                         ELSE 0 END + 1 AS INTEGER), 1)) > m
+                  THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER)
+                  ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT)
+         END AS phash
+  FROM stats
+),
+bands AS (
+  SELECT media_id, phash, j.j AS j,
+         (phash // (CAST(1 AS BIGINT) << CAST(j.j * {_PHASH_BAND_BITS} AS INTEGER)))
+           % (CAST(1 AS BIGINT) << {_PHASH_BAND_BITS}) AS b
+  FROM ph, (SELECT UNNEST([0, 1, 2, 3]) AS j) j
+),
+cand AS (
+  SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b,
+         x.phash AS pa, y.phash AS pb
+  FROM bands x JOIN bands y
+    ON x.j = y.j AND x.b = y.b AND x.media_id < y.media_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(pa, pb)) <= {_PHASH_MAX_HAMMING}
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -846,5 +953,8 @@ def specs():
         QuerySpec("fs_linkage", q_fs_linkage, _sql_fs_linkage()),
         QuerySpec(
             "kneser_ney_bigram", q_kneser_ney_bigram, SQL_KNESER_NEY_BIGRAM
+        ),
+        QuerySpec(
+            "media_phash_pairs", q_media_phash_pairs, _sql_media_phash_pairs()
         ),
     ]
