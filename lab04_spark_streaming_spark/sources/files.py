@@ -15,7 +15,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+from pyspark.sql.types import (
+    LongType,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 from lab04_spark_streaming_spark.schemas import STAR_TABLES
 
@@ -236,3 +241,26 @@ def read_csv(
     if ts_format:
         r = r.option("timestampFormat", ts_format)
     return r.csv(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    """ORC landing-zone writer (Spark's second built-in columnar
+    format — some upstream warehouses hand data over as ORC). Same
+    contract as the parquet writers: explicit layout, no inference."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC reader with an optional explicit schema (schema-on-read
+    contract matches read_csv/read_jsonl: never let a silent
+    inference job decide production types). ORC carries its own
+    column statistics, so predicate pushdown works exactly as with
+    parquet (`PushedFilters` in the plan — asserted in
+    tests/test_storage_layout.py)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

@@ -326,3 +326,40 @@ def test_cell_partitioned_index_prunes_probed_cells(spark, sf_dir, tmp_path):
     # only the two probed directories' rows are read
     expected = assign.filter(F.col("cell").isin(2, 5)).count()
     assert probe.count() == expected
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC is the second built-in columnar landing format: write the
+    events table as ORC partitioned by type, read it back with an
+    explicit schema, and verify (a) exact row parity and (b) that a
+    filter reaches the ORC scan as a pushed predicate."""
+    from lab04_spark_streaming_spark.sources.files import (
+        load_table,
+        read_orc,
+        write_orc,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    p = str(tmp_path / "events_orc")
+    write_orc(ev, p, partition_by="event_type")
+    back = read_orc(spark, p)
+    assert back.count() == ev.count()
+    a = {tuple(r) for r in ev.select("event_id", "user_id").collect()}
+    b = {tuple(r) for r in back.select("event_id", "user_id").collect()}
+    assert a == b
+
+    import contextlib
+    import io
+
+    q = back.filter("user_id = 3").select("event_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "user_id" in plan.split("PushedFilters")[1][:200]
+    # partition pruning on the partitionBy column
+    q2 = back.filter("event_type = 'click'")
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        q2.explain("formatted")
+    assert "PartitionFilters" in buf2.getvalue()
