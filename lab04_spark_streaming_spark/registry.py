@@ -37,6 +37,7 @@ from lab04_spark_streaming_spark.plans import (
     wave9,
     wave10,
     wave11,
+    wave12,
 )
 
 
@@ -144,6 +145,7 @@ def all_specs() -> list[QuerySpec]:
     specs += wave9.specs()
     specs += wave10.specs()
     specs += wave11.specs()
+    specs += wave12.specs()
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
     by_name = {s.name: s for s in specs}

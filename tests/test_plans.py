@@ -796,6 +796,12 @@ def test_r7_unbounded_rank_window_allowlist():
             1,
             "PPR rank: top-20 orderBy+limit survivors",
         ),
+        "plans/wave12.py": (
+            4,
+            "stratified-ATE quartile: one row per user (sketch cut "
+            "at petabyte scale, see quantile_merge_eval); retrieval "
+            "ranks + AP cumsum: top-k orderBy+limit survivors",
+        ),
     }
     for py in root.rglob("*.py"):
         rel = str(py.relative_to(root))
@@ -1018,6 +1024,10 @@ def test_all_registered_queries_plan_hygiene(spark, sf_dir):
         # m/u stats row, KN bigram-type total, conformal end-hour)
         "ppr_related_parts", "bfs_hops", "fs_linkage",
         "kneser_ney_bigram", "conformal_interval",
+        # wave12: 1-row day0/totals/metric relations, the 3-row looks
+        # grid, the 9-row decile grid
+        "obrien_fleming", "qte_deciles", "stratified_ate",
+        "retrieval_eval",
     }
     offenders = []
     for s in all_specs():
