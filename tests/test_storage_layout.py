@@ -363,3 +363,24 @@ def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
     with contextlib.redirect_stdout(buf2):
         q2.explain("formatted")
     assert "PartitionFilters" in buf2.getvalue()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Landing zones evolve: files written before a column existed
+    must read as NULL next to newer files, and the union schema must
+    require mergeSchema (one more thing a 100 TB lake needs pinned:
+    schema drift is a read-option decision, not a crash)."""
+    p = str(tmp_path / "evolving")
+    old = spark.createDataFrame(
+        [(1, "a")], "id long, payload string"
+    )
+    old.write.parquet(p + "/batch=1")
+    new = spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, payload string, quality double"
+    )
+    new.write.parquet(p + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) >= {"id", "payload", "quality"}
+    rows = {r.id: r.quality for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 0.5
