@@ -38,6 +38,7 @@ from lab04_spark_streaming_spark.plans import (
     wave10,
     wave11,
     wave12,
+    wave13,
 )
 
 
@@ -146,6 +147,7 @@ def all_specs() -> list[QuerySpec]:
     specs += wave10.specs()
     specs += wave11.specs()
     specs += wave12.specs()
+    specs += wave13.specs()
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
     by_name = {s.name: s for s in specs}

@@ -802,6 +802,10 @@ def test_r7_unbounded_rank_window_allowlist():
             "at petabyte scale, see quantile_merge_eval); retrieval "
             "ranks + AP cumsum: top-k orderBy+limit survivors",
         ),
+        "plans/wave13.py": (
+            1,
+            "Heaps cumulative scan: <=10 decile snapshot rows",
+        ),
     }
     for py in root.rglob("*.py"):
         rel = str(py.relative_to(root))
@@ -1028,6 +1032,8 @@ def test_all_registered_queries_plan_hygiene(spark, sf_dir):
         # grid, the 9-row decile grid
         "obrien_fleming", "qte_deciles", "stratified_ate",
         "retrieval_eval",
+        # wave13: 1-row corpus totals / OLS-fit / doc-count relations
+        "good_turing", "heaps_law", "benford_audit",
     }
     offenders = []
     for s in all_specs():
