@@ -119,15 +119,19 @@ _STAMP_FIRST: list[str] = [
     "js_divergence",
     "kcenter_coreset",
     "lsh_band_tuning",
-    # (window full at 50. Deferred to r9: l_diversity_audit,
-    # compaction_bins, the 36-query r4-stamped cohort (TPC-H q15-q22 +
-    # dedup/text/multimodal/sampling first waves, unchanged code), the
-    # 4 r5-stamped queries with r7 split-restore changes
+    # (window full at 50. Deferred to r9, in priority order:
+    # the 27 remaining never-stamped round-8-built queries
+    # (l_diversity_audit, compaction_bins, the 7 wave-10, the 7
+    # wave-11, the 5 wave-12 and the 6 wave-13 queries), then the
+    # 36-query r4-stamped cohort (TPC-H q15-q22 + dedup/text/
+    # multimodal/sampling first waves, unchanged code), the 4
+    # r5-stamped queries with r7 split-restore changes
     # (dedup_exact_normalized, decontamination_containment,
     # boilerplate_ngrams, substring_dedup_coverage), word_cooccurrence
     # and dedup_clusters (pure checkpoint changes, values unchanged).
-    # All 225 stay covered every round by the local type-exact
-    # harness, tests/test_oracle_parity.py.)
+    # All 250 stay covered every round by the local type-exact
+    # harness, tests/test_oracle_parity.py, and were driver-sim
+    # verified end-to-end this round.)
 ]
 
 
