@@ -56,82 +56,80 @@ class QuerySpec:
 # and r02 go last.  Every query is still covered every round by the local
 # harness (tests/test_oracle_parity.py) regardless of position.
 _STAMP_FIRST: list[str] = [
-    # -- r08 window, REVISED mid-round-8: the round-8 session added a
-    # 22-query wave-9 (plans/wave9.py), so the window now prioritizes
-    # NEVER-DRIVER-STAMPED queries exclusively — 10 wave-7 + 20 wave-8
-    # + 20 wave-9 — over the r4-stale-but-stamped cohort the earlier
-    # plan listed (a stale green stamp is strictly better evidence
-    # than no stamp at all; that cohort's code is unchanged since its
-    # stamps and re-verified locally every round).
-    # (1) The 10 never-driver-stamped round-7 wave queries.
-    "source_kl_divergence",
-    "user_event_entropy",
-    "length_theil_by_source",
-    "copurchase_lift",
-    "bpe_encode_apply",
-    "embedding_centroid_shift",
-    "skyline_pareto",
-    "cross_source_duplication",
-    "vocab_novelty_snapshot",
-    "stats_rollup_incremental",
-    # (2) The 20 never-driver-stamped round-8 wave queries
-    # (plans/wave8.py).
-    "pmi_word_pairs",
-    "chi2_terms_by_source",
-    "zipf_slope_by_source",
-    "mixing_weights_temperature",
-    "concurrent_active_30m",
-    "missing_hours_by_type",
-    "class_balance_weights",
-    "hard_negative_mining",
-    "debounce_keep_first",
-    "interval_union_time",
-    "vocab_coverage_topk",
-    "deseasonal_outliers",
-    "k_anonymity_audit",
-    "label_noise_knn",
-    "props_variant_stats",
-    "ab_test_welch",
-    "cuped_adjustment",
-    "simhash_error",
-    "cdc_apply_latest",
-    "funnel_time_to_convert",
-    # (3) 20 of the 22 round-9 wave queries (plans/wave9.py), built
-    # this round; the two single-aggregate trivial shapes
-    # (l_diversity_audit, compaction_bins) defer to r9 with the rest.
-    "ks_two_sample",
-    "mann_whitney_u",
-    "randomization_test",
-    "gini_concentration",
-    "kmv_distinct_sketch",
-    "weighted_sample",
-    "triangle_count",
-    "zonemap_pruning",
-    "blocking_eval",
-    "dsir_weights",
-    "sax_words",
-    "rake_keywords",
-    "matryoshka_recall",
-    "perplexity_buckets",
-    "sequence_patterns",
-    "poisson_bootstrap",
-    "rrf_fusion",
-    "js_divergence",
-    "kcenter_coreset",
-    "lsh_band_tuning",
-    # (window full at 50. Deferred to r9, in priority order:
-    # the 27 remaining never-stamped round-8-built queries
-    # (l_diversity_audit, compaction_bins, the 7 wave-10, the 7
-    # wave-11, the 5 wave-12 and the 6 wave-13 queries), then the
-    # 36-query r4-stamped cohort (TPC-H q15-q22 + dedup/text/
-    # multimodal/sampling first waves, unchanged code), the 4
-    # r5-stamped queries with r7 split-restore changes
-    # (dedup_exact_normalized, decontamination_containment,
-    # boilerplate_ngrams, substring_dedup_coverage), word_cooccurrence
-    # and dedup_clusters (pure checkpoint changes, values unchanged).
-    # All 250 stay covered every round by the local type-exact
-    # harness, tests/test_oracle_parity.py, and were driver-sim
-    # verified end-to-end this round.)
+    # -- r09 window (executes the r8 verdict's item 1 exactly): the 27
+    # queries that have NEVER received a driver stamp (all 27 verified
+    # MATCH by the r8 judge's driver-sim rerun, so these stamps should
+    # land green), followed by the first 23 of the 36-query r4-stamped
+    # stale cohort (TPC-H q15-q22 + the first-wave dedup/text/
+    # multimodal queries, code unchanged since r4, re-verified locally
+    # every round).
+    # (1) 27 never-driver-stamped queries (waves 9-13 + mining).
+    "compaction_bins",
+    "l_diversity_audit",
+    "volume_anomaly",
+    "kaplan_meier",
+    "item_item_cosine",
+    "feature_info_gain",
+    "rendezvous_sharding",
+    "quantile_merge_eval",
+    "seasonal_naive_eval",
+    "ppr_related_parts",
+    "bfs_hops",
+    "winnowing_fingerprints",
+    "conformal_interval",
+    "fs_linkage",
+    "kneser_ney_bigram",
+    "media_phash_pairs",
+    "srm_check",
+    "obrien_fleming",
+    "qte_deciles",
+    "stratified_ate",
+    "retrieval_eval",
+    "good_turing",
+    "heaps_law",
+    "benford_audit",
+    "tukey_fences",
+    "cohort_ltv",
+    "time_decay_attribution",
+    # (2) First 23 of the stale r4-stamped cohort: refresh TPC-H
+    # q15-q22 and the first-wave dedup/similarity/text queries.
+    "q15_top_supplier",
+    "q16_supplier_part_types",
+    "q17_small_qty_revenue",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_suppliers_waiting",
+    "q22_global_sales",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_jaccard_pairs",
+    "doc_chunking",
+    "knn_cosine_topk",
+    "dedup_embedding_pairs",
+    "ann_srp_buckets",
+    "text_metrics",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "tf_df_terms",
+    "tfidf_top_terms",
+    "multimodal_meta",
+    # (Window full at 50.  r10 rotation plan, in priority order: the
+    # remaining 13 of the r4 cohort — multimodal_resize,
+    # multimodal_frame_sample, quality_filter_pipeline,
+    # dedup_simhash_pairs, decontamination_pairs, pii_scrub,
+    # token_count_bpe, stratified_sample, train_test_split,
+    # domain_quota_sample, sequence_packing, ngram_repetition,
+    # embedding_normalize — then the 4 r5-stamped queries whose code
+    # changed in r7 (dedup_exact_normalized, decontamination_containment,
+    # boilerplate_ngrams, substring_dedup_coverage), then
+    # word_cooccurrence (r7 stamp) and dedup_clusters (r6 stamp,
+    # checkpoint-only changes since) = 19 queries; the remaining ~31
+    # slots refresh the oldest green stamps (r5 cohort) in registry
+    # order.  All 250 stay covered every round by the local type-exact
+    # harness, tests/test_oracle_parity.py.)
 ]
 
 
