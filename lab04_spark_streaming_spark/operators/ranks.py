@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_row_number"]
+__all__ = ["global_row_number", "global_ntile"]
 
 
 def global_row_number(
@@ -83,4 +83,54 @@ def global_row_number(
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(rank_col, (F.col("_lrk") + F.col("_off")).cast("long"))
         .drop("_pid", "_lrk", "_off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    n: int,
+    *order: Column | str,
+    bucket_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``bucket_col`` = exact SQL-standard ``ntile(n)`` of
+    ``df`` under the total order ``order`` — the distributed twin of
+    ``ntile(n) OVER (ORDER BY ...)``, which would otherwise funnel the
+    whole relation through one task.
+
+    ntile's bucket assignment is a pure function of (global rank, row
+    count): with N rows, the first ``N % n`` buckets hold
+    ``ceil(N/n)`` rows and the rest hold ``floor(N/n)``. So the
+    single-partition window decomposes into :func:`global_row_number`
+    (range-partitioned two-pass rank) plus one broadcast 1-row count
+    — bit-identical bucket ids, no global sort in a single task. The
+    order must be a deterministic TOTAL order (same contract as
+    global_row_number); the bucket is emitted as ``int`` to match
+    ``F.ntile``'s IntegerType.
+    """
+    clash = {"_gnt_rk", "_gnt_n", bucket_col} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"global_ntile: input already has column(s) {sorted(clash)}"
+        )
+    # Both consumers (rank + count) read one pinned materialization.
+    base = df.localCheckpoint(eager=False)
+    ranked = global_row_number(
+        base, *order, rank_col="_gnt_rk", num_partitions=num_partitions
+    )
+    total = base.agg(F.count(F.lit(1)).alias("_gnt_n"))
+    q = F.floor(F.col("_gnt_n") / n).cast("long")  # small-bucket size
+    r = (F.col("_gnt_n") - q * n).cast("long")  # number of big buckets
+    big_rows = r * (q + 1)  # rows covered by the big buckets
+    rk = F.col("_gnt_rk")
+    # CASE is lazy in both engines, so the q==0 division in the
+    # otherwise-branch is unreachable (N < n puts every row in the
+    # first branch: rk <= N = big_rows).
+    bucket = F.when(
+        rk <= big_rows, F.floor((rk - 1) / (q + 1)) + 1
+    ).otherwise(r + F.floor((rk - big_rows - 1) / q) + 1)
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(bucket_col, bucket.cast("int"))
+        .drop("_gnt_rk", "_gnt_n")
     )

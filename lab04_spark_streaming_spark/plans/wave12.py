@@ -22,6 +22,7 @@ from lab04_spark_streaming_spark.functions.guards import (
     sql_stable_round,
     stable_round,
 )
+from lab04_spark_streaming_spark.operators.ranks import global_ntile
 from lab04_spark_streaming_spark.operators.textops import (
     expr_tokens,
     sql_tokens,
@@ -343,17 +344,22 @@ def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the '__all__' pooled row; degenerate cells emit NULL.
 
     Scale: everything after the per-user aggregate is
-    strata-bounded; the quartile window ranks one row per user."""
+    strata-bounded; the quartile is operators/ranks.global_ntile — a
+    range-partitioned two-pass rank plus the SQL-standard bucket
+    arithmetic, never a single-task window over the per-user relation
+    (one row per user is still billions on a web-scale log).
+    Bit-identical to the oracle's ntile."""
     ev = _events(spark, sf_dir)
     users = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(30,6)")).alias("sv"),
     )
-    w = Window.orderBy("n_events", "user_id")
-    per_user = users.select(
+    per_user = global_ntile(
+        users, _ATE_STRATA, "n_events", "user_id", bucket_col="stratum"
+    ).select(
         "user_id",
         (F.col("user_id") % 2).alias("arm"),
-        F.ntile(_ATE_STRATA).over(w).alias("stratum"),
+        "stratum",
         (F.col("sv").cast("double") / F.col("n_events").cast("double")).alias(
             "y"
         ),

@@ -34,6 +34,7 @@ from lab04_spark_streaming_spark.functions.guards import (
     sql_stable_round,
     stable_round,
 )
+from lab04_spark_streaming_spark.operators.ranks import global_ntile
 from lab04_spark_streaming_spark.operators.textops import (
     expr_norm_digest,
     expr_tokens,
@@ -1284,8 +1285,9 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: phrase segmentation is a per-doc prefix count over token
     positions (partitioned window); word stats shuffle on words
-    (vocab-bounded); the global top-k ranks the vocab-bounded stats
-    relation, never the token stream."""
+    (vocab-bounded); the global top-k is orderBy+limit
+    (TakeOrderedAndProject — per-partition heaps) over the stats
+    relation, and the rank window runs over only the k survivors."""
     stop_arr = ", ".join(f"'{w}'" for w in _RAKE_STOPWORDS)
     toks = (
         _docs(spark, sf_dir)
@@ -1320,13 +1322,15 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("phrase_len").alias("degree"),
         )
     )
-    wr = Window.orderBy(
-        F.desc(F.col("degree").cast("double") / F.col("freq").cast("double")),
-        "w",
-    )
+    # Top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-
+    # partition heaps, no single-task sort of the vocab-sized stats
+    # relation — ~10^8+ distinct tokens on a web corpus), THEN rank
+    # over the k survivors.
+    score = F.col("degree").cast("double") / F.col("freq").cast("double")
+    top = stats.orderBy(F.desc(score), "w").limit(_RAKE_TOP_K)
+    wr = Window.orderBy(F.desc(score), "w")
     return (
-        stats.withColumn("rank", F.row_number().over(wr).cast("int"))
-        .filter(F.col("rank") <= _RAKE_TOP_K)
+        top.withColumn("rank", F.row_number().over(wr).cast("int"))
         .select(
             "rank",
             "w",
@@ -1588,16 +1592,18 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram_logprob score) and keep the middle — head deciles are
     boilerplate/stereotyped text, tail deciles are rare-token
     gibberish, and LM pretraining keeps the middle band. The decile
-    is ntile(10) over (ROUNDED score, doc_id): because the sort key
-    is the stable_round(4) display value (identical across engines
-    by the unigram_logprob argument) plus a full tie-break, the
-    bucket assignment is deterministic even where raw doubles sit a
-    ulp apart. Output is the per-bucket report with the keep flag.
+    is exact ntile(10) over (ROUNDED score, doc_id): because the sort
+    key is the stable_round(4) display value (identical across
+    engines by the unigram_logprob argument) plus a full tie-break,
+    the bucket assignment is deterministic even where raw doubles sit
+    a ulp apart. Output is the per-bucket report with the keep flag.
 
     Scale: scoring is unigram_logprob's broadcast-LM shape; the
-    decile window ranks one row per document — at petabyte scale the
-    same decision is a quantile-sketch cut, here it's the exact
-    rank."""
+    decile is operators/ranks.global_ntile — a range-partitioned
+    two-pass rank plus the SQL-standard bucket arithmetic, never a
+    single-task window over the per-document relation (one row per
+    doc ≈ 10^10 rows on a web corpus). Bit-identical to the oracle's
+    ntile."""
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("w")
     )
@@ -1614,8 +1620,9 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
-    w = Window.orderBy("score", "doc_id")
-    bucketed = scored.withColumn("bucket", F.ntile(10).over(w))
+    bucketed = global_ntile(
+        scored, 10, "score", "doc_id", bucket_col="bucket"
+    )
     return (
         bucketed.groupBy("bucket")
         .agg(

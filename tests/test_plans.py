@@ -780,11 +780,10 @@ def test_r7_unbounded_rank_window_allowlist():
             "vocab coverage rank: 1000 orderBy+limit survivors",
         ),
         "plans/wave9.py": (
-            6,
-            "rake/rrf ranks: vocab- or top-depth-bounded stats "
-            "relations; perplexity decile: one row per doc (sketch "
-            "cut at petabyte scale, noted in docstring); poisson "
-            "bootstrap rank: R=100 replicate rows",
+            5,
+            "rake rank: k orderBy+limit survivors; rrf ranks: "
+            "top-depth-bounded lists; poisson bootstrap rank: R=100 "
+            "replicate rows (perplexity decile now global_ntile)",
         ),
         "plans/wave10.py": (
             4,
@@ -797,10 +796,9 @@ def test_r7_unbounded_rank_window_allowlist():
             "PPR rank: top-20 orderBy+limit survivors",
         ),
         "plans/wave12.py": (
-            4,
-            "stratified-ATE quartile: one row per user (sketch cut "
-            "at petabyte scale, see quantile_merge_eval); retrieval "
-            "ranks + AP cumsum: top-k orderBy+limit survivors",
+            3,
+            "retrieval ranks + AP cumsum: top-k orderBy+limit "
+            "survivors (stratified-ATE quartile now global_ntile)",
         ),
         "plans/wave13.py": (
             1,
@@ -1043,6 +1041,39 @@ def test_all_registered_queries_plan_hygiene(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and s.name not in scalar_bnlj:
             offenders.append(f"{s.name}: unreviewed BNLJ")
     assert not offenders, offenders
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """global_ntile must be bit-identical to ntile(n) OVER (ORDER BY)
+    for every (N, n) shape: N divisible by n, N % n != 0 (mixed
+    ceil/floor bucket sizes), N < n (every bucket size <= 1 — also
+    proves the q=0 division branch is unreachable), and N = 0."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lab04_spark_streaming_spark.operators.ranks import global_ntile
+
+    for total, n in [(40, 10), (47, 10), (7, 10), (3, 4), (1, 2)]:
+        # deterministic scrambled order key: k = (7*i) % 101
+        df = spark.range(total).select(
+            ((F.col("id") * 7) % 101).alias("k")
+        )
+        want = {
+            r.k: r.b
+            for r in df.withColumn(
+                "b", F.ntile(n).over(Window.orderBy("k"))
+            ).collect()
+        }
+        got = {
+            r.k: r.b
+            for r in global_ntile(
+                df, n, "k", bucket_col="b", num_partitions=8
+            ).collect()
+        }
+        assert got == want, (total, n)
+
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    assert global_ntile(empty, 5, "k", num_partitions=4).count() == 0
 
 
 def test_global_row_number_edge_cases(spark):
