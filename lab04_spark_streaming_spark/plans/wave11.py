@@ -893,14 +893,28 @@ q_media_phash_pairs.__doc__ = q_media_phash_pairs.__doc__.format(
 
 
 def _sql_media_phash_pairs() -> str:
+    # Byte-exact oracle (ADVICE r8): the Spark side (phash_stub)
+    # hashes the UTF-8 BYTES of the payload, so the oracle must
+    # extract bytes, not codepoints — hex(encode(text)) + a 2-char
+    # hex slice per byte is DuckDB's way to index into a blob (ord/
+    # substr on the string would read codepoints and silently depend
+    # on an ASCII-only corpus).
     nb = 60
+    byte_at = (
+        "CAST(('0x' || substring(hx, CAST(2 * ({p}) + 1 AS INTEGER), 2))"
+        " AS BIGINT)"
+    )
     return f"""
-WITH d AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+WITH d AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
 stats AS (
-  SELECT media_id, text, n,
+  SELECT media_id, hx, n,
          CASE WHEN n = 0 THEN 0 ELSE
-           list_aggregate(list_transform(generate_series(1, n),
-             i -> ord(substr(text, CAST(i AS INTEGER), 1))), 'sum') // n
+           list_aggregate(list_transform(generate_series(0, n - 1),
+             i -> {byte_at.format(p='i')}), 'sum') // n
          END AS m
   FROM d
 ),
@@ -908,9 +922,9 @@ ph AS (
   SELECT media_id,
          CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE
            CAST(list_aggregate(list_transform(generate_series(0, {nb - 1}),
-             i -> CASE WHEN ord(substr(text,
-                    CAST(CASE WHEN n > 1 THEN (i * (n - 1)) // {nb - 1}
-                         ELSE 0 END + 1 AS INTEGER), 1)) > m
+             i -> CASE WHEN {byte_at.format(
+                 p=f'CASE WHEN n > 1 THEN (i * (n - 1)) // {nb - 1}'
+                   ' ELSE 0 END')} > m
                   THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER)
                   ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT)
          END AS phash

@@ -804,6 +804,12 @@ KMV_OUTPUT_SCHEMA = StructType(
 def _kmv_estimate(n_sketch: int, kth: int, k: int) -> float:
     if n_sketch < k:
         return float(n_sketch)
+    if kth <= 0:
+        # Degenerate: only reachable at k == 1 when an item's 32-bit
+        # md5 prefix is exactly 0 — the sketch holds every hash ≤ the
+        # kth (= 0), i.e. just that item; the count is exact (ADVICE
+        # r8: avoid the division by zero the batch twin shares).
+        return float(n_sketch)
     return float(k - 1) * 4294967296.0 / float(kth)
 
 
@@ -958,7 +964,40 @@ def volume_anomaly_stream(
     batch's ROWS BETWEEN trail PRECEDING AND 1 PRECEDING frame.
 
     State per key: ≤ trail_days finalized counts + the open days'
-    partial counts — constant-size, independent of event rate."""
+    partial counts — constant-size, independent of event rate. A key
+    that goes silent is expired ``trail_days`` after its last
+    finalized day (the cleanup-horizon timeout, ADVICE r8); resuming
+    after that restarts the trailing window."""
+    fn = _volume_anomaly_state_fn(trail_days, sigma)
+
+    prepared = events.select(
+        F.col(key_col).alias("_key"),
+        F.unix_micros(F.col(ts_col)).alias("_ts_us"),
+        F.col(ts_col).alias("_event_time"),
+    ).withWatermark("_event_time", watermark)
+
+    return prepared.groupBy("_key").applyInPandasWithState(
+        fn,
+        outputStructType=VOLUME_ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=StructType(
+            [
+                StructField("trail_days", _array_of(LongType())),
+                StructField("trail_cnts", _array_of(LongType())),
+                StructField("open_days", _array_of(LongType())),
+                StructField("open_cnts", _array_of(LongType())),
+            ]
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _volume_anomaly_state_fn(trail_days: int, sigma: int):
+    """State-transition function behind :func:`volume_anomaly_stream`,
+    module-level so the timeout/cleanup paths are unit-testable with a
+    stubbed GroupState (the closure form would only be reachable
+    through a full streaming run, which cannot observe state
+    removal)."""
     day_us = 86_400_000_000
 
     def fn(
@@ -994,7 +1033,7 @@ def volume_anomaly_stream(
                 trail.append((d0, x))
                 trail = trail[-trail_days:]
 
-        if open_cnt or trail:
+        if open_cnt:
             days = sorted(open_cnt)
             state.update(
                 (
@@ -1004,11 +1043,34 @@ def volume_anomaly_stream(
                     [open_cnt[d] for d in days],
                 )
             )
-            if days:
-                state.setTimeoutTimestamp(
-                    max((days[0] + day_us) // 1000, wm_us // 1000 + 1)
+            state.setTimeoutTimestamp(
+                max((days[0] + day_us) // 1000, wm_us // 1000 + 1)
+            )
+        elif trail and (out or not state.hasTimedOut):
+            # Only the finalized trail remains. Keep it (it is the
+            # batch query's trailing frame if this key speaks again
+            # soon) but BOUND its lifetime: expire trail_days after
+            # the last finalized day, so a key that goes silent is
+            # cleaned up instead of pinning ≤ trail_days longs in the
+            # state store forever (ADVICE r8). A key resuming after
+            # that horizon restarts with an empty trailing window —
+            # the documented stream/batch parity bound. (``out`` in
+            # the condition: a DAY-END timeout that finalized the last
+            # open day must re-arm the horizon, not fall through to
+            # remove — only the horizon timeout itself, which fires
+            # with nothing to finalize, reaches the remove branch.)
+            state.update(
+                ([d for d, _ in trail], [c for _, c in trail], [], [])
+            )
+            state.setTimeoutTimestamp(
+                max(
+                    (trail[-1][0] + (trail_days + 1) * day_us) // 1000,
+                    wm_us // 1000 + 1,
                 )
+            )
         elif state.exists:
+            # The cleanup horizon fired (timed out, nothing finalized,
+            # no open days): drop the stale trail.
             state.remove()
 
         if out:
@@ -1022,23 +1084,4 @@ def volume_anomaly_stream(
                 }
             )
 
-    prepared = events.select(
-        F.col(key_col).alias("_key"),
-        F.unix_micros(F.col(ts_col)).alias("_ts_us"),
-        F.col(ts_col).alias("_event_time"),
-    ).withWatermark("_event_time", watermark)
-
-    return prepared.groupBy("_key").applyInPandasWithState(
-        fn,
-        outputStructType=VOLUME_ANOMALY_OUTPUT_SCHEMA,
-        stateStructType=StructType(
-            [
-                StructField("trail_days", _array_of(LongType())),
-                StructField("trail_cnts", _array_of(LongType())),
-                StructField("open_days", _array_of(LongType())),
-                StructField("open_cnts", _array_of(LongType())),
-            ]
-        ),
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
-    )
+    return fn

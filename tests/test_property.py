@@ -541,3 +541,50 @@ def test_concurrent_active_carried_hour_peak(spark, tmp_path_factory):
     assert got[(dt.datetime(2024, 3, 5, 1, 0),)][0] >= 10
     # cross-midnight: 00:00 hour next day carries the 23:55 burst
     assert (dt.datetime(2024, 3, 7, 0, 0),) in got
+
+
+def test_media_phash_parity_on_non_ascii_corpus(spark, tmp_path_factory):
+    """The phash oracle must hash UTF-8 BYTES, exactly like the Spark
+    side's binary payload (ADVICE r8: an ord/substr oracle reads
+    codepoints and only agrees on ASCII corpora). Multi-byte text —
+    accents, CJK, emoji — must still hash-match cross-engine."""
+    from lab04_spark_streaming_spark.plans import wave11
+
+    texts = [
+        "héllo wörld — ümlauts everywhere",
+        "héllo wörld — ümlauts everywhere",  # exact dup: 1 sure pair
+        "日本語のテキストです。データ重複排除。",
+        "mixed ascii and 中文 plus emoji 🎉🎉🎉",
+        "plain ascii control row",
+        "",  # n_bytes = 0 branch
+    ]
+    rows = [(i, t, "xx", "s0", len(t)) for i, t in enumerate(texts)]
+    d = str(tmp_path_factory.mktemp("phashnonascii"))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        compare_query(
+            spark,
+            con,
+            wave11.q_media_phash_pairs,
+            wave11._sql_media_phash_pairs(),
+            d,
+        )
+        # the exact-dup pair must be present (hamming 0)
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in wave11.q_media_phash_pairs(spark, d).collect()
+        }
+        assert (0, 1, 0) in got
+    finally:
+        con.close()

@@ -1973,3 +1973,91 @@ def test_volume_anomaly_stream_matches_batch(spark, tmp_path):
         assert batch[k] == got, (k, batch[k], got)
     # the spike day flags in both
     assert streamed[("click", (day0 + dt.timedelta(days=9)).date())][2]
+
+
+def test_volume_anomaly_state_cleanup_paths():
+    """The r8 ADVICE fix: a key whose open days have all finalized
+    must keep its trail WITH a cleanup-horizon timeout (not forever),
+    a day-end timeout that finalizes the last open day must re-arm
+    that horizon (not drop a live key's trail), and the horizon
+    timeout itself must remove the state. Driven directly against the
+    state-transition function with a stubbed GroupState."""
+    import pandas as pd
+
+    from lab04_spark_streaming_spark.streaming.state import (
+        _volume_anomaly_state_fn,
+    )
+
+    DAY_US = 86_400_000_000
+
+    class StubState:
+        def __init__(self, value=None, wm_ms=0, timed_out=False):
+            self._v = value
+            self.wm_ms = wm_ms
+            self.hasTimedOut = timed_out
+            self.timeout_ms = None
+            self.removed = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self.removed = True
+            self._v = None
+
+        def getCurrentWatermarkMs(self):
+            return self.wm_ms
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+    fn = _volume_anomaly_state_fn(trail_days=7, sigma=3)
+    batch = lambda ts_list: iter(  # noqa: E731
+        [pd.DataFrame({"_ts_us": pd.Series(ts_list, dtype="int64")})]
+    )
+
+    # 1. Data for day 0; watermark past day end → day finalizes, no
+    #    open days remain → trail kept with the cleanup-horizon
+    #    timeout (day0 end + trail_days more days).
+    st = StubState(wm_ms=(DAY_US + 1) // 1000)
+    out = list(fn(("view",), batch([100, 200, 300]), st))
+    assert len(out) == 1 and int(out[0]["cnt"].iloc[0]) == 3
+    assert st.exists and not st.removed
+    tdays, tcnts, odays, ocnts = st.get
+    assert list(tcnts) == [3] and list(odays) == []
+    assert st.timeout_ms == (0 + 8 * DAY_US) // 1000
+
+    # 2. The cleanup horizon fires (timed out, no data, no open days)
+    #    → state removed.
+    st2 = StubState(
+        value=([0], [3], [], []),
+        wm_ms=(8 * DAY_US + 1) // 1000,
+        timed_out=True,
+    )
+    out2 = list(fn(("view",), iter([]), st2))
+    assert out2 == [] and st2.removed
+
+    # 3. A DAY-END timeout that finalizes the last open day: emits,
+    #    keeps the trail, re-arms the horizon — must NOT remove.
+    st3 = StubState(
+        value=([0], [3], [DAY_US], [5]),
+        wm_ms=(2 * DAY_US + 1) // 1000,
+        timed_out=True,
+    )
+    out3 = list(fn(("view",), iter([]), st3))
+    assert len(out3) == 1 and int(out3[0]["cnt"].iloc[0]) == 5
+    assert not st3.removed and st3.exists
+    assert st3.timeout_ms == (DAY_US + 8 * DAY_US) // 1000
+
+    # 4. Open day still pending → day-end timeout armed as before.
+    st4 = StubState(wm_ms=1)
+    list(fn(("view",), batch([5 * DAY_US + 7]), st4))
+    assert st4.exists and st4.timeout_ms == (6 * DAY_US) // 1000
