@@ -39,6 +39,7 @@ from lab04_spark_streaming_spark.plans import (
     wave11,
     wave12,
     wave13,
+    wave14,
 )
 
 
@@ -150,6 +151,7 @@ def all_specs() -> list[QuerySpec]:
     specs += wave11.specs()
     specs += wave12.specs()
     specs += wave13.specs()
+    specs += wave14.specs()
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
     by_name = {s.name: s for s in specs}

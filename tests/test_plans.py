@@ -804,6 +804,10 @@ def test_r7_unbounded_rank_window_allowlist():
             1,
             "Heaps cumulative scan: <=10 decile snapshot rows",
         ),
+        "plans/wave14.py": (
+            1,
+            "Lorenz cumulative share: 10 decile rows",
+        ),
     }
     for py in root.rglob("*.py"):
         rel = str(py.relative_to(root))
@@ -1032,6 +1036,11 @@ def test_all_registered_queries_plan_hygiene(spark, sf_dir):
         "retrieval_eval",
         # wave13: 1-row corpus totals / OLS-fit / doc-count relations
         "good_turing", "heaps_law", "benford_audit",
+        # wave14: 1-row totals (Lorenz total spend, jackknife S/N/rbar,
+        # global-ntile row counts, sketch stats, excluded-bucket count)
+        # and the |cells|x10-bin literal grid
+        "lorenz_curve", "t_closeness_audit", "jackknife_ratio",
+        "kmv_set_ops", "ipw_ate",
     }
     offenders = []
     for s in all_specs():
