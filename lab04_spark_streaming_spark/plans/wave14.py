@@ -750,6 +750,764 @@ FROM ipw CROSS JOIN ex
 """
 
 
+# --- MRR / precision@k for the BM25 ranking -----------------------------------
+_MRR_K = 10
+
+
+def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank and precision@k for the BM25 ranking
+    (Voorhees 1999 TREC QA track, public) — the first-relevant-hit
+    companion to NDCG/MAP (wave12, whose integerized-BM25 top-{k}
+    construction this reuses verbatim; reference:
+    plans/wave12.q_retrieval_eval): relevance = the same 0–3 graded
+    term-overlap label, ranking = the same floor(score·10⁴+0.5)
+    integer order, so every rank is an exact integer pick. MRR,
+    P@5 and P@{k} are single divisions of BIGINT counts (displays).
+
+    Scale: one TakeOrdered top-{k} + integer arithmetic over ≤ {k}
+    rows."""
+    from lab04_spark_streaming_spark.plans.corpus import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    k1, b = _BM25_K1, _BM25_B
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SPARK_TOKS).alias("_toks")
+    ).localCheckpoint(eager=False)
+    rel = docs.select(
+        "doc_id",
+        F.expr(
+            f"size(array_intersect(array_distinct(_toks), array({terms})))"
+        ).cast("long").alias("rel"),
+    )
+    dl = docs.select(
+        "doc_id", F.expr("cast(size(_toks) as bigint)").alias("dl")
+    )
+    corpus_stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"filter(_toks, t -> array_contains(array({terms}), t))"
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus_stats))
+        .join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "_idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.floor(F.sum("_s") * 10000.0 + 0.5).cast("bigint").alias("_bq"))
+    )
+    topk = (
+        scored.orderBy(F.desc("_bq"), "doc_id")
+        .limit(_MRR_K)
+        .withColumn(
+            "i",
+            F.row_number().over(Window.orderBy(F.desc("_bq"), "doc_id"))
+            .cast("long"),
+        )
+        .join(rel, "doc_id")
+    )
+    return topk.agg(
+        F.min(F.when(F.col("rel") > 0, F.col("i"))).alias("first_rel_rank"),
+        stable_round(
+            F.coalesce(
+                F.lit(1.0)
+                / F.min(F.when(F.col("rel") > 0, F.col("i"))).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("mrr_at_k"),
+        stable_round(
+            F.sum(
+                F.when((F.col("rel") > 0) & (F.col("i") <= 5), 1).otherwise(0)
+            ).cast("double")
+            / F.lit(5.0),
+            6,
+        ).alias("p_at_5"),
+        stable_round(
+            F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).cast("double")
+            / F.lit(float(_MRR_K)),
+            6,
+        ).alias("p_at_k"),
+    )
+
+
+q_mrr_eval.__doc__ = q_mrr_eval.__doc__.format(k=_MRR_K)
+
+
+def _sql_mrr_eval() -> str:
+    from lab04_spark_streaming_spark.plans.corpus import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    k1, b = _BM25_K1, _BM25_B
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+rel AS (
+  SELECT doc_id,
+         CAST(len(list_intersect(list_distinct(t), [{terms}])) AS BIGINT)
+           AS rel
+  FROM toks
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(list_filter(t,
+          x -> list_contains([{terms}], x))) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(floor(SUM(
+           ln(1.0 + (c.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * ({k1} + 1))
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / c.avgdl))
+         ) * 10000.0 + 0.5) AS BIGINT) AS bq
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus c JOIN dfreq ON tf.term = dfreq.term
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT s.doc_id, r.rel,
+         CAST(ROW_NUMBER() OVER (ORDER BY s.bq DESC, s.doc_id) AS BIGINT)
+           AS i
+  FROM scored s JOIN rel r ON s.doc_id = r.doc_id
+  ORDER BY s.bq DESC, s.doc_id LIMIT {_MRR_K}
+)
+SELECT MIN(CASE WHEN rel > 0 THEN i END) AS first_rel_rank,
+       {sql_stable_round(
+           "COALESCE(1.0 / CAST(MIN(CASE WHEN rel > 0 THEN i END)"
+           " AS DOUBLE), 0.0)", 6)} AS mrr_at_k,
+       {sql_stable_round(
+           "CAST(SUM(CASE WHEN rel > 0 AND i <= 5 THEN 1 ELSE 0 END)"
+           " AS DOUBLE) / 5.0", 6)} AS p_at_5,
+       {sql_stable_round(
+           "CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)"
+           f" AS DOUBLE) / {float(_MRR_K)}", 6)} AS p_at_k
+FROM topk
+"""
+
+
+# --- Dirichlet-smoothed query-likelihood ranking -------------------------------
+_QL_MU = 2000.0
+_QL_K = 10
+
+
+def q_ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Ponte & Croft
+    1998; Zhai & Lafferty 2001, public) — the language-modeling
+    alternative to BM25 over the same fixed query: score(d) =
+    Σ_q ln((tf_qd + μ·cf_q/|C|)/(dl_d + μ)), μ = {mu:.0f}. Smoothing
+    needs EVERY (doc, term) pair including tf = 0, so the score grid
+    is docs × the 3-term broadcast literal with a left-joined tf.
+    Per-term log values ride DECIMAL(20,10) casts so the 3-term
+    per-doc sum is order-free; ranking integerizes the score
+    (floor(·10⁴+0.5)) exactly like the BM25 queries, then top-{k}
+    via orderBy+limit.
+
+    Scale: tf is one filtered-explode groupBy; the grid is
+    3·n_docs rows; the top-{k} is a TakeOrdered."""
+    from lab04_spark_streaming_spark.plans.corpus import _BM25_TERMS
+
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SPARK_TOKS).alias("_toks")
+    ).localCheckpoint(eager=False)
+    dl = docs.select(
+        "doc_id", F.expr("cast(size(_toks) as bigint)").alias("dl")
+    )
+    all_tok = docs.select(F.explode("_toks").alias("w"))
+    coll = all_tok.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
+    ctot = all_tok.agg(F.count(F.lit(1)).alias("n_coll"))
+    qterms = spark.createDataFrame(
+        [(t,) for t in _BM25_TERMS], "term string"
+    )
+    cf = (
+        qterms.join(coll.withColumnRenamed("w", "term"), "term", "left_outer")
+        .select("term", F.coalesce("cf", F.lit(0)).alias("cf"))
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"filter(_toks, t -> array_contains(array({terms}), t))"
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    grid = (
+        dl.crossJoin(F.broadcast(cf))
+        .join(tf, ["doc_id", "term"], "left_outer")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "doc_id",
+            F.log(
+                (
+                    F.coalesce("tf", F.lit(0)).cast("double")
+                    + F.lit(_QL_MU)
+                    * F.col("cf").cast("double")
+                    / F.col("n_coll").cast("double")
+                )
+                / (F.col("dl").cast("double") + F.lit(_QL_MU))
+            ).cast("decimal(20,10)").alias("term_lp"),
+        )
+    )
+    scored = grid.groupBy("doc_id").agg(
+        F.floor(F.sum("term_lp").cast("double") * 10000.0 + 0.5)
+        .cast("bigint")
+        .alias("_bq")
+    )
+    top = scored.orderBy(F.desc("_bq"), "doc_id").limit(_QL_K)
+    w = Window.orderBy(F.desc("_bq"), "doc_id")
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select(
+        "rank",
+        "doc_id",
+        (F.col("_bq").cast("double") / F.lit(10000.0)).alias("ql_score"),
+    )
+
+
+q_ql_dirichlet_topk.__doc__ = q_ql_dirichlet_topk.__doc__.format(
+    mu=_QL_MU, k=_QL_K
+)
+
+
+def _sql_ql_dirichlet_topk() -> str:
+    from lab04_spark_streaming_spark.plans.corpus import _BM25_TERMS
+
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+alltok AS (SELECT unnest(t) AS w FROM toks),
+coll AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cf FROM alltok GROUP BY w),
+ctot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_coll FROM alltok),
+qterms AS (SELECT UNNEST([{terms}]) AS term),
+cf AS (
+  SELECT q.term, COALESCE(c.cf, 0) AS cf
+  FROM qterms q LEFT JOIN coll c ON q.term = c.w
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(list_filter(t,
+          x -> list_contains([{terms}], x))) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+grid AS (
+  SELECT dl.doc_id,
+         CAST(ln(
+           (CAST(COALESCE(tf.tf, 0) AS DOUBLE)
+            + {_QL_MU} * CAST(cf.cf AS DOUBLE) / CAST(ct.n_coll AS DOUBLE))
+           / (CAST(dl.dl AS DOUBLE) + {_QL_MU})
+         ) AS DECIMAL(20,10)) AS term_lp
+  FROM dl CROSS JOIN cf
+  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = cf.term
+  CROSS JOIN ctot ct
+),
+scored AS (
+  SELECT doc_id,
+         CAST(floor(CAST(SUM(term_lp) AS DOUBLE) * 10000.0 + 0.5)
+              AS BIGINT) AS bq
+  FROM grid GROUP BY doc_id
+),
+top AS (SELECT * FROM scored ORDER BY bq DESC, doc_id LIMIT {_QL_K})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY bq DESC, doc_id) AS INTEGER)
+         AS rank,
+       doc_id, CAST(bq AS DOUBLE) / 10000.0 AS ql_score
+FROM top
+"""
+
+
+# --- calibration ECE / Brier of a length-based relevance classifier -----------
+_ECE_BINS = 10
+
+
+def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error + Brier score (Naeini et al. 2015;
+    Guo et al. 2017; Brier 1950 — all public) for a simple
+    length-based relevance classifier: p(doc relevant) =
+    sigmoid((dl − 100)/20), label = the BM25-term overlap > 0 (the
+    same derivable relevance the IR metrics use). ECE bins on the
+    INTEGER token count (never on the transcendental sigmoid — a
+    1-ulp cross-engine exp() difference at a bin boundary would flip
+    a row), confidence is the bin-mean sigmoid via per-term decimal
+    casts, accuracy is an exact-count ratio, and ECE/maximum gap /
+    Brier are displays. One summary row.
+
+    Scale: one per-doc projection + one {b}-bin grouped aggregate;
+    the final reduction runs over {b} rows."""
+    from lab04_spark_streaming_spark.plans.corpus import _BM25_TERMS
+
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    per_doc = _docs(spark, sf_dir).select(
+        F.expr(f"cast(size({_SPARK_TOKS}) as bigint)").alias("dl"),
+        F.expr(
+            f"cast(size(array_intersect(array_distinct({_SPARK_TOKS}),"
+            f" array({terms}))) > 0 as int)"
+        ).alias("label"),
+    ).select(
+        "dl",
+        "label",
+        F.least(
+            F.greatest(
+                ((F.col("dl") - 60) / F.lit(10)).cast("bigint"), F.lit(0)
+            ),
+            F.lit(_ECE_BINS - 1),
+        ).alias("bin"),
+        (
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(-(F.col("dl") - 100).cast("double") / F.lit(20.0))
+            )
+        ).alias("p"),
+    )
+    bins = per_doc.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum(F.col("p").cast("decimal(20,12)")).alias("sp"),
+        F.sum("label").alias("sl"),
+        F.sum(
+            (
+                (F.col("p") - F.col("label").cast("double"))
+                * (F.col("p") - F.col("label").cast("double"))
+            ).cast("decimal(20,12)")
+        ).alias("sq"),
+    )
+    n_tot = bins.agg(F.sum("n_b").alias("n_docs"))
+    gap = F.abs(
+        F.col("sl").cast("double") / F.col("n_b").cast("double")
+        - F.col("sp").cast("double") / F.col("n_b").cast("double")
+    )
+    return (
+        bins.crossJoin(F.broadcast(n_tot))
+        .select(
+            "n_docs",
+            (gap * F.col("n_b").cast("double") / F.col("n_docs").cast("double"))
+            .cast("decimal(20,12)")
+            .alias("w_gap"),
+            gap.cast("decimal(20,12)").alias("gap"),
+            "sq",
+        )
+        .groupBy("n_docs")
+        .agg(
+            stable_round(F.sum("w_gap").cast("double"), 6).alias("ece"),
+            stable_round(F.max("gap").cast("double"), 6).alias(
+                "max_bin_gap"
+            ),
+            stable_round(
+                F.sum("sq").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("brier"),
+        )
+    )
+
+
+q_ece_calibration.__doc__ = q_ece_calibration.__doc__.format(b=_ECE_BINS)
+
+
+def _sql_ece_calibration() -> str:
+    from lab04_spark_streaming_spark.plans.corpus import _BM25_TERMS
+
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH per_doc AS (
+  SELECT dl, label,
+         LEAST(GREATEST((dl - 60) // 10, 0), {_ECE_BINS - 1}) AS bin,
+         1.0 / (1.0 + exp(-CAST(dl - 100 AS DOUBLE) / 20.0)) AS p
+  FROM (
+    SELECT CAST(len({_TOKS}) AS BIGINT) AS dl,
+           CAST(len(list_intersect(list_distinct({_TOKS}),
+                [{terms}])) > 0 AS INTEGER) AS label
+    FROM documents
+  )
+),
+bins AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_b,
+         SUM(CAST(p AS DECIMAL(20,12))) AS sp,
+         CAST(SUM(label) AS BIGINT) AS sl,
+         SUM(CAST((p - label) * (p - label) AS DECIMAL(20,12))) AS sq
+  FROM per_doc GROUP BY bin
+),
+tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n_docs FROM bins),
+terms_t AS (
+  SELECT t.n_docs,
+         CAST(abs(CAST(sl AS DOUBLE) / n_b - CAST(sp AS DOUBLE) / n_b)
+              * n_b / t.n_docs AS DECIMAL(20,12)) AS w_gap,
+         CAST(abs(CAST(sl AS DOUBLE) / n_b - CAST(sp AS DOUBLE) / n_b)
+              AS DECIMAL(20,12)) AS gap,
+         sq
+  FROM bins CROSS JOIN tot t
+)
+SELECT n_docs,
+       {sql_stable_round("CAST(SUM(w_gap) AS DOUBLE)", 6)} AS ece,
+       {sql_stable_round("CAST(MAX(gap) AS DOUBLE)", 6)} AS max_bin_gap,
+       {sql_stable_round(
+           "CAST(SUM(sq) AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)}
+         AS brier
+FROM terms_t GROUP BY n_docs
+"""
+
+
+# --- RFF-MMD two-sample statistic over embeddings ------------------------------
+import hashlib as _hashlib
+
+_MMD_D = 8  # random Fourier features
+_MMD_DIM = 64
+_MMD_LABEL_A = 0
+_MMD_LABEL_B = 1
+
+
+def _mmd_h(key: str) -> int:
+    return int(_hashlib.md5(key.encode()).hexdigest()[:8], 16)
+
+
+# Deterministic integer weight grid and rational phases, fixed at
+# module load (the "random" features of Rahimi & Recht drawn from a
+# seeded md5 stream — identical literals land in both engines).
+_MMD_W = [
+    [_mmd_h(f"w:{f}:{i}") % 5 - 2 for i in range(_MMD_DIM)]
+    for f in range(_MMD_D)
+]
+_MMD_B = [(_mmd_h(f"b:{f}") % 6283) / 1000.0 for f in range(_MMD_D)]
+
+
+def q_mmd_rff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum Mean Discrepancy two-sample statistic between two
+    embedding label groups via random Fourier features (MMD: Gretton
+    et al. 2012; RFF: Rahimi & Recht 2007 — both public): the kernel
+    two-sample test distribution-shift monitors run on embedding
+    spaces, in its linear-time feature-map form — z_f(x) =
+    cos(w_f·x + b_f) with {d} fixed md5-derived integer weight rows,
+    MMD² ≈ (2/{d})·Σ_f (z̄_f(A) − z̄_f(B))². Components ride the
+    house 1e-7 integer grid so every w·x is an exact BIGINT; cos is
+    the only transcendental (inside per-term decimal casts); the
+    feature means and the {d}-term final sum are order-free.
+
+    Scale: one explode + broadcast-weights join + two grouped
+    aggregates — O(n·dim·{d}) work, no pairwise kernel matrix (the
+    whole point of RFF at 100 TB)."""
+    w_rows = [
+        (f, i, _MMD_W[f][i])
+        for f in range(_MMD_D)
+        for i in range(_MMD_DIM)
+    ]
+    weights = spark.createDataFrame(w_rows, "f int, pos int, w long")
+    b_rows = spark.createDataFrame(
+        [(f, _MMD_B[f]) for f in range(_MMD_D)], "f int, b double"
+    )
+    comps = (
+        _embeddings(spark, sf_dir)
+        .filter(F.col("label").isin(_MMD_LABEL_A, _MMD_LABEL_B))
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode("embedding").alias("pos", "x"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "pos",
+            F.floor(F.col("x").cast("double") * 1e7 + F.lit(0.5))
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    dots = (
+        comps.join(F.broadcast(weights), "pos")
+        .groupBy("vec_id", "label", "f")
+        .agg(F.sum(F.col("w") * F.col("q")).alias("dot"))
+        .join(F.broadcast(b_rows), "f")
+        .select(
+            "label",
+            "f",
+            F.cos(
+                F.col("dot").cast("double") / F.lit(1e7) + F.col("b")
+            ).cast("decimal(20,12)").alias("z"),
+        )
+    )
+    means = dots.groupBy("label", "f").agg(
+        (F.sum("z").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("mz"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = means.filter(F.col("label") == _MMD_LABEL_A).select(
+        "f", F.col("mz").alias("ma"), F.col("n").alias("n_a")
+    )
+    bm = means.filter(F.col("label") == _MMD_LABEL_B).select(
+        "f", F.col("mz").alias("mb"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(bm, "f")
+        .select(
+            "n_a",
+            "n_b",
+            (
+                (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+            ).cast("decimal(20,15)").alias("d2"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(
+            stable_round(
+                F.sum("d2").cast("double") * F.lit(2.0 / _MMD_D), 8
+            ).alias("mmd2")
+        )
+    )
+
+
+q_mmd_rff.__doc__ = q_mmd_rff.__doc__.format(d=_MMD_D)
+
+
+def _sql_mmd_rff() -> str:
+    w_tuples = ", ".join(
+        f"({f}, {i}, {_MMD_W[f][i]})"
+        for f in range(_MMD_D)
+        for i in range(_MMD_DIM)
+    )
+    b_tuples = ", ".join(f"({f}, {_MMD_B[f]!r})" for f in range(_MMD_D))
+    return f"""
+WITH weights(f, pos, w) AS (VALUES {w_tuples}),
+phases(f, b) AS (VALUES {b_tuples}),
+comps AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000000.0 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings
+  WHERE label IN ({_MMD_LABEL_A}, {_MMD_LABEL_B})
+),
+dots AS (
+  SELECT c.vec_id, c.label, w.f, CAST(SUM(w.w * c.q) AS BIGINT) AS dot
+  FROM comps c JOIN weights w ON c.pos = w.pos
+  GROUP BY c.vec_id, c.label, w.f
+),
+z AS (
+  SELECT d.label, d.f,
+         CAST(cos(CAST(d.dot AS DOUBLE) / 10000000.0 + p.b)
+              AS DECIMAL(20,12)) AS z
+  FROM dots d JOIN phases p ON d.f = p.f
+),
+means AS (
+  SELECT label, f,
+         CAST(SUM(z) AS DOUBLE) / COUNT(*) AS mz,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM z GROUP BY label, f
+)
+SELECT a.n AS n_a, b.n AS n_b,
+       {sql_stable_round(
+           "CAST(SUM(CAST((a.mz - b.mz) * (a.mz - b.mz)"
+           f" AS DECIMAL(20,15))) AS DOUBLE) * {2.0 / _MMD_D}", 8)}
+         AS mmd2
+FROM means a JOIN means b ON a.f = b.f
+WHERE a.label = {_MMD_LABEL_A} AND b.label = {_MMD_LABEL_B}
+GROUP BY a.n, b.n
+"""
+
+
+# --- Holt linear-trend one-step backtest ---------------------------------------
+_HOLT_ALPHA = 0.5  # exact binary rationals: the recursion is
+_HOLT_BETA = 0.5  # bit-identical across engines at any eval order
+_HOLT_H = 24
+
+
+def q_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend exponential smoothing with a one-step-ahead
+    backtest (Holt 1957 / Hyndman & Athanasopoulos FPP, public):
+    per event type, the hourly mean-value series is smoothed with
+    l_t = α·y_t + (1−α)(l_{{t−1}}+b_{{t−1}}), b_t = β(l_t−l_{{t−1}})
+    + (1−β)b_{{t−1}} (l₁ = y₁, b₁ = 0), and the one-step forecast
+    f_t = l_{{t−1}}+b_{{t−1}} is scored by MAE/RMSE over the last
+    {h} hours. The recursion is inherently sequential IN HOURS, so it
+    runs per-series in an Arrow applyInPandas over the ALREADY
+    AGGREGATED hourly relation (≤ series × hours rows — tiny at any
+    corpus size; the heavy lifting stays in the exact-decimal hourly
+    aggregate). α = β = 0.5 are exact binary rationals and Python,
+    Spark and DuckDB evaluate the identical IEEE expression order, so
+    levels/trends/forecasts are bit-identical to the oracle's
+    RECURSIVE CTE; error sums ride per-term decimal casts.
+
+    Scale: one shuffle to (type, hour); the Python stage sees one
+    bounded series per type. (Oracle note: ``hourly`` is
+    MATERIALIZED — without it DuckDB re-evaluates the aggregate in
+    every one of the ~720 recursion steps, 14x slower.)"""
+    import pandas as pd
+
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("y")
+        )
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        ys = pdf["y"].tolist()
+        et = pdf["event_type"].iloc[0]
+        out = []
+        l = ys[0]
+        b = 0.0
+        out.append((et, 1, ys[0], None, l, b))
+        for t in range(1, len(ys)):
+            y = ys[t]
+            f = l + b
+            l_new = 0.5 * y + 0.5 * (l + b)
+            b_new = 0.5 * (l_new - l) + 0.5 * b
+            l, b = l_new, b_new
+            out.append((et, t + 1, y, f, l, b))
+        return pd.DataFrame(
+            out, columns=["event_type", "rn", "y", "f", "l", "b"]
+        )
+
+    rec = hourly.groupBy("event_type").applyInPandas(
+        holt,
+        "event_type string, rn long, y double, f double, l double, "
+        "b double",
+    ).localCheckpoint(eager=False)
+    n = rec.groupBy("event_type").agg(F.max("rn").alias("n_hours"))
+    tail = rec.join(n, "event_type").filter(
+        (F.col("rn") > F.col("n_hours") - _HOLT_H) & F.col("f").isNotNull()
+    )
+    errs = tail.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(
+            F.abs(F.col("y") - F.col("f")).cast("decimal(20,10)")
+        ).alias("sae"),
+        F.sum(
+            (
+                (F.col("y") - F.col("f")) * (F.col("y") - F.col("f"))
+            ).cast("decimal(20,10)")
+        ).alias("sse"),
+    )
+    final = rec.groupBy("event_type").agg(
+        F.expr("max_by(l, rn)").alias("fl"),
+        F.expr("max_by(b, rn)").alias("fb"),
+    )
+    return (
+        n.join(errs, "event_type")
+        .join(final, "event_type")
+        .select(
+            "event_type",
+            "n_hours",
+            "n_scored",
+            stable_round(F.col("fl"), 6).alias("final_level"),
+            stable_round(F.col("fb"), 6).alias("final_trend"),
+            stable_round(
+                F.col("sae").cast("double") / F.col("n_scored").cast("double"),
+                6,
+            ).alias("mae"),
+            stable_round(
+                F.sqrt(
+                    F.col("sse").cast("double")
+                    / F.col("n_scored").cast("double")
+                ),
+                6,
+            ).alias("rmse"),
+        )
+    )
+
+
+q_holt_backtest.__doc__ = q_holt_backtest.__doc__.format(h=_HOLT_H)
+
+
+SQL_HOLT_BACKTEST = f"""
+WITH RECURSIVE hourly AS MATERIALIZED (
+  SELECT event_type, h, y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+              AS BIGINT) AS rn
+  FROM (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+             AS y
+    FROM events GROUP BY 1, 2
+  )
+),
+rec AS (
+  SELECT event_type, rn, y, CAST(NULL AS DOUBLE) AS f, y AS l,
+         CAST(0.0 AS DOUBLE) AS b
+  FROM hourly WHERE rn = 1
+  UNION ALL
+  SELECT h.event_type, h.rn, h.y,
+         r.l + r.b AS f,
+         0.5 * h.y + 0.5 * (r.l + r.b) AS l,
+         0.5 * ((0.5 * h.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b AS b
+  FROM rec r JOIN hourly h
+    ON h.event_type = r.event_type AND h.rn = r.rn + 1
+),
+n AS (
+  SELECT event_type, CAST(MAX(rn) AS BIGINT) AS n_hours FROM rec
+  GROUP BY event_type
+),
+tail_rows AS (
+  SELECT r.* FROM rec r JOIN n ON r.event_type = n.event_type
+  WHERE r.rn > n.n_hours - {_HOLT_H} AND r.f IS NOT NULL
+),
+errs AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+         SUM(CAST(abs(y - f) AS DECIMAL(20,10))) AS sae,
+         SUM(CAST((y - f) * (y - f) AS DECIMAL(20,10))) AS sse
+  FROM tail_rows GROUP BY event_type
+),
+fin AS (
+  SELECT event_type, max_by(l, rn) AS fl, max_by(b, rn) AS fb
+  FROM rec GROUP BY event_type
+)
+SELECT n.event_type, n.n_hours, e.n_scored,
+       {sql_stable_round("fin.fl", 6)} AS final_level,
+       {sql_stable_round("fin.fb", 6)} AS final_trend,
+       {sql_stable_round(
+           "CAST(e.sae AS DOUBLE) / CAST(e.n_scored AS DOUBLE)", 6)}
+         AS mae,
+       {sql_stable_round(
+           "sqrt(CAST(e.sse AS DOUBLE) / CAST(e.n_scored AS DOUBLE))", 6)}
+         AS rmse
+FROM n JOIN errs e ON n.event_type = e.event_type
+JOIN fin ON n.event_type = fin.event_type
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -762,4 +1520,14 @@ def specs():
         QuerySpec("jackknife_ratio", q_jackknife_ratio, SQL_JACKKNIFE_RATIO),
         QuerySpec("kmv_set_ops", q_kmv_set_ops, SQL_KMV_SET_OPS),
         QuerySpec("ipw_ate", q_ipw_ate, SQL_IPW_ATE),
+        QuerySpec("mrr_eval", q_mrr_eval, _sql_mrr_eval()),
+        QuerySpec(
+            "ql_dirichlet_topk", q_ql_dirichlet_topk,
+            _sql_ql_dirichlet_topk(),
+        ),
+        QuerySpec(
+            "ece_calibration", q_ece_calibration, _sql_ece_calibration()
+        ),
+        QuerySpec("mmd_rff", q_mmd_rff, _sql_mmd_rff()),
+        QuerySpec("holt_backtest", q_holt_backtest, SQL_HOLT_BACKTEST),
     ]

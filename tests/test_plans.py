@@ -805,8 +805,9 @@ def test_r7_unbounded_rank_window_allowlist():
             "Heaps cumulative scan: <=10 decile snapshot rows",
         ),
         "plans/wave14.py": (
-            1,
-            "Lorenz cumulative share: 10 decile rows",
+            3,
+            "Lorenz cumulative share: 10 decile rows; MRR/QL ranks: "
+            "top-k orderBy+limit survivors",
         ),
     }
     for py in root.rglob("*.py"):
@@ -1041,6 +1042,9 @@ def test_all_registered_queries_plan_hygiene(spark, sf_dir):
         # and the |cells|x10-bin literal grid
         "lorenz_curve", "t_closeness_audit", "jackknife_ratio",
         "kmv_set_ops", "ipw_ate",
+        # wave14 IR/calibration: 1-row corpus stats / collection total
+        # / doc total, the 3-term query-literal grid
+        "mrr_eval", "ql_dirichlet_topk", "ece_calibration",
     }
     offenders = []
     for s in all_specs():
