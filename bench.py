@@ -60,6 +60,11 @@ HEADLINE = [
     "triangle_count",
     "poisson_bootstrap",
     "kcenter_coreset",
+    # r9 wave: the RFF feature-map two-sample statistic (explode ×
+    # broadcast-weights join over every embedding component) and the
+    # per-series Arrow recursion over the hourly relation.
+    "mmd_rff",
+    "holt_backtest",
 ]
 
 

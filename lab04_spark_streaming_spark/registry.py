@@ -117,19 +117,25 @@ _STAMP_FIRST: list[str] = [
     "tf_df_terms",
     "tfidf_top_terms",
     "multimodal_meta",
-    # (Window full at 50.  r10 rotation plan, in priority order: the
-    # remaining 13 of the r4 cohort — multimodal_resize,
+    # (Window full at 50.  r10 rotation plan, in priority order:
+    # (1) the 11 never-stamped wave-14 queries built this round —
+    # lorenz_curve, t_closeness_audit, diff_in_diff, jackknife_ratio,
+    # kmv_set_ops, ipw_ate, mrr_eval, ql_dirichlet_topk,
+    # ece_calibration, mmd_rff, holt_backtest (all driver-sim-verified
+    # MATCH at sf0.01 this round);
+    # (2) the remaining 13 of the r4 cohort — multimodal_resize,
     # multimodal_frame_sample, quality_filter_pipeline,
     # dedup_simhash_pairs, decontamination_pairs, pii_scrub,
     # token_count_bpe, stratified_sample, train_test_split,
     # domain_quota_sample, sequence_packing, ngram_repetition,
-    # embedding_normalize — then the 4 r5-stamped queries whose code
-    # changed in r7 (dedup_exact_normalized, decontamination_containment,
+    # embedding_normalize;
+    # (3) the 4 r5-stamped queries whose code changed in r7
+    # (dedup_exact_normalized, decontamination_containment,
     # boilerplate_ngrams, substring_dedup_coverage), then
     # word_cooccurrence (r7 stamp) and dedup_clusters (r6 stamp,
-    # checkpoint-only changes since) = 19 queries; the remaining ~31
+    # checkpoint-only changes since) = 30 queries; the remaining ~20
     # slots refresh the oldest green stamps (r5 cohort) in registry
-    # order.  All 250 stay covered every round by the local type-exact
+    # order.  All 261 stay covered every round by the local type-exact
     # harness, tests/test_oracle_parity.py.)
 ]
 

@@ -530,3 +530,59 @@ def hll_dau_stream(
     return regs.select(
         F.col("window.start").alias("hour_start"), *hll_dau_estimate_cols()
     )
+
+
+def srm_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming twin of the wave-12 sample-ratio-mismatch guardrail
+    (plans/wave12.q_srm_check, hourly instead of daily) — SRM
+    evaluated where an experimentation platform actually needs it, on
+    the live assignment stream, so a broken ramp is caught within an
+    hour instead of at the end-of-day batch: the unit is the DISTINCT
+    user per hour per arm (dropDuplicatesWithinWatermark on the
+    (hour, user) key — bounded state, exactly-once semantics within
+    the watermark horizon), the split test is the same all-integer
+    cross-multiplied chi-square flag as batch
+    ((n0-n1)^2 * den > num * (n0+n1), chi-square(1) at alpha=0.05),
+    and append mode emits each hour once the watermark passes its
+    end, at which point counts and flag equal the batch computation
+    on admitted rows bit-for-bit (asserted in tests/test_streaming.py).
+
+    State: the per-(hour, user) dedup keys inside the watermark
+    horizon plus one count pair per open hour."""
+    from lab04_spark_streaming_spark.plans.wave12 import (
+        _SRM_CHI2_DEN,
+        _SRM_CHI2_NUM,
+    )
+
+    deduped = (
+        stream.select(
+            F.col(ts_col),
+            F.date_trunc("hour", F.col(ts_col)).alias("_hour"),
+            (F.col(user_col) % 2).alias("_arm"),
+            F.col(user_col).alias("_uid"),
+        )
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_hour", "_uid"])
+    )
+    agg = deduped.groupBy(F.window(F.col(ts_col), "1 hour")).agg(
+        F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    diff2 = (F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))
+    tot = F.col("n0") + F.col("n1")
+    return agg.select(
+        F.col("window.start").alias("hour_start"),
+        "n0",
+        "n1",
+        (diff2 * _SRM_CHI2_DEN > F.lit(_SRM_CHI2_NUM) * tot).alias(
+            "srm_flag"
+        ),
+        (
+            F.when(tot > 0, diff2.cast("double") / tot.cast("double"))
+        ).alias("chi2"),
+    )

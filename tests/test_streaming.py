@@ -2061,3 +2061,101 @@ def test_volume_anomaly_state_cleanup_paths():
     st4 = StubState(wm_ms=1)
     list(fn(("view",), batch([5 * DAY_US + 7]), st4))
     assert st4.exists and st4.timeout_ms == (6 * DAY_US) // 1000
+
+
+def test_srm_stream_matches_batch(spark, tmp_path):
+    """Streamed hourly SRM rows must equal the batch computation on
+    admitted rows exactly — distinct-user counts per arm AND the
+    all-integer chi-square flag — for every watermark-closed hour,
+    including a deliberately skewed hour that must flag."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from lab04_spark_streaming_spark.plans.wave12 import (
+        _SRM_CHI2_DEN,
+        _SRM_CHI2_NUM,
+    )
+    from lab04_spark_streaming_spark.streaming.pipeline import srm_stream
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # hour 0: balanced 30/30 (users 0..59, each seen twice -> dedup
+    # matters); hour 1: skewed 40 even vs 3 odd -> must flag.
+    for u in range(60):
+        for rep in range(2):
+            rows.append(
+                (eid, t0 + dt.timedelta(minutes=u % 50, seconds=rep),
+                 u, "view", 1.0, "{}")
+            )
+            eid += 1
+    for u in range(80):
+        if u % 2 == 0 or u in (1, 3, 5):
+            rows.append(
+                (eid, t0 + dt.timedelta(hours=1, minutes=u % 50),
+                 u, "view", 1.0, "{}")
+            )
+            eid += 1
+    rows.append((eid, t0 + dt.timedelta(hours=6), 999, "view", 1.0, "{}"))
+    d = tmp_path / "srm"
+    d.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(d / "events.parquet")
+    )
+
+    stream = file_stream(spark, str(d / "events.parquet"), schema)
+    out = srm_stream(stream, "ts", "user_id")
+    memory_sink_once(out, "srm_out", "append")
+    streamed = {
+        r.hour_start: (r.n0, r.n1, r.srm_flag)
+        for r in spark.table("srm_out").collect()
+    }
+    assert len(streamed) >= 2
+
+    batch_df = (
+        spark.read.parquet(str(d / "events.parquet"))
+        .select(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            (F.col("user_id") % 2).alias("arm"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("hour_start")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        )
+    )
+    diff2 = (F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))
+    tot = F.col("n0") + F.col("n1")
+    batch = {
+        r.hour_start: (r.n0, r.n1, r.srm_flag)
+        for r in batch_df.select(
+            "hour_start",
+            "n0",
+            "n1",
+            (diff2 * _SRM_CHI2_DEN > F.lit(_SRM_CHI2_NUM) * tot).alias(
+                "srm_flag"
+            ),
+        ).collect()
+    }
+    for k, got in streamed.items():
+        assert batch[k] == got, (k, batch[k], got)
+    assert streamed[t0] == (30, 30, False)
+    assert streamed[t0 + dt.timedelta(hours=1)][2] is True
