@@ -91,7 +91,11 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bucket_value"
             ),
             stable_round(
-                F.col("cum").cast("double") / F.col("total").cast("double"),
+                F.when(
+                    F.col("total") != 0,
+                    F.col("cum").cast("double")
+                    / F.col("total").cast("double"),
+                ),
                 6,
             ).alias("cum_share"),
         )
@@ -118,9 +122,10 @@ tot AS (SELECT SUM(ds) AS total FROM per)
 SELECT CAST(decile AS INTEGER) AS decile, n_users,
        {sql_stable_round("CAST(ds AS DOUBLE)", 4)} AS bucket_value,
        {sql_stable_round(
-           "CAST(SUM(ds) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED"
+           "CASE WHEN t.total <> 0 THEN"
+           " CAST(SUM(ds) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED"
            " PRECEDING AND CURRENT ROW) AS DOUBLE)"
-           " / CAST(t.total AS DOUBLE)", 6)} AS cum_share
+           " / CAST(t.total AS DOUBLE) END", 6)} AS cum_share
 FROM per CROSS JOIN tot t
 """
 
@@ -307,7 +312,9 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mean(s: str, n: str):
-        return F.col(s).cast("double") / F.col(n).cast("double")
+        return F.when(
+            F.col(n) > 0, F.col(s).cast("double") / F.col(n).cast("double")
+        )
 
     did = (mean("s_t_post", "n_t_post") - mean("s_t_pre", "n_t_pre")) - (
         mean("s_c_post", "n_c_post") - mean("s_c_pre", "n_c_pre")
@@ -348,18 +355,22 @@ WITH agg AS (
 )
 SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
        {sql_stable_round(
-           "CAST(s_t_pre AS DOUBLE) / n_t_pre", 6)} AS y_t_pre,
+           "CASE WHEN n_t_pre > 0 THEN CAST(s_t_pre AS DOUBLE) / n_t_pre END", 6)} AS y_t_pre,
        {sql_stable_round(
-           "CAST(s_t_post AS DOUBLE) / n_t_post", 6)} AS y_t_post,
+           "CASE WHEN n_t_post > 0 THEN CAST(s_t_post AS DOUBLE) / n_t_post END", 6)} AS y_t_post,
        {sql_stable_round(
-           "CAST(s_c_pre AS DOUBLE) / n_c_pre", 6)} AS y_c_pre,
+           "CASE WHEN n_c_pre > 0 THEN CAST(s_c_pre AS DOUBLE) / n_c_pre END", 6)} AS y_c_pre,
        {sql_stable_round(
-           "CAST(s_c_post AS DOUBLE) / n_c_post", 6)} AS y_c_post,
+           "CASE WHEN n_c_post > 0 THEN CAST(s_c_post AS DOUBLE) / n_c_post END", 6)} AS y_c_post,
        {sql_stable_round(
-           "(CAST(s_t_post AS DOUBLE) / n_t_post"
-           " - CAST(s_t_pre AS DOUBLE) / n_t_pre)"
-           " - (CAST(s_c_post AS DOUBLE) / n_c_post"
-           " - CAST(s_c_pre AS DOUBLE) / n_c_pre)", 6)} AS did
+           "(CASE WHEN n_t_post > 0 THEN CAST(s_t_post AS DOUBLE)"
+           " / n_t_post END"
+           " - CASE WHEN n_t_pre > 0 THEN CAST(s_t_pre AS DOUBLE)"
+           " / n_t_pre END)"
+           " - (CASE WHEN n_c_post > 0 THEN CAST(s_c_post AS DOUBLE)"
+           " / n_c_post END"
+           " - CASE WHEN n_c_pre > 0 THEN CAST(s_c_pre AS DOUBLE)"
+           " / n_c_pre END)", 6)} AS did
 FROM agg
 """
 
@@ -378,7 +389,10 @@ def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id % {g}); each leave-one-bucket-out replicate
     R_(i) = (S−s_i)/(N−n_i) is one exact-decimal-derived division;
     the jackknife variance is (G−1)/G · Σ(R_(i)−R̄)² with both tiny
-    reductions riding per-term decimal casts. One summary row.
+    reductions riding per-term decimal casts; replicates whose
+    leave-out denominator is zero (every view in the left-out bucket)
+    are undefined and excluded, with G the count of defined
+    replicates. One summary row.
 
     Scale: one grouped aggregate to {g} bucket rows; everything
     after is arithmetic over the broadcast {g}-row relation."""
@@ -399,22 +413,26 @@ def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nv").alias("n"),
         F.count(F.lit(1)).alias("g"),
     )
-    loo = buckets.crossJoin(F.broadcast(tot)).select(
-        "b",
-        "g",
-        "s",
-        "n",
-        (
-            (F.col("s") - F.col("sv")).cast("double")
-            / (F.col("n") - F.col("nv")).cast("double")
-        ).alias("r_loo"),
+    loo = (
+        buckets.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") - F.col("nv") > 0)
+        .select(
+            "b",
+            "s",
+            "n",
+            (
+                (F.col("s") - F.col("sv")).cast("double")
+                / (F.col("n") - F.col("nv")).cast("double")
+            ).alias("r_loo"),
+        )
     )
     mean_loo = loo.agg(
-        (
+        F.when(
+            F.count(F.lit(1)) > 0,
             F.sum(F.col("r_loo").cast("decimal(30,12)")).cast("double")
-            / F.count(F.lit(1)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
         ).alias("rbar"),
-        F.max("g").alias("g"),
+        F.count(F.lit(1)).alias("g"),
         F.max("s").alias("s"),
         F.max("n").alias("n"),
     )
@@ -431,13 +449,20 @@ def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mean_loo.crossJoin(dev).select(
         F.col("g").alias("n_buckets"),
         stable_round(
-            F.col("s").cast("double") / F.col("n").cast("double"), 6
+            F.when(
+                F.col("n") > 0,
+                F.col("s").cast("double") / F.col("n").cast("double"),
+            ),
+            6,
         ).alias("ratio"),
         stable_round(
-            F.sqrt(
-                (F.col("g") - 1).cast("double")
-                / F.col("g").cast("double")
-                * F.col("ssq")
+            F.when(
+                F.col("g") > 0,
+                F.sqrt(
+                    (F.col("g") - 1).cast("double")
+                    / F.col("g").cast("double")
+                    * F.col("ssq")
+                ),
             ),
             6,
         ).alias("jk_se"),
@@ -462,27 +487,34 @@ tot AS (
   FROM buckets
 ),
 loo AS (
-  SELECT b, t.g, t.s, t.n,
+  SELECT b, t.s, t.n,
          CAST(t.s - sv AS DOUBLE) / CAST(t.n - nv AS DOUBLE) AS r_loo
   FROM buckets CROSS JOIN tot t
+  WHERE t.n - nv > 0
 ),
 m AS (
-  SELECT CAST(SUM(CAST(r_loo AS DECIMAL(30,12))) AS DOUBLE)
-           / CAST(COUNT(*) AS DOUBLE) AS rbar,
-         MAX(g) AS g, MAX(s) AS s, MAX(n) AS n
+  SELECT CASE WHEN COUNT(*) > 0 THEN
+           CAST(SUM(CAST(r_loo AS DECIMAL(30,12))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) END AS rbar,
+         CAST(COUNT(*) AS BIGINT) AS g, MAX(s) AS s, MAX(n) AS n
   FROM loo
 ),
 dev AS (
+  -- global aggregate (no GROUP BY): must emit exactly one row even
+  -- when loo is empty, to mirror Spark's global agg (fuzz-caught)
   SELECT CAST(SUM(CAST((r_loo - m.rbar) * (r_loo - m.rbar)
                        AS DECIMAL(30,18))) AS DOUBLE) AS ssq
-  FROM loo CROSS JOIN m GROUP BY m.rbar
+  FROM loo CROSS JOIN m
 )
 SELECT m.g AS n_buckets,
-       {sql_stable_round("CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE)", 6)}
+       {sql_stable_round(
+           "CASE WHEN m.n > 0 THEN"
+           " CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE) END", 6)}
          AS ratio,
        {sql_stable_round(
-           "sqrt(CAST(m.g - 1 AS DOUBLE) / CAST(m.g AS DOUBLE)"
-           " * dev.ssq)", 6)} AS jk_se
+           "CASE WHEN m.g > 0 THEN"
+           " sqrt(CAST(m.g - 1 AS DOUBLE) / CAST(m.g AS DOUBLE)"
+           " * dev.ssq) END", 6)} AS jk_se
 FROM m CROSS JOIN dev
 """
 
@@ -563,7 +595,9 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(est_int, 2).alias("est_intersection"),
             stable_round(
                 F.abs(est_union - F.col("n_union_exact").cast("double"))
-                / F.col("n_union_exact").cast("double"),
+                / F.greatest(
+                    F.col("n_union_exact").cast("double"), F.lit(1.0)
+                ),
                 4,
             ).alias("rel_err_union"),
             stable_round(
@@ -618,7 +652,8 @@ SELECT n_a_exact, n_b_exact, n_union_exact, n_int_exact,
        {sql_stable_round("ei", 2)} AS est_intersection,
        {sql_stable_round(
            "abs(eu - CAST(n_union_exact AS DOUBLE))"
-           " / CAST(n_union_exact AS DOUBLE)", 4)} AS rel_err_union,
+           " / greatest(CAST(n_union_exact AS DOUBLE), 1.0)", 4)}
+         AS rel_err_union,
        {sql_stable_round(
            "abs(ei - CAST(n_int_exact AS DOUBLE))"
            " / greatest(CAST(n_int_exact AS DOUBLE), 1.0)", 4)}
@@ -694,12 +729,19 @@ def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         "n_excluded_buckets",
         stable_round(
-            F.col("s_ipw").cast("double") / F.col("n_users").cast("double"),
+            F.when(
+                F.col("n_users") > 0,
+                F.col("s_ipw").cast("double")
+                / F.col("n_users").cast("double"),
+            ),
             6,
         ).alias("ate_ipw"),
         stable_round(
-            F.col("sy_t").cast("double") / F.col("nt").cast("double")
-            - F.col("sy_c").cast("double") / F.col("nc").cast("double"),
+            F.when(
+                (F.col("nt") > 0) & (F.col("nc") > 0),
+                F.col("sy_t").cast("double") / F.col("nt").cast("double")
+                - F.col("sy_c").cast("double") / F.col("nc").cast("double"),
+            ),
             6,
         ).alias("ate_naive"),
     )
@@ -740,11 +782,13 @@ ex AS (
 )
 SELECT n_users, n_excluded_buckets,
        {sql_stable_round(
-           "CAST(s_ipw AS DOUBLE) / CAST(n_users AS DOUBLE)", 6)}
+           "CASE WHEN n_users > 0 THEN"
+           " CAST(s_ipw AS DOUBLE) / CAST(n_users AS DOUBLE) END", 6)}
          AS ate_ipw,
        {sql_stable_round(
-           "CAST(sy_t AS DOUBLE) / CAST(nt AS DOUBLE)"
-           " - CAST(sy_c AS DOUBLE) / CAST(nc AS DOUBLE)", 6)}
+           "CASE WHEN nt > 0 AND nc > 0 THEN"
+           " CAST(sy_t AS DOUBLE) / CAST(nt AS DOUBLE)"
+           " - CAST(sy_c AS DOUBLE) / CAST(nc AS DOUBLE) END", 6)}
          AS ate_naive
 FROM ipw CROSS JOIN ex
 """
@@ -931,9 +975,14 @@ def q_ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirichlet-smoothed query-likelihood ranking (Ponte & Croft
     1998; Zhai & Lafferty 2001, public) — the language-modeling
     alternative to BM25 over the same fixed query: score(d) =
-    Σ_q ln((tf_qd + μ·cf_q/|C|)/(dl_d + μ)), μ = {mu:.0f}. Smoothing
-    needs EVERY (doc, term) pair including tf = 0, so the score grid
-    is docs × the 3-term broadcast literal with a left-joined tf.
+    Σ_q ln((tf_qd + μ·P(q|C))/(dl_d + μ)), μ = {mu:.0f}, with the
+    continuity-corrected collection LM P(q|C) = (cf_q + 0.5)/(|C| + 1)
+    so a query term absent from the whole corpus (cf = 0 — reachable
+    on arbitrary corpora, fuzzed in tests/test_property.py) still has
+    positive mass instead of ln(0), which Spark nulls and DuckDB
+    rejects. Smoothing needs EVERY (doc, term) pair including tf = 0,
+    so the score grid is docs × the 3-term broadcast literal with a
+    left-joined tf.
     Per-term log values ride DECIMAL(20,10) casts so the 3-term
     per-doc sum is order-free; ranking integerizes the score
     (floor(·10⁴+0.5)) exactly like the BM25 queries, then top-{k}
@@ -982,8 +1031,8 @@ def q_ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     F.coalesce("tf", F.lit(0)).cast("double")
                     + F.lit(_QL_MU)
-                    * F.col("cf").cast("double")
-                    / F.col("n_coll").cast("double")
+                    * (F.col("cf").cast("double") + F.lit(0.5))
+                    / (F.col("n_coll").cast("double") + F.lit(1.0))
                 )
                 / (F.col("dl").cast("double") + F.lit(_QL_MU))
             ).cast("decimal(20,10)").alias("term_lp"),
@@ -1035,7 +1084,7 @@ grid AS (
   SELECT dl.doc_id,
          CAST(ln(
            (CAST(COALESCE(tf.tf, 0) AS DOUBLE)
-            + {_QL_MU} * CAST(cf.cf AS DOUBLE) / CAST(ct.n_coll AS DOUBLE))
+            + {_QL_MU} * (CAST(cf.cf AS DOUBLE) + 0.5)\n              / (CAST(ct.n_coll AS DOUBLE) + 1.0))
            / (CAST(dl.dl AS DOUBLE) + {_QL_MU})
          ) AS DECIMAL(20,10)) AS term_lp
   FROM dl CROSS JOIN cf

@@ -40,6 +40,7 @@ from lab04_spark_streaming_spark.plans import (
     wave12,
     wave13,
     wave14,
+    wave15,
 )
 
 
@@ -121,8 +122,10 @@ _STAMP_FIRST: list[str] = [
     # (1) the 11 never-stamped wave-14 queries built this round —
     # lorenz_curve, t_closeness_audit, diff_in_diff, jackknife_ratio,
     # kmv_set_ops, ipw_ate, mrr_eval, ql_dirichlet_topk,
-    # ece_calibration, mmd_rff, holt_backtest (all driver-sim-verified
-    # MATCH at sf0.01 this round);
+    # ece_calibration, mmd_rff, holt_backtest — and the 6 wave-15
+    # queries: psi_drift, markov_next_eval, fano_burstiness,
+    # seasonal_strength, pinball_eval, hhi_concentration (all 17
+    # driver-sim-verified MATCH at sf0.01 this round);
     # (2) the remaining 13 of the r4 cohort — multimodal_resize,
     # multimodal_frame_sample, quality_filter_pipeline,
     # dedup_simhash_pairs, decontamination_pairs, pii_scrub,
@@ -133,9 +136,9 @@ _STAMP_FIRST: list[str] = [
     # (dedup_exact_normalized, decontamination_containment,
     # boilerplate_ngrams, substring_dedup_coverage), then
     # word_cooccurrence (r7 stamp) and dedup_clusters (r6 stamp,
-    # checkpoint-only changes since) = 30 queries; the remaining ~20
+    # checkpoint-only changes since) = 36 queries; the remaining ~14
     # slots refresh the oldest green stamps (r5 cohort) in registry
-    # order.  All 261 stay covered every round by the local type-exact
+    # order.  All 267 stay covered every round by the local type-exact
     # harness, tests/test_oracle_parity.py.)
 ]
 
@@ -158,6 +161,7 @@ def all_specs() -> list[QuerySpec]:
     specs += wave12.specs()
     specs += wave13.specs()
     specs += wave14.specs()
+    specs += wave15.specs()
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
     by_name = {s.name: s for s in specs}

@@ -1045,6 +1045,9 @@ def test_all_registered_queries_plan_hygiene(spark, sf_dir):
         # wave14 IR/calibration: 1-row corpus stats / collection total
         # / doc total, the 3-term query-literal grid
         "mrr_eval", "ql_dirichlet_topk", "ece_calibration",
+        # wave15: the 10-bin literal grid (PSI), the 1-row hour span
+        # (Fano), the 3-row tau grid (pinball)
+        "psi_drift", "fano_burstiness", "pinball_eval",
     }
     offenders = []
     for s in all_specs():

@@ -17,7 +17,7 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from lab04_spark_streaming_spark.plans import llm, wave7, wave8
+from lab04_spark_streaming_spark.plans import llm, wave7, wave8, wave14
 from tests.oracle_harness import compare_query
 
 # Mix of scripts, digits, punctuation, whitespace — and '' docs.
@@ -53,6 +53,13 @@ _PROP_QUERIES = [
     (wave8.q_zipf_slope_by_source, wave8.SQL_ZIPF_SLOPE),
     (wave8.q_mixing_weights_temperature, wave8.SQL_MIXING_WEIGHTS),
     (wave8.q_vocab_coverage_topk, wave8.SQL_VOCAB_COVERAGE),
+    # r9 wave-14 IR/calibration: query terms absent from the whole
+    # corpus (cf = 0 -> the continuity-corrected LM path), empty
+    # top-k relations, empty docs (dl = 0 bins), all-one-label
+    # calibration cells.
+    (wave14.q_mrr_eval, wave14._sql_mrr_eval()),
+    (wave14.q_ql_dirichlet_topk, wave14._sql_ql_dirichlet_topk()),
+    (wave14.q_ece_calibration, wave14._sql_ece_calibration()),
 ]
 
 
@@ -222,6 +229,19 @@ def test_random_events_timeseries_cross_engine_parity(
                 wave8.q_funnel_time_to_convert,
                 wave8.SQL_FUNNEL_TIME_TO_CONVERT,
             ),
+            # r9 wave-14 causal/distribution layer: degenerate arms
+            # (one-arm buckets -> every IPW bucket excluded), all
+            # events on one side of the DiD cutoff (NULL cell means),
+            # zero-view jackknife replicates (excluded), sub-k KMV
+            # exact branch, single-hour Holt series (no forecast
+            # rows), sparse Lorenz/t-closeness bins.
+            (wave14.q_lorenz_curve, wave14.SQL_LORENZ_CURVE),
+            (wave14.q_t_closeness_audit, wave14.SQL_T_CLOSENESS_AUDIT),
+            (wave14.q_diff_in_diff, wave14.SQL_DIFF_IN_DIFF),
+            (wave14.q_jackknife_ratio, wave14.SQL_JACKKNIFE_RATIO),
+            (wave14.q_kmv_set_ops, wave14.SQL_KMV_SET_OPS),
+            (wave14.q_ipw_ate, wave14.SQL_IPW_ATE),
+            (wave14.q_holt_backtest, wave14.SQL_HOLT_BACKTEST),
         ]:
             compare_query(spark, con, fn, sql, d)
     finally:
