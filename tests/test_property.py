@@ -17,7 +17,7 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from lab04_spark_streaming_spark.plans import llm, wave7, wave8, wave14
+from lab04_spark_streaming_spark.plans import llm, wave7, wave8, wave14, wave15
 from tests.oracle_harness import compare_query
 
 # Mix of scripts, digits, punctuation, whitespace — and '' docs.
@@ -242,6 +242,15 @@ def test_random_events_timeseries_cross_engine_parity(
             (wave14.q_kmv_set_ops, wave14.SQL_KMV_SET_OPS),
             (wave14.q_ipw_ate, wave14.SQL_IPW_ATE),
             (wave14.q_holt_backtest, wave14.SQL_HOLT_BACKTEST),
+            # r9 wave-15 monitoring layer: one-sided splits (the fuzz
+            # window sits entirely AFTER the train cutoff -> empty
+            # train/model/baseline paths), single-hour grids (Fano
+            # n = 1, zero seasonal variance), ln over corrected bins.
+            (wave15.q_psi_drift, wave15.SQL_PSI_DRIFT),
+            (wave15.q_markov_next_eval, wave15.SQL_MARKOV_NEXT_EVAL),
+            (wave15.q_fano_burstiness, wave15.SQL_FANO_BURSTINESS),
+            (wave15.q_seasonal_strength, wave15.SQL_SEASONAL_STRENGTH),
+            (wave15.q_pinball_eval, wave15.SQL_PINBALL_EVAL),
         ]:
             compare_query(spark, con, fn, sql, d)
     finally:
