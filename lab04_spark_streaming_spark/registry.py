@@ -41,6 +41,7 @@ from lab04_spark_streaming_spark.plans import (
     wave13,
     wave14,
     wave15,
+    wave16,
 )
 
 
@@ -124,8 +125,10 @@ _STAMP_FIRST: list[str] = [
     # kmv_set_ops, ipw_ate, mrr_eval, ql_dirichlet_topk,
     # ece_calibration, mmd_rff, holt_backtest — and the 6 wave-15
     # queries: psi_drift, markov_next_eval, fano_burstiness,
-    # seasonal_strength, pinball_eval, hhi_concentration (all 17
-    # driver-sim-verified MATCH at sf0.01 this round);
+    # seasonal_strength, pinball_eval, hhi_concentration — and the 4
+    # wave-16 queries: bradley_terry, graph_assortativity, rich_club,
+    # shapley_attribution (all 21 driver-sim-verified MATCH at sf0.01
+    # this round);
     # (2) the remaining 13 of the r4 cohort — multimodal_resize,
     # multimodal_frame_sample, quality_filter_pipeline,
     # dedup_simhash_pairs, decontamination_pairs, pii_scrub,
@@ -136,9 +139,9 @@ _STAMP_FIRST: list[str] = [
     # (dedup_exact_normalized, decontamination_containment,
     # boilerplate_ngrams, substring_dedup_coverage), then
     # word_cooccurrence (r7 stamp) and dedup_clusters (r6 stamp,
-    # checkpoint-only changes since) = 36 queries; the remaining ~14
+    # checkpoint-only changes since) = 40 queries; the remaining ~10
     # slots refresh the oldest green stamps (r5 cohort) in registry
-    # order.  All 267 stay covered every round by the local type-exact
+    # order.  All 271 stay covered every round by the local type-exact
     # harness, tests/test_oracle_parity.py.)
 ]
 
@@ -162,6 +165,7 @@ def all_specs() -> list[QuerySpec]:
     specs += wave13.specs()
     specs += wave14.specs()
     specs += wave15.specs()
+    specs += wave16.specs()
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
     by_name = {s.name: s for s in specs}

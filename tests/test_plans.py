@@ -809,6 +809,10 @@ def test_r7_unbounded_rank_window_allowlist():
             "Lorenz cumulative share: 10 decile rows; MRR/QL ranks: "
             "top-k orderBy+limit survivors",
         ),
+        "plans/wave16.py": (
+            1,
+            "Bradley-Terry final rank: |event types| rows (<= 5)",
+        ),
     }
     for py in root.rglob("*.py"):
         rel = str(py.relative_to(root))
@@ -1048,6 +1052,8 @@ def test_all_registered_queries_plan_hygiene(spark, sf_dir):
         # wave15: the 10-bin literal grid (PSI), the 1-row hour span
         # (Fano), the 3-row tau grid (pinball)
         "psi_drift", "fano_burstiness", "pinball_eval",
+        # wave16: the 4-row degree-threshold grid (rich club)
+        "rich_club",
     }
     offenders = []
     for s in all_specs():
