@@ -17,7 +17,7 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from lab04_spark_streaming_spark.plans import llm, wave7, wave8, wave14, wave15
+from lab04_spark_streaming_spark.plans import llm, wave7, wave8, wave14, wave15, wave16
 from tests.oracle_harness import compare_query
 
 # Mix of scripts, digits, punctuation, whitespace — and '' docs.
@@ -251,6 +251,14 @@ def test_random_events_timeseries_cross_engine_parity(
             (wave15.q_fano_burstiness, wave15.SQL_FANO_BURSTINESS),
             (wave15.q_seasonal_strength, wave15.SQL_SEASONAL_STRENGTH),
             (wave15.q_pinball_eval, wave15.SQL_PINBALL_EVAL),
+            # r9 wave-16: comparison-free users (every comparison a
+            # tie -> empty win matrix -> empty BT output), zero
+            # purchases (empty Shapley census -> null totals).
+            (wave16.q_bradley_terry, wave16._sql_bradley_terry()),
+            (
+                wave16.q_shapley_attribution,
+                wave16._sql_shapley_attribution(),
+            ),
         ]:
             compare_query(spark, con, fn, sql, d)
     finally:
