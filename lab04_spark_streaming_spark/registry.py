@@ -42,6 +42,7 @@ from lab04_spark_streaming_spark.plans import (
     wave14,
     wave15,
     wave16,
+    wave17,
 )
 
 
@@ -127,8 +128,9 @@ _STAMP_FIRST: list[str] = [
     # queries: psi_drift, markov_next_eval, fano_burstiness,
     # seasonal_strength, pinball_eval, hhi_concentration — and the 4
     # wave-16 queries: bradley_terry, graph_assortativity, rich_club,
-    # shapley_attribution (all 21 driver-sim-verified MATCH at sf0.01
-    # this round);
+    # shapley_attribution — and the 2 wave-17 queries:
+    # silhouette_simplified, calinski_harabasz (all 23
+    # driver-sim-verified MATCH at sf0.01 this round);
     # (2) the remaining 13 of the r4 cohort — multimodal_resize,
     # multimodal_frame_sample, quality_filter_pipeline,
     # dedup_simhash_pairs, decontamination_pairs, pii_scrub,
@@ -139,9 +141,9 @@ _STAMP_FIRST: list[str] = [
     # (dedup_exact_normalized, decontamination_containment,
     # boilerplate_ngrams, substring_dedup_coverage), then
     # word_cooccurrence (r7 stamp) and dedup_clusters (r6 stamp,
-    # checkpoint-only changes since) = 40 queries; the remaining ~10
+    # checkpoint-only changes since) = 42 queries; the remaining ~8
     # slots refresh the oldest green stamps (r5 cohort) in registry
-    # order.  All 271 stay covered every round by the local type-exact
+    # order.  All 273 stay covered every round by the local type-exact
     # harness, tests/test_oracle_parity.py.)
 ]
 
@@ -166,6 +168,7 @@ def all_specs() -> list[QuerySpec]:
     specs += wave14.specs()
     specs += wave15.specs()
     specs += wave16.specs()
+    specs += wave17.specs()
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
     by_name = {s.name: s for s in specs}

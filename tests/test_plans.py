@@ -1054,6 +1054,8 @@ def test_all_registered_queries_plan_hygiene(spark, sf_dir):
         "psi_drift", "fano_burstiness", "pinball_eval",
         # wave16: the 4-row degree-threshold grid (rich club)
         "rich_club",
+        # wave17: the 1-row W x 1-row B report join (Calinski-Harabasz)
+        "calinski_harabasz",
     }
     offenders = []
     for s in all_specs():
