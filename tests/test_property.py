@@ -321,6 +321,13 @@ def test_random_embeddings_ann_cross_engine_parity(
             # r8: label-aware mining over the shared cell-pair fragment
             "hard_negative_mining",
             "label_noise_knn",
+            # r9: cluster-quality evals over the same trained codebook
+            # and the RFF-MMD two-sample (the 32-dim fuzz vectors use
+            # the weight grid's 0..31 positions — a deterministic
+            # subset in both engines)
+            "silhouette_simplified",
+            "calinski_harabasz",
+            "mmd_rff",
         ]:
             s = by_name[name]
             compare_query(spark, con, s.fn, s.sql, d)
