@@ -43,6 +43,7 @@ from lab04_spark_streaming_spark.plans import (
     wave15,
     wave16,
     wave17,
+    wave18,
 )
 
 
@@ -129,8 +130,10 @@ _STAMP_FIRST: list[str] = [
     # seasonal_strength, pinball_eval, hhi_concentration — and the 4
     # wave-16 queries: bradley_terry, graph_assortativity, rich_club,
     # shapley_attribution — and the 2 wave-17 queries:
-    # silhouette_simplified, calinski_harabasz (all 23
-    # driver-sim-verified MATCH at sf0.01 this round);
+    # silhouette_simplified, calinski_harabasz — and the 4 wave-18
+    # queries: croston_forecast, bigram_heldout_ppl,
+    # fairness_parity_audit, pq_distortion (all 27 driver-sim-verified
+    # MATCH at sf0.01 this round);
     # (2) the remaining 13 of the r4 cohort — multimodal_resize,
     # multimodal_frame_sample, quality_filter_pipeline,
     # dedup_simhash_pairs, decontamination_pairs, pii_scrub,
@@ -141,9 +144,9 @@ _STAMP_FIRST: list[str] = [
     # (dedup_exact_normalized, decontamination_containment,
     # boilerplate_ngrams, substring_dedup_coverage), then
     # word_cooccurrence (r7 stamp) and dedup_clusters (r6 stamp,
-    # checkpoint-only changes since) = 42 queries; the remaining ~8
+    # checkpoint-only changes since) = 46 queries; the remaining ~4
     # slots refresh the oldest green stamps (r5 cohort) in registry
-    # order.  All 273 stay covered every round by the local type-exact
+    # order.  All 277 stay covered every round by the local type-exact
     # harness, tests/test_oracle_parity.py.)
 ]
 
@@ -169,6 +172,7 @@ def all_specs() -> list[QuerySpec]:
     specs += wave15.specs()
     specs += wave16.specs()
     specs += wave17.specs()
+    specs += wave18.specs()
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
     by_name = {s.name: s for s in specs}

@@ -1056,6 +1056,9 @@ def test_all_registered_queries_plan_hygiene(spark, sf_dir):
         "rich_club",
         # wave17: the 1-row W x 1-row B report join (Calinski-Harabasz)
         "calinski_harabasz",
+        # wave18: 1-row vocab-size / corpus-total / embedding-energy
+        # broadcasts
+        "bigram_heldout_ppl", "fairness_parity_audit", "pq_distortion",
     }
     offenders = []
     for s in all_specs():
