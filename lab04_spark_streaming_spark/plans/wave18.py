@@ -486,6 +486,137 @@ FROM per_sub CROSS JOIN energy en
 """
 
 
+# --- co-purchase recommendation backtest ----------------------------------------
+_REC_SPLIT = "1999-01-01"
+_REC_K = 3
+
+
+def q_rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hit-rate@{k} backtest of "customers also bought" co-purchase
+    recommendations (the offline recsys eval of Sarwar et al. 2001 /
+    standard leave-future-out protocol, public): train per-part top-{k}
+    recommendation lists from co-occurrence counts in orders BEFORE
+    {split}, then for every (held-out order, part) case after the
+    split ask whether any of the part's recommendations appears among
+    the order's OTHER parts. Counts are exact BIGINTs; the rec pick
+    is a per-part rank with a full tie-break; hit_rate is one display
+    division. One summary row.
+
+    Scale: pair generation is per-order (width²-bounded); the rec
+    rank partitions by part; the eval is one (part, rec)-key semi
+    join against the held-out pair relation — nothing global."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        (F.col("o_orderdate") < F.lit(_REC_SPLIT)).alias("is_train"),
+    )
+    basket = (
+        li.join(orders, "ok")
+        .select("ok", "pk", "is_train")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "ok")
+        .localCheckpoint(eager=False)
+    )
+    train = basket.filter(F.col("is_train"))
+    pairs = (
+        train.alias("a")
+        .join(train.alias("b"), "ok")
+        .filter(F.col("a.pk") != F.col("b.pk"))
+        .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = Window.partitionBy("p1").orderBy(F.desc("c"), "p2")
+    recs = (
+        pairs.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= _REC_K)
+        .select("p1", F.col("p2").alias("rec"))
+    )
+    test = basket.filter(~F.col("is_train"))
+    cases = (
+        test.alias("a")
+        .join(test.alias("b"), "ok")
+        .filter(F.col("a.pk") != F.col("b.pk"))
+        .select(
+            F.col("ok"),
+            F.col("a.pk").alias("p1"),
+            F.col("b.pk").alias("p2"),
+        )
+    )
+    hits = (
+        cases.join(
+            recs,
+            (cases.p1 == recs.p1) & (cases.p2 == recs.rec),
+            "left_outer",
+        )
+        .groupBy("ok", cases.p1)
+        .agg(
+            F.max(
+                F.when(recs.rec.isNotNull(), 1).otherwise(0)
+            ).alias("hit")
+        )
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_cases"),
+        F.sum("hit").alias("n_hits"),
+        stable_round(
+            F.when(
+                F.count(F.lit(1)) > 0,
+                F.sum("hit").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+            ),
+            6,
+        ).alias("hit_rate"),
+    )
+
+
+q_rec_hitrate_eval.__doc__ = q_rec_hitrate_eval.__doc__.format(
+    k=_REC_K, split=_REC_SPLIT
+)
+
+
+SQL_REC_HITRATE_EVAL = f"""
+WITH basket AS (
+  SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk,
+         o.o_orderdate < '{_REC_SPLIT}' AS is_train
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+pairs AS (
+  SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk <> b.pk
+  WHERE a.is_train AND b.is_train
+  GROUP BY 1, 2
+),
+recs AS (
+  SELECT p1, p2 AS rec FROM (
+    SELECT p1, p2,
+           ROW_NUMBER() OVER (PARTITION BY p1 ORDER BY c DESC, p2) AS r
+    FROM pairs
+  ) WHERE r <= {_REC_K}
+),
+cases AS (
+  SELECT a.ok, a.pk AS p1, b.pk AS p2
+  FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk <> b.pk
+  WHERE NOT a.is_train AND NOT b.is_train
+),
+hits AS (
+  SELECT c.ok, c.p1,
+         MAX(CASE WHEN r.rec IS NOT NULL THEN 1 ELSE 0 END) AS hit
+  FROM cases c
+  LEFT JOIN recs r ON c.p1 = r.p1 AND c.p2 = r.rec
+  GROUP BY c.ok, c.p1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cases,
+       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       {sql_stable_round(
+           "CASE WHEN COUNT(*) > 0 THEN"
+           " CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) END",
+           6)} AS hit_rate
+FROM hits
+"""
+
+
 def specs():
     from lab04_spark_streaming_spark.registry import QuerySpec
 
@@ -504,4 +635,7 @@ def specs():
             SQL_FAIRNESS_PARITY_AUDIT,
         ),
         QuerySpec("pq_distortion", q_pq_distortion, _sql_pq_distortion()),
+        QuerySpec(
+            "rec_hitrate_eval", q_rec_hitrate_eval, SQL_REC_HITRATE_EVAL
+        ),
     ]

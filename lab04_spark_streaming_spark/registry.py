@@ -132,8 +132,8 @@ _STAMP_FIRST: list[str] = [
     # shapley_attribution — and the 2 wave-17 queries:
     # silhouette_simplified, calinski_harabasz — and the 4 wave-18
     # queries: croston_forecast, bigram_heldout_ppl,
-    # fairness_parity_audit, pq_distortion (all 27 driver-sim-verified
-    # MATCH at sf0.01 this round);
+    # fairness_parity_audit, pq_distortion, rec_hitrate_eval (all 28
+    # driver-sim-verified MATCH at sf0.01 this round);
     # (2) the remaining 13 of the r4 cohort — multimodal_resize,
     # multimodal_frame_sample, quality_filter_pipeline,
     # dedup_simhash_pairs, decontamination_pairs, pii_scrub,
@@ -144,9 +144,9 @@ _STAMP_FIRST: list[str] = [
     # (dedup_exact_normalized, decontamination_containment,
     # boilerplate_ngrams, substring_dedup_coverage), then
     # word_cooccurrence (r7 stamp) and dedup_clusters (r6 stamp,
-    # checkpoint-only changes since) = 46 queries; the remaining ~4
+    # checkpoint-only changes since) = 47 queries; the remaining ~3
     # slots refresh the oldest green stamps (r5 cohort) in registry
-    # order.  All 277 stay covered every round by the local type-exact
+    # order.  All 278 stay covered every round by the local type-exact
     # harness, tests/test_oracle_parity.py.)
 ]
 
