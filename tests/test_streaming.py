@@ -2159,3 +2159,64 @@ def test_srm_stream_matches_batch(spark, tmp_path):
         assert batch[k] == got, (k, batch[k], got)
     assert streamed[t0] == (30, 30, False)
     assert streamed[t0 + dt.timedelta(hours=1)][2] is True
+
+
+def test_srm_stream_rocksdb_state(spark, tmp_path):
+    """The SRM guardrail's two state stores — the
+    dropDuplicatesWithinWatermark dedup keys and the windowed count
+    aggregation — run unchanged on RocksDBStateStoreProvider, the
+    provider an unbounded (hour, user) dedup keyspace needs at scale."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from lab04_spark_streaming_spark.session import rocksdb_state_conf
+    from lab04_spark_streaming_spark.streaming.pipeline import srm_stream
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(40):  # balanced 20/20, each user seen twice
+        for rep in range(2):
+            rows.append(
+                (eid, t0 + dt.timedelta(minutes=u % 50, seconds=rep),
+                 u, "view", 1.0, "{}")
+            )
+            eid += 1
+    rows.append((eid, t0 + dt.timedelta(hours=6), 999, "view", 1.0, "{}"))
+    path = str(tmp_path / "srm_rocks")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+
+    conf = rocksdb_state_conf()
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        out = srm_stream(file_stream(spark, path, schema), "ts", "user_id")
+        memory_sink_once(out, "srm_rocks_out", "append")
+        got = {
+            r.hour_start: (r.n0, r.n1, r.srm_flag)
+            for r in spark.table("srm_rocks_out").collect()
+        }
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert got[t0] == (20, 20, False)
