@@ -108,6 +108,11 @@ def global_ntile(
     global_row_number); the bucket is emitted as ``int`` to match
     ``F.ntile``'s IntegerType.
     """
+    if n < 1:
+        # Mirror native ntile(n)'s analysis-time rejection: n=0 would
+        # otherwise surface as a division-by-zero deep in the bucket
+        # expression, n<0 as silently nonsensical buckets.
+        raise ValueError("global_ntile: n must be >= 1")
     clash = {"_gnt_rk", "_gnt_n", bucket_col} & set(df.columns)
     if clash:
         raise ValueError(

@@ -544,21 +544,36 @@ def srm_stream(
     the live assignment stream, so a broken ramp is caught within an
     hour instead of at the end-of-day batch: the unit is the DISTINCT
     user per hour per arm (dropDuplicatesWithinWatermark on the
-    (hour, user) key — bounded state, exactly-once semantics within
-    the watermark horizon), the split test is the same all-integer
+    (hour, user) key), the split test is the same all-integer
     cross-multiplied chi-square flag as batch
     ((n0-n1)^2 * den > num * (n0+n1), chi-square(1) at alpha=0.05),
     and append mode emits each hour once the watermark passes its
     end, at which point counts and flag equal the batch computation
     on admitted rows bit-for-bit (asserted in tests/test_streaming.py).
 
-    State: the per-(hour, user) dedup keys inside the watermark
+    The dedup watermark is ``1 hour + watermark``, NOT ``watermark``:
+    dropDuplicatesWithinWatermark only guarantees dedup of repeats
+    whose event times differ by less than its delay, and two sightings
+    of one user inside the same hour can be up to an hour apart — a
+    10 s dedup horizon would double-count a user who re-appears later
+    in the hour across micro-batches (after dedup-state expiry) and
+    could false-flag SRM.  The cost is latency, not state shape: each
+    hour finalizes once the watermark (max event time − 1h − lateness)
+    passes its end, i.e. roughly one window later than a lateness-only
+    delay would emit.  Multi-micro-batch re-appearance is pinned by
+    test_srm_stream_dedup_across_microbatches.
+
+    State: the per-(hour, user) dedup keys inside the 1h+lateness
     horizon plus one count pair per open hour."""
+    from lab04_spark_streaming_spark.functions.guards import stable_round
     from lab04_spark_streaming_spark.plans.wave12 import (
         _SRM_CHI2_DEN,
         _SRM_CHI2_NUM,
     )
 
+    # Interval literals compose textually: "10 seconds" → "1 hour 10
+    # seconds" (the window length plus the allowed lateness).
+    dedup_horizon = f"1 hour {watermark}"
     deduped = (
         stream.select(
             F.col(ts_col),
@@ -566,7 +581,7 @@ def srm_stream(
             (F.col(user_col) % 2).alias("_arm"),
             F.col(user_col).alias("_uid"),
         )
-        .withWatermark(ts_col, watermark)
+        .withWatermark(ts_col, dedup_horizon)
         .dropDuplicatesWithinWatermark(["_hour", "_uid"])
     )
     agg = deduped.groupBy(F.window(F.col(ts_col), "1 hour")).agg(
@@ -582,7 +597,7 @@ def srm_stream(
         (diff2 * _SRM_CHI2_DEN > F.lit(_SRM_CHI2_NUM) * tot).alias(
             "srm_flag"
         ),
-        (
-            F.when(tot > 0, diff2.cast("double") / tot.cast("double"))
+        stable_round(
+            F.when(tot > 0, diff2.cast("double") / tot.cast("double")), 6
         ).alias("chi2"),
     )

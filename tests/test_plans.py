@@ -1102,6 +1102,13 @@ def test_global_ntile_matches_window_ntile(spark):
     empty = spark.range(0).select(F.col("id").alias("k"))
     assert global_ntile(empty, 5, "k", num_partitions=4).count() == 0
 
+    # n < 1 is rejected up front (native ntile raises at analysis
+    # time; without the guard n=0 is a division by zero mid-plan).
+    one = spark.range(1).select(F.col("id").alias("k"))
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="n must be >= 1"):
+            global_ntile(one, bad, "k")
+
 
 def test_global_row_number_edge_cases(spark):
     """Empty relation → empty output (offsets join of nothing);
@@ -1125,10 +1132,8 @@ def test_global_row_number_edge_cases(spark):
 def test_r9_wave_plan_hygiene(spark, sf_dir):
     """Round-9 waves (14+15): scans pruned to the needed columns —
     the metric queries never drag `text`/`props` through a shuffle
-    they don't need; the Lorenz/IPW ntile path reads only the grouped
-    columns; mmd never scans vec_id... wait, it selects vec_id for
-    the per-vector dot — assert it does NOT read beyond
-    (vec_id, embedding, label). Top-k IR queries keep
+    they don't need; mmd reads only (vec_id, embedding, label) from
+    the embeddings table; top-k IR queries keep
     TakeOrderedAndProject."""
     from lab04_spark_streaming_spark.plans import wave14 as w14
     from lab04_spark_streaming_spark.plans import wave15 as w15
@@ -1158,13 +1163,16 @@ def test_r9_wave_plan_hygiene(spark, sf_dir):
         assert "props" not in plan_of(fn(spark, sf_dir)), fn.__name__
 
     # embedding two-sample: only (vec_id, embedding, label) scanned
-    reads = [
-        l
-        for l in plan_of(w14.q_mmd_rff(spark, sf_dir)).splitlines()
-        if "ReadSchema" in l and "embeddings" not in l.lower()
-    ]
-    # (ReadSchema line lists the struct fields; no doc/text columns)
+    # from the embeddings table — assert the ReadSchema field set
+    # exactly, not just the absence of `text`.
+    import re
+
     plan = plan_of(w14.q_mmd_rff(spark, sf_dir))
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads, "mmd plan has no ReadSchema line"
+    for l in reads:
+        fields = set(re.findall(r"(\w+):", l.split("ReadSchema:")[1]))
+        assert fields == {"vec_id", "embedding", "label"}, l
     assert "text" not in plan
 
     # top-k IR rankings are TakeOrderedAndProject, not global sorts

@@ -2123,7 +2123,7 @@ def test_srm_stream_matches_batch(spark, tmp_path):
     out = srm_stream(stream, "ts", "user_id")
     memory_sink_once(out, "srm_out", "append")
     streamed = {
-        r.hour_start: (r.n0, r.n1, r.srm_flag)
+        r.hour_start: (r.n0, r.n1, r.srm_flag, r.chi2)
         for r in spark.table("srm_out").collect()
     }
     assert len(streamed) >= 2
@@ -2142,10 +2142,12 @@ def test_srm_stream_matches_batch(spark, tmp_path):
             F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
         )
     )
+    from lab04_spark_streaming_spark.functions.guards import stable_round
+
     diff2 = (F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))
     tot = F.col("n0") + F.col("n1")
     batch = {
-        r.hour_start: (r.n0, r.n1, r.srm_flag)
+        r.hour_start: (r.n0, r.n1, r.srm_flag, r.chi2)
         for r in batch_df.select(
             "hour_start",
             "n0",
@@ -2153,12 +2155,78 @@ def test_srm_stream_matches_batch(spark, tmp_path):
             (diff2 * _SRM_CHI2_DEN > F.lit(_SRM_CHI2_NUM) * tot).alias(
                 "srm_flag"
             ),
+            stable_round(
+                F.when(tot > 0, diff2.cast("double") / tot.cast("double")), 6
+            ).alias("chi2"),
         ).collect()
     }
     for k, got in streamed.items():
         assert batch[k] == got, (k, batch[k], got)
-    assert streamed[t0] == (30, 30, False)
+    assert streamed[t0][:3] == (30, 30, False)
     assert streamed[t0 + dt.timedelta(hours=1)][2] is True
+
+
+def test_srm_stream_dedup_across_microbatches(spark, tmp_path):
+    """A user re-appearing LATE in the same hour, in a LATER
+    micro-batch, must still count once: the dedup horizon is
+    1 hour + lateness, not just the lateness watermark (a 10 s dedup
+    horizon would expire the key and double-count — the round-9
+    advisor's scenario).  Five single-file micro-batches
+    (maxFilesPerTrigger=1, lexicographic arrival): batch 0 sees users
+    0..9 at hh:00; batch 1 advances the watermark (hh:40); batch 2
+    (hh:45) runs state eviction under that advanced watermark — with a
+    10 s dedup horizon the hh:00 keys are now EXPIRED; batch 3 re-sends
+    users 0..4 at hh:50 (dup, 50 min later) plus new user 100; batch 4
+    is a far-future sentinel that closes the hour.  Verified sharp:
+    under the pre-fix 10 s horizon this arrival order yields (11, 7) —
+    users 0..4 double-counted — vs the correct (8, 5)."""
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    from lab04_spark_streaming_spark.streaming.pipeline import srm_stream
+
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    d = tmp_path / "srm_mb"
+    d.mkdir()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(d / name)
+        )
+
+    b0 = [(i, t0, i, "view", 1.0, "{}") for i in range(10)]
+    b1 = [(50, t0 + dt.timedelta(minutes=40), 102, "view", 1.0, "{}")]
+    b2 = [(51, t0 + dt.timedelta(minutes=45), 104, "view", 1.0, "{}")]
+    b3 = [
+        (100 + i, t0 + dt.timedelta(minutes=50), i, "view", 1.0, "{}")
+        for i in range(5)
+    ] + [(200, t0 + dt.timedelta(minutes=50), 100, "view", 1.0, "{}")]
+    b4 = [(300, t0 + dt.timedelta(hours=6), 999, "view", 1.0, "{}")]
+    write_batch("a_batch0", b0)
+    write_batch("b_batch1", b1)
+    write_batch("c_batch2", b2)
+    write_batch("d_batch3", b3)
+    write_batch("e_batch4", b4)
+
+    stream = file_stream(
+        spark, str(d / "*"), schema, max_files_per_trigger=1
+    )
+    out = srm_stream(stream, "ts", "user_id")
+    memory_sink_once(out, "srm_mb_out", "append")
+    got = {
+        r.hour_start: (r.n0, r.n1)
+        for r in spark.table("srm_mb_out").collect()
+    }
+    # Users 0..9 + 100 + 102 + 104: eight even (0,2,4,6,8,100,102,104),
+    # five odd (1,3,5,7,9); the re-sent users must NOT be re-counted.
+    assert got[t0] == (8, 5), got
 
 
 def test_srm_stream_rocksdb_state(spark, tmp_path):
