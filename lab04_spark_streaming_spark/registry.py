@@ -61,93 +61,85 @@ class QuerySpec:
 # and r02 go last.  Every query is still covered every round by the local
 # harness (tests/test_oracle_parity.py) regardless of position.
 _STAMP_FIRST: list[str] = [
-    # -- r09 window (executes the r8 verdict's item 1 exactly): the 27
-    # queries that have NEVER received a driver stamp (all 27 verified
-    # MATCH by the r8 judge's driver-sim rerun, so these stamps should
-    # land green), followed by the first 23 of the 36-query r4-stamped
-    # stale cohort (TPC-H q15-q22 + the first-wave dedup/text/
-    # multimodal queries, code unchanged since r4, re-verified locally
-    # every round).
-    # (1) 27 never-driver-stamped queries (waves 9-13 + mining).
-    "compaction_bins",
-    "l_diversity_audit",
-    "volume_anomaly",
-    "kaplan_meier",
-    "item_item_cosine",
-    "feature_info_gain",
-    "rendezvous_sharding",
-    "quantile_merge_eval",
-    "seasonal_naive_eval",
-    "ppr_related_parts",
-    "bfs_hops",
-    "winnowing_fingerprints",
-    "conformal_interval",
-    "fs_linkage",
-    "kneser_ney_bigram",
-    "media_phash_pairs",
-    "srm_check",
-    "obrien_fleming",
-    "qte_deciles",
-    "stratified_ate",
-    "retrieval_eval",
-    "good_turing",
-    "heaps_law",
-    "benford_audit",
-    "tukey_fences",
-    "cohort_ltv",
-    "time_decay_attribution",
-    # (2) First 23 of the stale r4-stamped cohort: refresh TPC-H
-    # q15-q22 and the first-wave dedup/similarity/text queries.
-    "q15_top_supplier",
-    "q16_supplier_part_types",
-    "q17_small_qty_revenue",
-    "q18_large_volume",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q21_suppliers_waiting",
-    "q22_global_sales",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
-    "dedup_jaccard_pairs",
-    "doc_chunking",
-    "knn_cosine_topk",
-    "dedup_embedding_pairs",
-    "ann_srp_buckets",
-    "text_metrics",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "tf_df_terms",
-    "tfidf_top_terms",
-    "multimodal_meta",
-    # (Window full at 50.  r10 rotation plan, in priority order:
-    # (1) the 11 never-stamped wave-14 queries built this round —
-    # lorenz_curve, t_closeness_audit, diff_in_diff, jackknife_ratio,
-    # kmv_set_ops, ipw_ate, mrr_eval, ql_dirichlet_topk,
-    # ece_calibration, mmd_rff, holt_backtest — and the 6 wave-15
-    # queries: psi_drift, markov_next_eval, fano_burstiness,
-    # seasonal_strength, pinball_eval, hhi_concentration — and the 4
-    # wave-16 queries: bradley_terry, graph_assortativity, rich_club,
-    # shapley_attribution — and the 2 wave-17 queries:
-    # silhouette_simplified, calinski_harabasz — and the 4 wave-18
-    # queries: croston_forecast, bigram_heldout_ppl,
-    # fairness_parity_audit, pq_distortion, rec_hitrate_eval (all 28
-    # driver-sim-verified MATCH at sf0.01 this round);
-    # (2) the remaining 13 of the r4 cohort — multimodal_resize,
-    # multimodal_frame_sample, quality_filter_pipeline,
-    # dedup_simhash_pairs, decontamination_pairs, pii_scrub,
-    # token_count_bpe, stratified_sample, train_test_split,
-    # domain_quota_sample, sequence_packing, ngram_repetition,
-    # embedding_normalize;
-    # (3) the 4 r5-stamped queries whose code changed in r7
-    # (dedup_exact_normalized, decontamination_containment,
-    # boilerplate_ngrams, substring_dedup_coverage), then
+    # -- r10 window (executes the r9 verdict's item 1 / the rotation
+    # plan written here in r9, verbatim):
+    # (1) the 28 never-driver-stamped wave-14..18 queries (all 28
+    # verified MATCH by the r9 judge's driver-sim rerun, so these
+    # stamps should land green);
+    "lorenz_curve",
+    "t_closeness_audit",
+    "diff_in_diff",
+    "jackknife_ratio",
+    "kmv_set_ops",
+    "ipw_ate",
+    "mrr_eval",
+    "ql_dirichlet_topk",
+    "ece_calibration",
+    "mmd_rff",
+    "holt_backtest",
+    "psi_drift",
+    "markov_next_eval",
+    "fano_burstiness",
+    "seasonal_strength",
+    "pinball_eval",
+    "hhi_concentration",
+    "bradley_terry",
+    "graph_assortativity",
+    "rich_club",
+    "shapley_attribution",
+    "silhouette_simplified",
+    "calinski_harabasz",
+    "croston_forecast",
+    "bigram_heldout_ppl",
+    "fairness_parity_audit",
+    "pq_distortion",
+    "rec_hitrate_eval",
+    # (2) the remaining 13 of the r4-stamped cohort (extinguishes r4);
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "quality_filter_pipeline",
+    "dedup_simhash_pairs",
+    "decontamination_pairs",
+    "pii_scrub",
+    "token_count_bpe",
+    "stratified_sample",
+    "train_test_split",
+    "domain_quota_sample",
+    "sequence_packing",
+    "ngram_repetition",
+    "embedding_normalize",
+    # (3) the 4 r5-stamped queries whose code changed in r7, plus
     # word_cooccurrence (r7 stamp) and dedup_clusters (r6 stamp,
-    # checkpoint-only changes since) = 47 queries; the remaining ~3
-    # slots refresh the oldest green stamps (r5 cohort) in registry
-    # order.  All 278 stay covered every round by the local type-exact
-    # harness, tests/test_oracle_parity.py.)
+    # checkpoint-only changes since);
+    "dedup_exact_normalized",
+    "decontamination_containment",
+    "boilerplate_ngrams",
+    "substring_dedup_coverage",
+    "word_cooccurrence",
+    "dedup_clusters",
+    # (4) three fillers from the oldest r5-stamped queries in registry
+    # order.
+    "moving_stats_flat",
+    "moving_stats_nested_json",
+    "watermark_late_drop",
+    # (Window full at 50.  r11 rotation plan — registry growth is
+    # FROZEN until evidence freshness catches up (r9 verdict item 6),
+    # so r11 is purely refresh: the 35 remaining r5-stamped queries —
+    # json_decode_project, json_encode_struct, first_crossing_higher,
+    # q1_pricing_summary, q3_shipping_priority, q5_local_supplier,
+    # q4_order_priority, q12_priority_buckets, q14_promo_revenue,
+    # semi_join_exists, anti_join_not_exists, outer_join_agg,
+    # rollup_agg, cube_agg, window_topk_per_group,
+    # window_running_lag_lead, distinct_agg, set_ops, sort_limit_topk,
+    # string_funcs, date_funcs, math_case_funcs, conditional_pivot,
+    # approx_count_distinct, tumbling_window_1h, session_window_agg,
+    # first_crossing_lower, asof_join_generic, json_map_funcs,
+    # ann_ivf_topk, multimodal_decode_stub, multimodal_feature_knn,
+    # asof_join_forward, interval_join_spikes, approx_percentiles —
+    # then 15 slots of the oldest r6-stamped queries in registry
+    # order.  That makes every stamp r6+ after r11, with the r6 cohort
+    # finishing in r12.  All 278 stay covered every round by the local
+    # type-exact harness, tests/test_oracle_parity.py.)
 ]
 
 

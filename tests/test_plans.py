@@ -96,6 +96,20 @@ def test_moving_stats_exploded_variant_agrees(spark, sf_dir):
     assert a == b
 
 
+def test_entry_plan_has_no_wide_expand(spark):
+    """The flagship entry() plan must contain NO Expand node: the
+    6-window union's 1h/10s window() expands 360-way, whose generated
+    switch-case exceeds janino's 64 KB method limit and silently falls
+    back to interpreted evaluation (r9 driver logs) — entry() therefore
+    serves the same bit-identical result through explode(sequence)
+    (Generate), which stays inside whole-stage codegen."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.entry(spark))
+    assert "Expand" not in plan, "entry() regressed to the window() Expand plan"
+    assert "Generate" in plan  # the explode(sequence) row enumeration
+
+
 def test_tpch_full_dims_broadcast_no_cartesian(spark, sf_dir):
     """Every query in the full TPC-H suite: dimension joins broadcast,
     no CartesianProduct/BroadcastNestedLoopJoin sneaks in (the scalar
