@@ -1,0 +1,254 @@
+"""Scale probe: measure how the most expensive headline plans scale
+from sf0.1 to a deterministic 10x upscale (synthetic "sf1").
+
+The driver ships fixtures only up to sf0.1; this script answers the
+100-TB design question empirically one decade up: build a 10x fixture
+whose KEY SPACES grow the way the driver's generator grows them
+(sf0.01 -> sf0.1 multiplies part/customer/user/doc/vector counts by 10
+alongside row counts — verified against the shipped fixtures), time
+each probed query at 1x and 10x (median of N count() runs, same method
+as bench.py), and report the empirical scaling exponent
+log(t10/t1)/log(10).  An exponent near 1 means the plan's cost is
+linear in data size (shuffle-bound); near 2 means a quadratic stage
+survived — the thing the plan-audit gates exist to prevent.
+
+Fixture construction (all deterministic, DuckDB):
+  * events    x10: new user decades (user_id + R*2000), event_id
+                   offset, timestamps/types/values unchanged — traffic
+                   grows, the one-month time axis does not (matches the
+                   driver: sf0.01 and sf0.1 span the same month).
+  * lineitem  x10: new order decades (l_orderkey + R*150000); partkeys
+                   hash-scattered over a 10x part space (200k) so the
+                   co-purchase graph grows like the generator's random
+                   bipartite structure instead of decomposing into 10
+                   disjoint copies (which would fake perfect linearity).
+  * documents x10: new doc decades; every 7th word of each replica is
+                   suffixed with the replica id, so replicas are NOT
+                   near-duplicates of their source (the corpus-wide
+                   near-dup rate stays constant as the corpus grows —
+                   replicating text verbatim would grow LSH candidate
+                   pairs quadratically for reasons that have nothing to
+                   do with the algorithm under test).
+  * embeddings x10: new vec decades; deterministic +-1% component
+                   noise on replicas keeps them off their source's
+                   cosine neighborhood cliff while preserving the
+                   cluster structure k-means/IVF/PQ train on.
+  * other tables: copied verbatim (none of the probed queries read
+                   them; present so load_table works for any query).
+
+Usage:
+  python scripts/scale_probe.py [--factor 10] [--runs 3]
+                                [--out /tmp/scale_probe.json]
+Prints one JSON line per query plus a summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The five most expensive headline plans (BENCH_r10 ordering) — the
+# ones whose 100x behavior the round verdicts grade.
+PROBES = [
+    "zscore_asof_join",
+    "semdedup_keep_best",
+    "triangle_count",
+    "ann_ivfpq_topk",
+    "dedup_minhash_lsh_pairs",
+]
+
+# semdedup's registered query pins k=8 cells for the cross-engine
+# oracle, so at 10x data its within-cell pair stage is quadratic BY
+# PARAMETER CHOICE (cells grow 10x larger), not by algorithm — the
+# SemDeDup paper (Abbas et al. 2023) scales the cell count with the
+# corpus to keep cells bounded.  Probe that production configuration
+# too: same pipeline, k proportional to n.
+SCALED_K_BASE = 8
+
+
+def semdedup_scaled_cells(spark, sf_dir: str, scale: int):
+    from pyspark.sql import functions as F
+
+    from lab04_spark_streaming_spark.operators.dedup import dedup_clusters
+    from lab04_spark_streaming_spark.operators.similarity import (
+        cell_pair_cosines,
+        kmeans_assign,
+    )
+    from lab04_spark_streaming_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = (
+        kmeans_assign(emb, k=SCALED_K_BASE * scale, iters=2)
+        .select("vec_id", F.col("cluster").alias("kcluster"))
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        cell_pair_cosines(emb, assign)
+        .filter(F.col("cos") >= 0.4)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    comp = dedup_clusters(pairs, emb.select("vec_id"), id_col="vec_id")
+    return assign.join(comp, "vec_id").select(
+        "vec_id",
+        "kcluster",
+        F.col("cluster_id").alias("component"),
+        (F.col("cluster_id") == F.col("vec_id")).alias("keep"),
+    )
+
+# Key-space strides: one decade per replica, matching the shipped
+# sf0.01 -> sf0.1 growth (all maxima verified against the fixtures).
+STRIDES = {
+    "event_id": 100_000,
+    "user_id": 2_000,  # user_id max 1499 at sf0.1
+    "l_orderkey": 150_000,
+    "doc_id": 5_000,
+    "vec_id": 2_000,
+    "n_parts": 20_000,
+}
+
+
+def build_fixture(src: str, out: str, factor: int) -> None:
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE reps AS SELECT unnest(range({factor})) AS r")
+    p = STRIDES
+
+    def emit(table: str, select_sql: str) -> None:
+        con.execute(
+            f"COPY ({select_sql}) TO '{out}/{table}.parquet' (FORMAT PARQUET)"
+        )
+
+    emit(
+        "events",
+        f"""
+        SELECT event_id + r * {p['event_id']} AS event_id,
+               ts,
+               user_id + r * {p['user_id']} AS user_id,
+               event_type, value, props
+        FROM '{src}/events.parquet' CROSS JOIN reps
+        """,
+    )
+    emit(
+        "lineitem",
+        f"""
+        SELECT * REPLACE (
+            l_orderkey + r * {p['l_orderkey']} AS l_orderkey,
+            CAST(hash(l_orderkey * 1000003 + l_partkey * 7919 + r)
+                 % {p['n_parts'] * factor} AS BIGINT) AS l_partkey)
+        FROM '{src}/lineitem.parquet' CROSS JOIN reps
+        """,
+    )
+    emit(
+        "documents",
+        f"""
+        SELECT doc_id + r * {p['doc_id']} AS doc_id,
+               CASE WHEN r = 0 THEN text ELSE array_to_string(
+                 list_transform(string_split(text, ' '),
+                   (w, i) -> CASE WHEN (i + r) % 7 = 0
+                             THEN concat(w, 'x', r) ELSE w END), ' ')
+               END AS text,
+               lang, source,
+               CASE WHEN r = 0 THEN n_chars ELSE length(array_to_string(
+                 list_transform(string_split(text, ' '),
+                   (w, i) -> CASE WHEN (i + r) % 7 = 0
+                             THEN concat(w, 'x', r) ELSE w END), ' '))
+               END AS n_chars
+        FROM '{src}/documents.parquet' CROSS JOIN reps
+        """,
+    )
+    emit(
+        "embeddings",
+        f"""
+        SELECT vec_id + r * {p['vec_id']} AS vec_id,
+               CASE WHEN r = 0 THEN embedding ELSE
+                 list_transform(embedding, (x, i) -> CAST(
+                   x * (1.0 + (CAST(hash(vec_id * 31 + i * 7 + r) % 200
+                               AS BIGINT) - 100) / 10000.0) AS FLOAT))
+               END AS embedding,
+               label
+        FROM '{src}/embeddings.parquet' CROSS JOIN reps
+        """,
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "orders"):
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copyfile(f"{src}/{t}.parquet", dst)
+    con.close()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--out", default="/tmp/scale_probe.json")
+    ap.add_argument("--fixture-dir", default=None)
+    args = ap.parse_args()
+
+    fixture = args.fixture_dir or f"/tmp/scale{args.factor}x"
+    if not os.path.exists(f"{fixture}/embeddings.parquet"):
+        t0 = time.time()
+        build_fixture(BASE_SF_DIR, fixture, args.factor)
+        print(f"[fixture] built {fixture} in {time.time() - t0:.1f}s",
+              file=sys.stderr)
+
+    from lab04_spark_streaming_spark.registry import queries
+    from lab04_spark_streaming_spark.session import get_spark
+
+    spark = get_spark(app_name="lab04-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    q = queries()
+
+    # Warm codegen/JIT once per scale (not measured).
+    q["zscore_asof_join"](spark, BASE_SF_DIR).count()
+
+    probes = [(name, lambda s, d, _sc, n=name: q[n](s, d)) for name in PROBES]
+    probes.append(("semdedup_scaled_cells", semdedup_scaled_cells))
+
+    results = {}
+    for name, fn in probes:
+        times = {}
+        for label, sf_dir, scale in (
+            ("t1x", BASE_SF_DIR, 1),
+            (f"t{args.factor}x", fixture, args.factor),
+        ):
+            samples = []
+            for _ in range(args.runs):
+                t0 = time.time()
+                fn(spark, sf_dir, scale).count()
+                samples.append(time.time() - t0)
+            times[label] = round(sorted(samples)[len(samples) // 2], 3)
+        ratio = times[f"t{args.factor}x"] / times["t1x"]
+        results[name] = {
+            **times,
+            "ratio": round(ratio, 2),
+            "exponent": round(math.log(ratio) / math.log(args.factor), 2),
+        }
+        print(json.dumps({name: results[name]}), file=sys.stderr)
+
+    out = {
+        "metric": "scale_probe",
+        "factor": args.factor,
+        "base": BASE_SF_DIR,
+        "runs_per_point": args.runs,
+        "aggregation": "median",
+        "queries": results,
+    }
+    print(json.dumps(out))
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
