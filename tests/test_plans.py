@@ -9,10 +9,17 @@ physical operators, and whole-stage codegen presence.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from lab04_spark_streaming_spark.plans import analytics, llm
 from lab04_spark_streaming_spark.sources.files import load_table
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR_AUDIT = os.environ.get(
+    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+)
 
 
 def plan_of(df) -> str:
@@ -108,6 +115,49 @@ def test_entry_plan_has_no_wide_expand(spark):
     plan = plan_of(e.entry(spark))
     assert "Expand" not in plan, "entry() regressed to the window() Expand plan"
     assert "Generate" in plan  # the explode(sequence) row enumeration
+
+
+def test_headline_plans_codegen_fallback_free(sf_dir):
+    """No headline plan may fall back to interpreted evaluation: janino
+    logs `ERROR CodeGenerator: Failed to compile` (method > 64 KB, e.g.
+    a 360-way sliding-window Expand) and Spark silently runs the stage
+    un-codegen'd — correct, but the widest operator of the pipeline
+    loses whole-stage codegen exactly where 100x scale needs it.  The
+    failure is PLAN-dependent, not data-dependent, so executing every
+    bench headline at sf0.001 exercises the same generated code the
+    sf0.1 bench runs.  The JVM writes the error to the fd 2 it
+    inherited at spawn, which pytest's capfd can NOT see (the gateway
+    outlives per-test capture), so the audit runs in a fresh
+    subprocess with piped stderr.  (Verified sharp: the pre-r10
+    entry() plan — the naive 6-window union — trips this exact
+    message at sf0.001 under the same session confs.)"""
+    import subprocess
+    import sys
+
+    script = """
+import sys
+sys.path.insert(0, {root!r})
+import bench
+from lab04_spark_streaming_spark.registry import queries
+from lab04_spark_streaming_spark.session import get_spark
+
+spark = get_spark(app_name="codegen-audit", shuffle_partitions=8)
+q = queries()
+for name in bench.HEADLINE:
+    q[name](spark, {sf_dir!r}).count()
+print("CODEGEN_AUDIT_DONE")
+""".format(root=REPO_ROOT, sf_dir=SF_DIR_AUDIT)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert "CODEGEN_AUDIT_DONE" in proc.stdout, proc.stderr[-3000:]
+    bad = [
+        l for l in proc.stderr.splitlines() if "Failed to compile" in l
+    ]
+    assert not bad, bad
 
 
 def test_tpch_full_dims_broadcast_no_cartesian(spark, sf_dir):
