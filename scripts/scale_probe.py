@@ -117,7 +117,22 @@ STRIDES = {
 }
 
 
-def build_fixture(src: str, out: str, factor: int) -> None:
+# Which upscaled tables each probe reads — a selective run (--probes)
+# builds only what it needs, so a 100x events-only point stays cheap
+# (100x lineitem would be 600M rows).
+PROBE_TABLES = {
+    "zscore_asof_join": {"events"},
+    "semdedup_keep_best": {"embeddings"},
+    "semdedup_scaled_cells": {"embeddings"},
+    "triangle_count": {"lineitem"},
+    "ann_ivfpq_topk": {"embeddings"},
+    "dedup_minhash_lsh_pairs": {"documents"},
+}
+
+
+def build_fixture(
+    src: str, out: str, factor: int, tables: set[str] | None = None
+) -> None:
     import duckdb
 
     os.makedirs(out, exist_ok=True)
@@ -126,6 +141,8 @@ def build_fixture(src: str, out: str, factor: int) -> None:
     p = STRIDES
 
     def emit(table: str, select_sql: str) -> None:
+        if tables is not None and table not in tables:
+            return
         con.execute(
             f"COPY ({select_sql}) TO '{out}/{table}.parquet' (FORMAT PARQUET)"
         )
@@ -194,14 +211,34 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--out", default="/tmp/scale_probe.json")
     ap.add_argument("--fixture-dir", default=None)
+    ap.add_argument(
+        "--probes",
+        default=None,
+        help="comma-separated subset of probes (default: all)",
+    )
     args = ap.parse_args()
 
+    selected = args.probes.split(",") if args.probes else None
+    need = None
+    if selected is not None:
+        unknown = set(selected) - set(PROBE_TABLES)
+        if unknown:
+            ap.error(f"unknown probes: {sorted(unknown)}")
+        need = set().union(*(PROBE_TABLES[n] for n in selected))
+
     fixture = args.fixture_dir or f"/tmp/scale{args.factor}x"
-    if not os.path.exists(f"{fixture}/embeddings.parquet"):
+    built = {
+        t for t in ("events", "lineitem", "documents", "embeddings")
+        if os.path.exists(f"{fixture}/{t}.parquet")
+    }
+    want = need if need is not None else {
+        "events", "lineitem", "documents", "embeddings"
+    }
+    if want - built:
         t0 = time.time()
-        build_fixture(BASE_SF_DIR, fixture, args.factor)
-        print(f"[fixture] built {fixture} in {time.time() - t0:.1f}s",
-              file=sys.stderr)
+        build_fixture(BASE_SF_DIR, fixture, args.factor, tables=want - built)
+        print(f"[fixture] built {sorted(want - built)} in {fixture} "
+              f"in {time.time() - t0:.1f}s", file=sys.stderr)
 
     from lab04_spark_streaming_spark.registry import queries
     from lab04_spark_streaming_spark.session import get_spark
@@ -215,6 +252,8 @@ def main() -> None:
 
     probes = [(name, lambda s, d, _sc, n=name: q[n](s, d)) for name in PROBES]
     probes.append(("semdedup_scaled_cells", semdedup_scaled_cells))
+    if selected is not None:
+        probes = [(n, f) for n, f in probes if n in selected]
 
     results = {}
     for name, fn in probes:
