@@ -2288,3 +2288,66 @@ def test_srm_stream_rocksdb_state(spark, tmp_path):
             else:
                 spark.conf.set(k, v)
     assert got[t0] == (20, 20, False)
+
+
+def test_srm_stream_checkpoint_stop_resume_dedup(spark, tmp_path):
+    """Operational recovery for the SRM guardrail: a user first seen
+    BEFORE a checkpointed stop and re-sent AFTER the restart must still
+    count once — the dropDuplicatesWithinWatermark key state has to
+    survive the restart via the checkpoint (losing it would re-admit
+    the re-sent users and read 10,7 instead of 7,5 for the hour).
+    Parquet file sink (exactly-once manifest), availableNow runs."""
+    from lab04_spark_streaming_spark.streaming.pipeline import srm_stream
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    in_path = str(tmp_path / "srm_cp_in")
+    out_path = str(tmp_path / "srm_cp_out")
+    cp = str(tmp_path / "srm_cp_ck")
+
+    def run_once(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_path)
+        q = (
+            srm_stream(file_stream(spark, in_path, schema), "ts", "user_id")
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: users 0..9 at hh:00 + a watermark-advancing row at hh:40.
+    run_once(
+        [(i, t0, i, "view", 1.0, "{}") for i in range(10)]
+        + [(50, t0 + dt.timedelta(minutes=40), 102, "view", 1.0, "{}")]
+    )
+    # run 2 (restart from checkpoint): re-send users 0..4 at hh:50,
+    # add user 100, and close the hour with a far-future sentinel.
+    run_once(
+        [
+            (100 + i, t0 + dt.timedelta(minutes=50), i, "view", 1.0, "{}")
+            for i in range(5)
+        ]
+        + [(200, t0 + dt.timedelta(minutes=50), 100, "view", 1.0, "{}")]
+        + [(300, t0 + dt.timedelta(hours=6), 999, "view", 1.0, "{}")]
+    )
+    got = {
+        r.hour_start: (r.n0, r.n1)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    # evens 0,2,4,6,8,100,102 = 7; odds 1,3,5,7,9 = 5; the five
+    # re-sent users must be deduped against the RESTORED state.
+    assert got[t0] == (7, 5), got
