@@ -1901,6 +1901,86 @@ def test_kmv_stream_matches_batch(spark, tmp_path):
     assert sub_k[0] == 7 and sub_k[2] == 7.0
 
 
+def test_kmv_stream_checkpoint_stop_resume_merges_state(spark, tmp_path):
+    """Custom array-state restore: a KMV sketch built before a
+    checkpointed stop must MERGE with post-restart arrivals for the
+    same hour — the held bottom-k hash array (variable-length
+    array<long> state, a different restore shape from sessionize's
+    scalar-tuple state) has to round-trip the checkpoint. Run 1 sees
+    users 0..9 in hour 0 (hour stays open, sketch state persisted);
+    run 2, restarted from the same checkpoint, sees users 5..14 and a
+    closing sentinel. The emitted hour must carry all 15 distinct
+    users' hashes (state lost on restart would leave only run 2's 10)
+    and equal the batch computation over BOTH runs' rows."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from lab04_spark_streaming_spark.streaming.state import (
+        kmv_bottomk_hourly_batch,
+        kmv_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+        ]
+    )
+    k = 16
+    in_path = str(tmp_path / "kmv_cp_in")
+    out_path = str(tmp_path / "kmv_cp_out")
+    cp = str(tmp_path / "kmv_cp_ck")
+
+    def run_once(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_path)
+        q = (
+            kmv_stream(
+                file_stream(spark, in_path, schema),
+                "ts",
+                "cast(user_id as string)",
+                k=k,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    b1 = [(i, T0 + dt.timedelta(minutes=i), i) for i in range(10)]
+    b2 = [
+        (100 + i, T0 + dt.timedelta(minutes=30 + i), 5 + i)
+        for i in range(10)
+    ] + [(200, T0 + dt.timedelta(hours=6), 999)]
+    run_once(b1)
+    run_once(b2)
+
+    streamed = {
+        r.hour_start: (r.n_sketch, r.kth_hash, r.est)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    batch = {
+        r.hour_start: (r.n_sketch, r.kth_hash, r.est)
+        for r in kmv_bottomk_hourly_batch(
+            spark.createDataFrame(b1 + b2, schema),
+            "ts",
+            "cast(user_id as string)",
+            k=k,
+        ).collect()
+    }
+    assert streamed[T0] == batch[T0]
+    assert streamed[T0][0] == 15  # all 15 distinct users, both runs
+
+
 def test_volume_anomaly_stream_matches_batch(spark, tmp_path):
     """Streamed daily volume-anomaly rows must equal the batch query's
     (type, day) rows exactly — counts, trailing-window sizes AND the
