@@ -64,6 +64,14 @@ PROBES = [
     "triangle_count",
     "ann_ivfpq_topk",
     "dedup_minhash_lsh_pairs",
+    # second tier (r10): the next-most-expensive shuffle shapes — the
+    # exact set-similarity join, the basket-pair fan-out, the
+    # full-corpus tokenize + double aggregation, and the df-prefiltered
+    # document pair walk.
+    "jaccard_prefix_join",
+    "copurchase_lift",
+    "source_kl_divergence",
+    "pmi_word_pairs",
 ]
 
 # semdedup's registered query pins k=8 cells for the cross-engine
@@ -127,6 +135,10 @@ PROBE_TABLES = {
     "triangle_count": {"lineitem"},
     "ann_ivfpq_topk": {"embeddings"},
     "dedup_minhash_lsh_pairs": {"documents"},
+    "jaccard_prefix_join": {"documents"},
+    "copurchase_lift": {"lineitem"},
+    "source_kl_divergence": {"documents"},
+    "pmi_word_pairs": {"documents"},
 }
 
 
