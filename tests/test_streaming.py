@@ -973,6 +973,64 @@ def test_twap_stream_matches_batch(spark, tmp_path):
     assert len(streamed) >= len(expected) - 2
 
 
+def test_twap_stream_multi_microbatch_out_of_order(spark, tmp_path):
+    """One hour's observations split across micro-batches, with the
+    later batch delivering an EARLIER event time (admissible under a
+    30 min lateness watermark): the pending-state merge must re-sort
+    and produce the same hold-until-next weights as the batch twin —
+    the TWAP recursion is order-sensitive, so a merge that appended
+    without re-sorting would mis-weight all three observations.
+    Weights: 10.00 for 10 min, 30.00 for 10 min, 20.00 for 35 min
+    -> TWAP = 1100/55 = 20.0 exactly."""
+    from pyspark.sql.types import DoubleType as _D
+
+    from lab04_spark_streaming_spark.plans.timeseries import twap_hourly
+    from lab04_spark_streaming_spark.streaming.state import twap_stream
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+            StructField("value", _D()),
+        ]
+    )
+    H = T0.replace(minute=0, second=0)
+    d = tmp_path / "twap_mb"
+    d.mkdir()
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(d / name)
+        )
+
+    write("a", [(1, H + dt.timedelta(minutes=5), 0, 10.00),
+                (1, H + dt.timedelta(minutes=25), 1, 20.00)])
+    # batch 2: event-time BETWEEN batch 1's events (out-of-order
+    # arrival, admissible: 30 min watermark > the 10 min lateness)
+    write("b", [(1, H + dt.timedelta(minutes=15), 2, 30.00)])
+    write("c", [(999, H + dt.timedelta(hours=2), 3, 1.00)])  # closes H
+
+    stream = file_stream(spark, str(d / "*"), schema,
+                         max_files_per_trigger=1)
+    out = twap_stream(stream, "ts", "user_id", "value",
+                      watermark="30 minutes")
+    memory_sink_once(out, "twap_mb_out", "append")
+    streamed = {
+        (r.user_id, r.hour_start): (r.n_events, r.span_us, r.twap)
+        for r in spark.table("twap_mb_out").collect()
+    }
+    rows = [(1, H + dt.timedelta(minutes=5), 0, 10.00),
+            (1, H + dt.timedelta(minutes=15), 2, 30.00),
+            (1, H + dt.timedelta(minutes=25), 1, 20.00)]
+    expected = {
+        (r.user_id, r.hour_start): (r.n_events, r.span_us, r.twap)
+        for r in twap_hourly(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert streamed[(1, H)] == expected[(1, H)]
+    assert streamed[(1, H)] == (3, 55 * 60_000_000, 20.0)
+
+
 def test_ohlc_stream_matches_batch(spark, tmp_path):
     """Declarative streaming OHLC bars must equal the batch
     q_ohlc_bars aggregate for every watermark-finalized hour — same
@@ -2052,6 +2110,95 @@ def test_volume_anomaly_stream_matches_batch(spark, tmp_path):
     for k, got in streamed.items():
         assert batch[k] == got, (k, batch[k], got)
     # the spike day flags in both
+    assert streamed[("click", (day0 + dt.timedelta(days=9)).date())][2]
+
+
+def test_volume_anomaly_stream_multi_microbatch(spark, tmp_path):
+    """Days arriving INCREMENTALLY across micro-batches (one 2-day
+    file per batch) must finalize with the same trailing window and
+    flag as the single-batch run: the trailing buffer lives in state
+    across batches, so a restart-shaped bug (trail rebuilt from only
+    the current batch) would compute the spike flag against a
+    truncated window.  Same data shape as the single-batch test —
+    steady ~10/day for 9 days then a 60-event day-9 spike — and the
+    same batch oracle."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from lab04_spark_streaming_spark.plans.wave10 import q_volume_anomaly
+    from lab04_spark_streaming_spark.streaming.state import (
+        volume_anomaly_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    day0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    d = tmp_path / "vol_mb"
+    d.mkdir()
+    all_rows = []
+    eid = 0
+    for pair in range(5):  # files a..e: days 0-1, 2-3, 4-5, 6-7, 8-9
+        rows = []
+        for dd in (2 * pair, 2 * pair + 1):
+            n = 60 if dd == 9 else 10 + (dd % 3)
+            for i in range(n):
+                rows.append(
+                    (
+                        eid,
+                        day0 + dt.timedelta(days=dd, minutes=i),
+                        i,
+                        "click",
+                        1.0,
+                        "{}",
+                    )
+                )
+                eid += 1
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(d / f"{chr(97 + pair)}_days")
+        )
+        all_rows += rows
+    flush = [(eid, day0 + dt.timedelta(days=20), 0, "click", 1.0, "{}")]
+    spark.createDataFrame(flush, schema).coalesce(1).write.parquet(
+        str(d / "f_flush")
+    )
+    all_rows += flush
+
+    stream = file_stream(spark, str(d / "*"), schema,
+                         max_files_per_trigger=1)
+    out = volume_anomaly_stream(stream, "ts", "event_type")
+    memory_sink_once(out, "vol_mb_out", "append")
+    streamed = {
+        (r.event_type, r.day.date()): (r.cnt, r.trailing_days, r.is_anomaly)
+        for r in spark.table("vol_mb_out").collect()
+    }
+    assert len(streamed) >= 10
+
+    # batch oracle over the union of all files
+    bd = tmp_path / "vol_mb_batch"
+    bd.mkdir()
+    spark.createDataFrame(all_rows, schema).coalesce(1).write.parquet(
+        str(bd / "events.parquet")
+    )
+    batch = {
+        (r.event_type, r.day): (r.cnt, r.trailing_days, r.is_anomaly)
+        for r in q_volume_anomaly(spark, str(bd)).collect()
+    }
+    for k, got in streamed.items():
+        assert batch[k] == got, (k, batch[k], got)
     assert streamed[("click", (day0 + dt.timedelta(days=9)).date())][2]
 
 
