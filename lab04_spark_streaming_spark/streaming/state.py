@@ -456,6 +456,34 @@ def twap_stream(
     double divisions are the same IEEE ops. State per key = the pending
     (not-yet-final) hours' events — bounded by event rate × (1 hour +
     watermark)."""
+    fn = _twap_state_fn()
+
+    prepared = events.select(
+        F.col(key_col).alias("_key"),
+        F.unix_micros(F.col(ts_col)).alias("_ts_us"),
+        F.col(value_col).alias("_value"),
+        F.col(ts_col).alias("_event_time"),
+    ).withWatermark("_event_time", watermark)
+
+    return prepared.groupBy("_key").applyInPandasWithState(
+        fn,
+        outputStructType=TWAP_OUTPUT_SCHEMA,
+        stateStructType=StructType(
+            [
+                StructField("ts_us", _array_of(LongType())),
+                StructField("value", _array_of(DoubleType())),
+            ]
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _twap_state_fn():
+    """State-transition function behind :func:`twap_stream`,
+    module-level so arrival-order/micro-batch-split fuzzing can drive
+    it directly with a stubbed GroupState
+    (tests/test_streaming_fuzz.py)."""
     hour_us = 3_600_000_000
 
     def fn(
@@ -519,25 +547,7 @@ def twap_stream(
                 }
             )
 
-    prepared = events.select(
-        F.col(key_col).alias("_key"),
-        F.unix_micros(F.col(ts_col)).alias("_ts_us"),
-        F.col(value_col).alias("_value"),
-        F.col(ts_col).alias("_event_time"),
-    ).withWatermark("_event_time", watermark)
-
-    return prepared.groupBy("_key").applyInPandasWithState(
-        fn,
-        outputStructType=TWAP_OUTPUT_SCHEMA,
-        stateStructType=StructType(
-            [
-                StructField("ts_us", _array_of(LongType())),
-                StructField("value", _array_of(DoubleType())),
-            ]
-        ),
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
-    )
+    return fn
 
 
 class EwmaTwsProcessor:
@@ -835,6 +845,32 @@ def kmv_stream(
 
     State size: ≤ k int64 per open hour — independent of row rate,
     the property that distinguishes a sketch from collect_set."""
+    fn = _kmv_state_fn(k)
+
+    prepared = events.select(
+        F.unix_micros(F.date_trunc("hour", F.col(ts_col))).alias("_h0"),
+        F.expr(
+            f"cast(conv(substring(md5({item_expr}), 1, 8), 16, 10) as bigint)"
+        ).alias("_h"),
+        F.col(ts_col).alias("_event_time"),
+    ).withWatermark("_event_time", watermark)
+
+    return prepared.groupBy("_h0").applyInPandasWithState(
+        fn,
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=StructType(
+            [StructField("sketch", _array_of(LongType()))]
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _kmv_state_fn(k: int):
+    """State-transition function behind :func:`kmv_stream`,
+    module-level so arrival-order/micro-batch-split fuzzing can drive
+    it directly with a stubbed GroupState
+    (tests/test_streaming_fuzz.py)."""
     hour_us = 3_600_000_000
 
     def fn(
@@ -871,23 +907,7 @@ def kmv_stream(
                 max((h0_us + hour_us) // 1000, wm_us // 1000 + 1)
             )
 
-    prepared = events.select(
-        F.unix_micros(F.date_trunc("hour", F.col(ts_col))).alias("_h0"),
-        F.expr(
-            f"cast(conv(substring(md5({item_expr}), 1, 8), 16, 10) as bigint)"
-        ).alias("_h"),
-        F.col(ts_col).alias("_event_time"),
-    ).withWatermark("_event_time", watermark)
-
-    return prepared.groupBy("_h0").applyInPandasWithState(
-        fn,
-        outputStructType=KMV_OUTPUT_SCHEMA,
-        stateStructType=StructType(
-            [StructField("sketch", _array_of(LongType()))]
-        ),
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
-    )
+    return fn
 
 
 def kmv_bottomk_hourly_batch(
