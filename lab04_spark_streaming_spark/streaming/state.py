@@ -145,6 +145,35 @@ def first_crossing_stream(
     the crossing for an older pending tick (t_r within any pending
     tick's horizon); state is pruned past that, so its size stays
     bounded by horizon × tick rate per key."""
+    fn = _first_crossing_state_fn(horizon_s, direction)
+
+    prepared = ticks.select(
+        F.col(key_col).alias("_key"),
+        (F.unix_micros(F.col(ts_col))).alias("_ts_us"),
+        F.col(value_col).cast("double").alias("_value"),
+        F.col(ts_col).alias("_event_time"),
+    ).withWatermark("_event_time", watermark)
+
+    return prepared.groupBy("_key").applyInPandasWithState(
+        fn,
+        outputStructType=CROSSING_OUTPUT_SCHEMA,
+        stateStructType=StructType(
+            [
+                StructField("ts_us", _array_of(LongType())),
+                StructField("value", _array_of(DoubleType())),
+                StructField("emitted", _array_of(BooleanType())),
+            ]
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _first_crossing_state_fn(horizon_s: int, direction: str):
+    """State-transition function behind :func:`first_crossing_stream`,
+    module-level so arrival-order/micro-batch-split fuzzing can drive
+    it directly with a stubbed GroupState
+    (tests/test_streaming_fuzz.py)."""
     higher = direction == "higher"
     hor_us = horizon_s * 1_000_000
 
@@ -232,26 +261,7 @@ def first_crossing_stream(
                 }
             )
 
-    prepared = ticks.select(
-        F.col(key_col).alias("_key"),
-        (F.unix_micros(F.col(ts_col))).alias("_ts_us"),
-        F.col(value_col).cast("double").alias("_value"),
-        F.col(ts_col).alias("_event_time"),
-    ).withWatermark("_event_time", watermark)
-
-    return prepared.groupBy("_key").applyInPandasWithState(
-        fn,
-        outputStructType=CROSSING_OUTPUT_SCHEMA,
-        stateStructType=StructType(
-            [
-                StructField("ts_us", _array_of(LongType())),
-                StructField("value", _array_of(DoubleType())),
-                StructField("emitted", _array_of(BooleanType())),
-            ]
-        ),
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
-    )
+    return fn
 
 
 def _array_of(t):
@@ -698,6 +708,36 @@ def scd2_stream(
     pending events and rewrite the run structure. Runs of one key
     finalize strictly in valid_from order, so emission order matches
     the batch ordering with no ordinal counter needed."""
+    fn = _scd2_state_fn()
+
+    prepared = events.select(
+        F.col(key_col).alias("_key"),
+        F.unix_micros(F.col(ts_col)).alias("_ts_us"),
+        F.col("event_id").alias("_eid"),
+        F.col(attr_col).alias("_attr"),
+        F.col(ts_col).alias("_event_time"),
+    ).withWatermark("_event_time", watermark)
+
+    return prepared.groupBy("_key").applyInPandasWithState(
+        fn,
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        stateStructType=StructType(
+            [
+                StructField("ts_us", _array_of(LongType())),
+                StructField("eid", _array_of(LongType())),
+                StructField("attr", _array_of(StringType())),
+            ]
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _scd2_state_fn():
+    """State-transition function behind :func:`scd2_stream`,
+    module-level so arrival-order/micro-batch-split fuzzing can drive
+    it directly with a stubbed GroupState
+    (tests/test_streaming_fuzz.py)."""
 
     def fn(
         key: tuple[Any, ...],
@@ -777,27 +817,7 @@ def scd2_stream(
                 }
             )
 
-    prepared = events.select(
-        F.col(key_col).alias("_key"),
-        F.unix_micros(F.col(ts_col)).alias("_ts_us"),
-        F.col("event_id").alias("_eid"),
-        F.col(attr_col).alias("_attr"),
-        F.col(ts_col).alias("_event_time"),
-    ).withWatermark("_event_time", watermark)
-
-    return prepared.groupBy("_key").applyInPandasWithState(
-        fn,
-        outputStructType=SCD2_OUTPUT_SCHEMA,
-        stateStructType=StructType(
-            [
-                StructField("ts_us", _array_of(LongType())),
-                StructField("eid", _array_of(LongType())),
-                StructField("attr", _array_of(StringType())),
-            ]
-        ),
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
-    )
+    return fn
 
 
 # --- streaming KMV distinct sketch -----------------------------------------

@@ -316,3 +316,138 @@ def test_volume_anomaly_fuzz(sc):
         assert k not in got, f"day emitted twice: {k}"
         got[k] = (rec["cnt"], rec["trailing_days"], rec["is_anomaly"])
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# first crossing
+
+
+@settings(
+    max_examples=300,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(scenario(n_keys=2, n_events=(1, 30), span_hours=1), st.sampled_from([30, 120, 900]))
+def test_first_crossing_fuzz(sc, horizon_s):
+    """Random arrival orders through the protocol must emit exactly
+    the final ticks, each with the first strictly-higher crossing
+    within the horizon over the ADMITTED rows (or null once the whole
+    horizon is final).  Distinct ts per key — the duplicate-tick
+    MAX-collapse contract is pinned by the e2e tests."""
+    from lab04_spark_streaming_spark.streaming.state import (
+        _first_crossing_state_fn,
+    )
+
+    events, n_batches, delay_us = sc
+    seen = set()
+    arrivals = []
+    for key, off_s, cents in events:
+        ts = BASE_US + off_s * 1_000_000
+        if (key, ts) in seen:
+            continue
+        seen.add((key, ts))
+        arrivals.append(
+            (key, ts, {"_ts_us": ts, "_value": float(cents % 7)})
+        )
+
+    emitted, admitted, final_wm = run_protocol(
+        _first_crossing_state_fn(horizon_s, "higher"),
+        arrivals, n_batches, delay_us, columns=["_ts_us", "_value"],
+    )
+
+    hor_us = horizon_s * 1_000_000
+    by_key: dict = {}
+    for key, ts, row in admitted:
+        by_key.setdefault(key, []).append((ts, row["_value"]))
+    expect = {}
+    for key, rows in by_key.items():
+        rows.sort()
+        for i, (t, v) in enumerate(rows):
+            hit = None
+            for t2, v2 in rows[i + 1:]:
+                if t2 - t > hor_us:
+                    break
+                if v2 > v:
+                    hit = t2
+                    break
+            if final_wm is None:
+                continue
+            if hit is not None and hit <= final_wm:
+                expect[(key, t)] = (v, (hit - t) / 1e6)
+            elif hit is None and t + hor_us < final_wm:
+                expect[(key, t)] = (v, None)
+
+    got = {}
+    for rec in emitted:
+        k = (rec["_key"], rec["ts"].value // 1000)
+        assert k not in got, f"tick emitted twice: {k}"
+        s = rec["seconds_until"]
+        got[k] = (rec["value"], None if s != s else s)  # NaN -> None
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 closed intervals
+
+
+@settings(
+    max_examples=300,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(scenario(n_keys=2, n_events=(1, 30), span_hours=2))
+def test_scd2_fuzz(sc):
+    """Random arrival orders must yield exactly the closed runs with
+    valid_to strictly below the final watermark, each with the batch
+    gaps-and-islands attribute/bounds/count over the ADMITTED rows —
+    an admissible row interleaving BETWEEN pending events must
+    rewrite the run structure before anything emits.  Distinct ts per
+    key (the duplicate-ts tie-break is pinned by the e2e tests)."""
+    from lab04_spark_streaming_spark.streaming.state import _scd2_state_fn
+
+    events, n_batches, delay_us = sc
+    seen = set()
+    arrivals = []
+    for key, off_s, x in events:
+        ts = BASE_US + off_s * 1_000_000
+        if (key, ts) in seen:
+            continue
+        seen.add((key, ts))
+        arrivals.append(
+            (key, ts,
+             {"_ts_us": ts, "_eid": len(seen), "_attr": f"a{x % 2}"})
+        )
+
+    emitted, admitted, final_wm = run_protocol(
+        _scd2_state_fn(), arrivals, n_batches, delay_us,
+        columns=["_ts_us", "_eid", "_attr"],
+    )
+
+    by_key: dict = {}
+    for key, ts, row in admitted:
+        by_key.setdefault(key, []).append((ts, row["_attr"]))
+    expect = {}
+    for key, rows in by_key.items():
+        rows.sort()
+        runs: list = []  # (attr, first_ts, n)
+        for t, a in rows:
+            if runs and runs[-1][0] == a:
+                runs[-1][2] += 1
+            else:
+                runs.append([a, t, 1])
+        for i in range(len(runs) - 1):  # the open last run never emits
+            attr, vfrom, n = runs[i]
+            vto = runs[i + 1][1]
+            if final_wm is not None and vto < final_wm:
+                expect[(key, vfrom)] = (attr, vto, n)
+
+    got = {}
+    for rec in emitted:
+        k = (rec["_key"], rec["valid_from"].value // 1000)
+        assert k not in got, f"interval emitted twice: {k}"
+        got[k] = (
+            rec["event_type"],
+            rec["valid_to"].value // 1000,
+            rec["n_events"],
+        )
+    assert got == expect
