@@ -317,7 +317,33 @@ def sessionize_stream(
     active-key set, at the cost that a key returning after expiry
     restarts its ``session_id`` numbering at 0 (batch/stream ordinal
     parity then only holds within one TTL window)."""
-    gap_us = gap_s * 1_000_000
+    fn = _sessionize_state_fn(gap_s, counter_ttl_s)
+
+    prepared = events.select(
+        F.col(key_col).alias("_key"),
+        F.unix_micros(F.col(ts_col)).alias("_ts_us"),
+        F.col(ts_col).alias("_event_time"),
+    ).withWatermark("_event_time", watermark)
+
+    return prepared.groupBy("_key").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=StructType(
+            [
+                StructField("ts_us", _array_of(LongType())),
+                StructField("next_id", LongType()),
+            ]
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _sessionize_state_fn(gap_s: int, counter_ttl_s: int | None = None):
+    """State-transition function behind :func:`sessionize_stream`,
+    module-level so arrival-order/micro-batch-split fuzzing can drive
+    it directly with a stubbed GroupState
+    (tests/test_streaming_fuzz.py)."""
 
     def fn(
         key: tuple[Any, ...],
@@ -414,24 +440,7 @@ def sessionize_stream(
                 }
             )
 
-    prepared = events.select(
-        F.col(key_col).alias("_key"),
-        F.unix_micros(F.col(ts_col)).alias("_ts_us"),
-        F.col(ts_col).alias("_event_time"),
-    ).withWatermark("_event_time", watermark)
-
-    return prepared.groupBy("_key").applyInPandasWithState(
-        fn,
-        outputStructType=SESSION_OUTPUT_SCHEMA,
-        stateStructType=StructType(
-            [
-                StructField("ts_us", _array_of(LongType())),
-                StructField("next_id", LongType()),
-            ]
-        ),
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
-    )
+    return fn
 
 
 TWAP_OUTPUT_SCHEMA = StructType(

@@ -451,3 +451,67 @@ def test_scd2_fuzz(sc):
             rec["n_events"],
         )
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# gap sessionization (ordinal ids)
+
+
+@settings(
+    max_examples=300,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(scenario(n_keys=2, n_events=(1, 30), span_hours=2), st.sampled_from([60, 600, 1800]))
+def test_sessionize_fuzz(sc, gap_s):
+    """Random arrival orders must emit exactly the finalized sessions
+    (watermark past end + gap under the second-truncated rule), with
+    the batch gaps-and-islands splits, counts, bounds AND ordinal
+    numbering over the ADMITTED rows.  No counter TTL — the TTL
+    renumbering deviation is pinned separately by the e2e tests."""
+    from lab04_spark_streaming_spark.streaming.state import (
+        _sessionize_state_fn,
+    )
+
+    events, n_batches, delay_us = sc
+    arrivals = []
+    for key, off_s, _x in events:
+        ts = BASE_US + off_s * 1_000_000
+        arrivals.append((key, ts, {"_ts_us": ts}))
+
+    emitted, admitted, final_wm = run_protocol(
+        _sessionize_state_fn(gap_s), arrivals, n_batches, delay_us,
+        columns=["_ts_us"],
+    )
+
+    by_key: dict = {}
+    for key, ts, _row in admitted:
+        by_key.setdefault(key, []).append(ts)
+    expect = {}
+    for key, ts_list in by_key.items():
+        ts_list.sort()
+        sessions: list = []
+        for t in ts_list:
+            if sessions and (
+                t // 1_000_000 - sessions[-1][-1] // 1_000_000 > gap_s
+            ):
+                sessions.append([t])
+            elif sessions:
+                sessions[-1].append(t)
+            else:
+                sessions = [[t]]
+        for sid, s in enumerate(sessions):
+            bound = (s[-1] // 1_000_000 + gap_s + 1) * 1_000_000
+            if final_wm is not None and bound <= final_wm:
+                expect[(key, sid)] = (len(s), s[0], s[-1])
+
+    got = {}
+    for rec in emitted:
+        k = (rec["_key"], rec["session_id"])
+        assert k not in got, f"session emitted twice: {k}"
+        got[k] = (
+            rec["n_events"],
+            rec["session_start"].value // 1000,
+            rec["session_end"].value // 1000,
+        )
+    assert got == expect
