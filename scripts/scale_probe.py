@@ -72,6 +72,24 @@ PROBES = [
     "copurchase_lift",
     "source_kl_divergence",
     "pmi_word_pairs",
+    # third tier (r10): the rest of the bench headline, completing the
+    # 24-query scale table.
+    "q1_pricing_summary",
+    "q5_local_supplier",
+    "moving_stats_flat",
+    "moving_stats_long_windows",
+    "moving_stats_nested_json",
+    "sessionize_gap30m",
+    "first_crossing_higher",
+    "scd2_intervals",
+    "concurrent_active_30m",
+    "holt_backtest",
+    "dedup_minhash_signatures",
+    "knn_cosine_topk",
+    "kmeans_clusters",
+    "poisson_bootstrap",
+    "kcenter_coreset",
+    "mmd_rff",
 ]
 
 # semdedup's registered query pins k=8 cells for the cross-engine
@@ -139,6 +157,25 @@ PROBE_TABLES = {
     "copurchase_lift": {"lineitem"},
     "source_kl_divergence": {"documents"},
     "pmi_word_pairs": {"documents"},
+    # third tier (r10): the rest of the bench headline, completing the
+    # 24-query scale table.
+    "q1_pricing_summary": {"lineitem"},
+    "q5_local_supplier": {"lineitem", "orders"},
+    "moving_stats_flat": {"events"},
+    "moving_stats_long_windows": {"events"},
+    "moving_stats_nested_json": {"events"},
+    "sessionize_gap30m": {"events"},
+    "first_crossing_higher": {"events"},
+    "scd2_intervals": {"events"},
+    "concurrent_active_30m": {"events"},
+    "holt_backtest": {"events"},
+    "dedup_minhash_signatures": {"documents"},
+    "knn_cosine_topk": {"embeddings"},
+    "kmeans_clusters": {"embeddings"},
+    "ann_ivfpq_topk": {"embeddings"},
+    "poisson_bootstrap": {"events"},
+    "kcenter_coreset": {"embeddings"},
+    "mmd_rff": {"embeddings"},
 }
 
 
@@ -198,6 +235,13 @@ def build_fixture(
         """,
     )
     emit(
+        "orders",
+        f"""
+        SELECT * REPLACE (o_orderkey + r * {p['l_orderkey']} AS o_orderkey)
+        FROM '{src}/orders.parquet' CROSS JOIN reps
+        """,
+    )
+    emit(
         "embeddings",
         f"""
         SELECT vec_id + r * {p['vec_id']} AS vec_id,
@@ -210,7 +254,12 @@ def build_fixture(
         FROM '{src}/embeddings.parquet' CROSS JOIN reps
         """,
     )
-    for t in ("region", "nation", "customer", "supplier", "part", "orders"):
+    # Dimensions stay 1x (at real SF they grow too, but remain
+    # broadcast-side; the probed costs live in the fact tables).
+    # `orders` is NOT copied verbatim — a 1x orders next to a 10x
+    # lineitem would silently drop 90% of an orders join, so it is
+    # only present when explicitly upscaled via `tables`.
+    for t in ("region", "nation", "customer", "supplier", "part"):
         dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):
             shutil.copyfile(f"{src}/{t}.parquet", dst)
