@@ -48,6 +48,19 @@ def test_row_counts_and_key_spaces(fixture2x):
         f"select max(l_partkey) from '{fixture2x}/lineitem.parquet'"
     )[0]
     assert 20_000 <= pk_max < 40_000  # scattered into the 2x part space
+    # orders uses the SAME orderkey stride as lineitem — every upscaled
+    # lineitem row must still find its order (a 1x orders beside a 2x
+    # lineitem silently drops half the join).
+    n_orders = q1(f"select count(*) from '{fixture2x}/orders.parquet'")[0]
+    assert n_orders == 2 * q1(f"select count(*) from '{SRC}/orders.parquet'")[0]
+    orphans = q1(
+        f"""
+        select count(*) from '{fixture2x}/lineitem.parquet' l
+        anti join '{fixture2x}/orders.parquet' o
+          on l.l_orderkey = o.o_orderkey
+        """
+    )[0]
+    assert orphans == 0
 
 
 def test_replica_zero_identical_and_replicas_perturbed(fixture2x):
