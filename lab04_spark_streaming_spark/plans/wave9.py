@@ -704,8 +704,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pair generation is a per-order self-join (bounded by
     order width); the orientation join shuffles on node keys; the
     intersection pass streams edges map-side against the broadcast
-    adjacency (sqrt(m)-bounded arrays; at node counts past broadcast
-    size the same plan runs as a shuffle join on s then t)."""
+    adjacency while the edge count fits under _BCAST_EDGE_CAP
+    (decided by one count() on the pinned pairs relation), and runs
+    the SAME plan as a shuffle join on s then t past it — the forced
+    broadcast OOM'd at a 100x upscale (scripts/scale_probe.py,
+    round 10) before this branch existed."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(
@@ -751,6 +754,17 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("t")).alias("nbrs"))
         .localCheckpoint(eager=False)
     )
+    # Broadcast the adjacency only while it fits: one count() on the
+    # already-pinned pairs relation (it materializes the checkpoint
+    # every consumer reuses, so the job is not extra work) decides the
+    # strategy. Past the cap the same intersection plan runs as a
+    # shuffle join on s then t — at a 100x upscale the forced
+    # broadcast OOM'd an 8 GiB driver (caught by scripts/scale_probe.py
+    # --factor 100, round 10), exactly the degradation the docstring
+    # promises to avoid.
+    _BCAST_EDGE_CAP = 3_000_000
+    m_edges = pairs.count()
+    _maybe_b = F.broadcast if m_edges <= _BCAST_EDGE_CAP else (lambda d: d)
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     n_wedges = adj.agg(
         F.sum(F.expr("size(nbrs) * (size(nbrs) - 1) / 2"))
@@ -758,9 +772,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_wedges")
     )
     n_tri = (
-        oriented.join(F.broadcast(adj), "s")
+        oriented.join(_maybe_b(adj), "s")
         .join(
-            F.broadcast(
+            _maybe_b(
                 adj.select(
                     F.col("s").alias("t"), F.col("nbrs").alias("nbrs_t")
                 )
