@@ -323,6 +323,17 @@ def main() -> None:
             ("t1x", BASE_SF_DIR, 1),
             (f"t{args.factor}x", fixture, args.factor),
         ):
+            # Partition count scales with the data, the way a real
+            # cluster's would (the session docstring's "raise the
+            # initial value via config, not code"): a fixed 32 at 100x
+            # leaves ~3M-row post-shuffle partitions whose DESER cache
+            # allocation OOMs an 8 GiB single-JVM heap (observed on
+            # copurchase_lift's pair checkpoint) — a partition-sizing
+            # artifact of the one-box probe, not a plan property.
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(min(512, 32 * scale)),
+            )
             samples = []
             for _ in range(args.runs):
                 t0 = time.time()
