@@ -117,11 +117,14 @@ _STAMP_FIRST: list[str] = [
     "substring_dedup_coverage",
     "word_cooccurrence",
     "dedup_clusters",
-    # (4) three fillers from the oldest r5-stamped queries in registry
-    # order.
+    # (4) triangle_count re-enters the window because its code changed
+    # in round 10 (cost-based adjacency broadcast, the 100x-probe OOM
+    # fix) — changed code outranks unchanged fillers, the same rule
+    # that put the r7-changed queries in section (3); then two fillers
+    # from the oldest r5-stamped queries in registry order.
+    "triangle_count",
     "moving_stats_flat",
     "moving_stats_nested_json",
-    "watermark_late_drop",
     # (Window full at 50.  r11 rotation plan — registry growth is
     # FROZEN until evidence freshness catches up (r9 verdict item 6),
     # so r11 is purely refresh: the 35 remaining r5-stamped queries —
