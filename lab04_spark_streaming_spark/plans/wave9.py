@@ -708,7 +708,16 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decided by one count() on the pinned pairs relation), and runs
     the SAME plan as a shuffle join on s then t past it — the forced
     broadcast OOM'd at a 100x upscale (scripts/scale_probe.py,
-    round 10) before this branch existed."""
+    round 10) before this branch existed.
+
+    NOTE: because of that cost probe, CONSTRUCTING this query runs a
+    Spark job (it materializes the localCheckpoint every consumer
+    reuses, so no work is wasted when the query is then executed —
+    but plan-only consumers such as explain() audits pay the pair
+    materialization, and the broadcast-vs-shuffle choice is frozen
+    to build-time data).  Keep this the only builder with an eager
+    action; new cost-based choices should prefer AQE or file-level
+    stats."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(

@@ -17,11 +17,13 @@ Fixture construction (all deterministic, DuckDB):
                    offset, timestamps/types/values unchanged — traffic
                    grows, the one-month time axis does not (matches the
                    driver: sf0.01 and sf0.1 span the same month).
-  * lineitem  x10: new order decades (l_orderkey + R*150000); partkeys
-                   hash-scattered over a 10x part space (200k) so the
-                   co-purchase graph grows like the generator's random
-                   bipartite structure instead of decomposing into 10
-                   disjoint copies (which would fake perfect linearity).
+  * lineitem  x10: new order decades (l_orderkey + R*150000); replica
+                   partkeys hash-scattered over a 10x part space (200k)
+                   so the co-purchase graph grows like the generator's
+                   random bipartite structure instead of decomposing
+                   into 10 disjoint copies (which would fake perfect
+                   linearity).  Replica 0 keeps its source keys, so the
+                   base decade IS the 1x data the t1x timings run on.
   * documents x10: new doc decades; every 7th word of each replica is
                    suffixed with the replica id, so replicas are NOT
                    near-duplicates of their source (the corpus-wide
@@ -172,7 +174,6 @@ PROBE_TABLES = {
     "dedup_minhash_signatures": {"documents"},
     "knn_cosine_topk": {"embeddings"},
     "kmeans_clusters": {"embeddings"},
-    "ann_ivfpq_topk": {"embeddings"},
     "poisson_bootstrap": {"events"},
     "kcenter_coreset": {"embeddings"},
     "mmd_rff": {"embeddings"},
@@ -211,8 +212,10 @@ def build_fixture(
         f"""
         SELECT * REPLACE (
             l_orderkey + r * {p['l_orderkey']} AS l_orderkey,
-            CAST(hash(l_orderkey * 1000003 + l_partkey * 7919 + r)
-                 % {p['n_parts'] * factor} AS BIGINT) AS l_partkey)
+            CASE WHEN r = 0 THEN l_partkey
+                 ELSE CAST(hash(l_orderkey * 1000003 + l_partkey * 7919 + r)
+                      % {p['n_parts'] * factor} AS BIGINT)
+            END AS l_partkey)
         FROM '{src}/lineitem.parquet' CROSS JOIN reps
         """,
     )
@@ -280,20 +283,20 @@ def main() -> None:
     args = ap.parse_args()
 
     selected = args.probes.split(",") if args.probes else None
-    need = None
     if selected is not None:
         unknown = set(selected) - set(PROBE_TABLES)
         if unknown:
             ap.error(f"unknown probes: {sorted(unknown)}")
-        need = set().union(*(PROBE_TABLES[n] for n in selected))
+    # Upscale exactly the tables the probes being run will read — the
+    # union over PROBE_TABLES, never a hardcoded list (a default run
+    # includes q5_local_supplier, which needs an upscaled orders next
+    # to the upscaled lineitem or the join silently drops rows).
+    running = selected if selected is not None else list(PROBE_TABLES)
+    want = set().union(*(PROBE_TABLES[n] for n in running))
 
     fixture = args.fixture_dir or f"/tmp/scale{args.factor}x"
     built = {
-        t for t in ("events", "lineitem", "documents", "embeddings")
-        if os.path.exists(f"{fixture}/{t}.parquet")
-    }
-    want = need if need is not None else {
-        "events", "lineitem", "documents", "embeddings"
+        t for t in want if os.path.exists(f"{fixture}/{t}.parquet")
     }
     if want - built:
         t0 = time.time()

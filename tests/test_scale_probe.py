@@ -1,8 +1,10 @@
 """The scale-probe fixture builder must upscale the way it claims:
 row counts x factor, key spaces grown by one decade stride per
 replica, replica documents perturbed off the near-dup cliff, replica
-embeddings noised but dimension-preserving, and replica 0 byte-
-identical to the source (scripts/scale_probe.py)."""
+embeddings noised but dimension-preserving, and replica 0 identical
+to the source in every rewritten column (documents text, embedding
+vectors, lineitem partkeys) so the fixture's base decade IS the 1x
+data the t1x timings run against (scripts/scale_probe.py)."""
 
 from __future__ import annotations
 
@@ -64,6 +66,20 @@ def test_row_counts_and_key_spaces(fixture2x):
 
 
 def test_replica_zero_identical_and_replicas_perturbed(fixture2x):
+    # replica 0 of lineitem keeps its source partkeys (only replicas
+    # 1..N-1 are hash-scattered) — the base decade is the 1x data.
+    pk_changed = q1(
+        f"""
+        select count(*) from (
+          select l_orderkey, l_linenumber, l_partkey
+          from '{SRC}/lineitem.parquet'
+          except
+          select l_orderkey, l_linenumber, l_partkey
+          from '{fixture2x}/lineitem.parquet' where l_orderkey < 150000
+        )
+        """
+    )[0]
+    assert pk_changed == 0
     # replica 0 of documents is byte-identical to the source
     same = q1(
         f"""
