@@ -37,6 +37,9 @@ HEADLINE = [
     # r6: the two most expensive registered plans get perf tracking too
     # (distributed Lloyd k-means; k-means cells -> within-cell cosine
     # pairs -> connected components -> keep-best representative).
+    # r11: semdedup's cell count now scales with the corpus (k=ceil√n,
+    # 45 cells at sf0.1 vs the old pinned 8), so this times the same
+    # configuration the scale probe grades.
     "kmeans_clusters",
     "semdedup_keep_best",
     # r6: residual IVF-PQ — the two-level trained ANN index end to end.

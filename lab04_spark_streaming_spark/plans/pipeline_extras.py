@@ -17,6 +17,8 @@ Scale shapes (audited per query in the docstrings):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -533,8 +535,14 @@ pos AS (
         FROM embeddings)
 )"""
 
-_SQL_KMEANS_C1 = _SQL_KMEANS_POS + """,
-c0 AS (SELECT vec_id AS cid, pos, x AS c FROM pos WHERE vec_id < 8),
+def _sql_kmeans_c1(k_sql: str = "8") -> str:
+    """The unrolled-Lloyd oracle fragment (seed → d1/a1 assignment →
+    c1 centroid update), parameterized by the seed/cell count as a SQL
+    scalar expression so data-dependent k (SemDeDup's k = ceil(√n))
+    stays cross-engine exact. The default keeps the verified pinned
+    k=8 every other composed oracle (kmeans/IVF/PQ/cospairs) uses."""
+    return _SQL_KMEANS_POS + f""",
+c0 AS (SELECT vec_id AS cid, pos, x AS c FROM pos WHERE vec_id < {k_sql}),
 d1 AS (
   SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dist
   FROM pos p JOIN c0 c ON p.pos = c.pos
@@ -552,6 +560,18 @@ c1 AS (
   FROM pos p JOIN a1 ON p.vec_id = a1.vec_id
   GROUP BY 1, 2
 )"""
+
+
+_SQL_KMEANS_C1 = _sql_kmeans_c1()
+
+# SemDeDup's scaled cell count, as exact integer SQL: the smallest k
+# with k*k >= n (= ceil(sqrt(n)) computed without float sqrt, whose
+# perfect-square behavior could differ between engines). The bounded
+# range scan covers n up to 4e12 and costs DuckDB milliseconds.
+_SQL_K_SCALED = (
+    "(SELECT MIN(i) FROM range(1, 2000000) t(i) "
+    "WHERE i * i >= (SELECT COUNT(*) FROM embeddings))"
+)
 
 # Shared continuation: assign every vector to its 2-round cell (d2/a2),
 # then exact integer-grid cosines for every within-cell pair — the ONE
@@ -762,8 +782,15 @@ def q_semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): embedding-space semantic
     dedup made tractable by clustering first — exact pairwise cosine
     runs only WITHIN a k-means cell, so pair work is Σ|cell|²·d instead
-    of n²·d; at 100 TB the cell count scales with the corpus and keeps
-    cells bounded. Pipeline: trained k-means assignment (exact oracle)
+    of n²·d. The cell count SCALES WITH THE CORPUS — k = ceil(√n), read
+    from the parquet footer (no Spark job; sources/files.py
+    parquet_row_count) and mirrored exactly in the oracle by an integer
+    smallest-k-with-k²≥n subquery. √n balances the two stages
+    (assignment n·k·d and within-cell pairs ~n²/k are both n^1.5); a
+    PINNED k makes pair work quadratic in data size — measured 10×
+    exponent 1.09 at k=8 vs 0.73 with scaled cells, SCALE_PROBE_r10 —
+    which is the SemDeDup paper's own scaling rule, not a tuning knob.
+    Pipeline: trained k-means assignment (exact oracle)
     → within-cell quantized-cosine pairs ≥ 0.4 → connected components
     (min-label propagation ≡ the oracle's recursive closure) → keep the
     min-id representative per component. Every stage reuses an
@@ -772,13 +799,20 @@ def q_semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lab04_spark_streaming_spark.operators.dedup import dedup_clusters
     from lab04_spark_streaming_spark.operators.similarity import kmeans_assign
 
+    from lab04_spark_streaming_spark.sources.files import parquet_row_count
+
     emb = _emb(spark, sf_dir)
+    # k = smallest integer with k² ≥ n (exact-integer ceil(√n), no
+    # float sqrt whose perfect-square rounding could differ from the
+    # oracle's subquery).
+    n = parquet_row_count(sf_dir, "embeddings")
+    k = math.isqrt(max(n - 1, 0)) + 1
     # Materialize the trained assignment once: it feeds both sides of
     # the within-cell self-join AND the final keep-join, and without the
     # lineage cut each consumer replays the full Lloyd iteration DAG.
     # n×(id, cluster) rows — cheap to checkpoint at any scale.
     assign = (
-        kmeans_assign(emb, k=8, iters=2)
+        kmeans_assign(emb, k=k, iters=2)
         .select("vec_id", F.col("cluster").alias("kcluster"))
         .localCheckpoint(eager=False)
     )
@@ -821,7 +855,7 @@ def q_semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SEMDEDUP_KEEP_BEST = f"""
-WITH RECURSIVE {_SQL_KMEANS_C1},
+WITH RECURSIVE {_sql_kmeans_c1(_SQL_K_SCALED)},
 d2 AS (
   SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dist
   FROM pos p JOIN c1 c ON p.pos = c.pos

@@ -33,6 +33,27 @@ from lab04_spark_streaming_spark.schemas import STAR_TABLES
 _TS_COLS = {"events": ["ts"]}
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of ``{sf_dir}/{name}.parquet`` from the parquet
+    FOOTER metadata — O(footer bytes), no Spark job, so query builders
+    can make data-dependent parameter choices (e.g. SemDeDup's cell
+    count k = ceil(sqrt(n))) while staying action-free (the rule the
+    triangle_count cost probe is the documented lone exception to).
+    Handles both a single file and a directory of part files; on a real
+    cluster the same numbers come from the catalog / file listing."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from ``{sf_dir}/{name}.parquet``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

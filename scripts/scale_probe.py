@@ -94,44 +94,12 @@ PROBES = [
     "mmd_rff",
 ]
 
-# semdedup's registered query pins k=8 cells for the cross-engine
-# oracle, so at 10x data its within-cell pair stage is quadratic BY
-# PARAMETER CHOICE (cells grow 10x larger), not by algorithm — the
-# SemDeDup paper (Abbas et al. 2023) scales the cell count with the
-# corpus to keep cells bounded.  Probe that production configuration
-# too: same pipeline, k proportional to n.
-SCALED_K_BASE = 8
-
-
-def semdedup_scaled_cells(spark, sf_dir: str, scale: int):
-    from pyspark.sql import functions as F
-
-    from lab04_spark_streaming_spark.operators.dedup import dedup_clusters
-    from lab04_spark_streaming_spark.operators.similarity import (
-        cell_pair_cosines,
-        kmeans_assign,
-    )
-    from lab04_spark_streaming_spark.sources.files import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    assign = (
-        kmeans_assign(emb, k=SCALED_K_BASE * scale, iters=2)
-        .select("vec_id", F.col("cluster").alias("kcluster"))
-        .localCheckpoint(eager=False)
-    )
-    pairs = (
-        cell_pair_cosines(emb, assign)
-        .filter(F.col("cos") >= 0.4)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
-    )
-    comp = dedup_clusters(pairs, emb.select("vec_id"), id_col="vec_id")
-    return assign.join(comp, "vec_id").select(
-        "vec_id",
-        "kcluster",
-        F.col("cluster_id").alias("component"),
-        (F.col("cluster_id") == F.col("vec_id")).alias("keep"),
-    )
+# (r11) semdedup_keep_best itself now scales its cell count with the
+# corpus (k = ceil(sqrt(n)) from the parquet footer, the SemDeDup
+# paper's rule), so the separate k-proportional-to-n probe variant
+# from r10 — which measured exponent 0.73 vs the then-pinned-k's 1.09
+# and motivated the promotion — is gone: the headline probe now IS the
+# scaled configuration.
 
 # Key-space strides: one decade per replica, matching the shipped
 # sf0.01 -> sf0.1 growth (all maxima verified against the fixtures).
@@ -151,7 +119,6 @@ STRIDES = {
 PROBE_TABLES = {
     "zscore_asof_join": {"events"},
     "semdedup_keep_best": {"embeddings"},
-    "semdedup_scaled_cells": {"embeddings"},
     "triangle_count": {"lineitem"},
     "ann_ivfpq_topk": {"embeddings"},
     "dedup_minhash_lsh_pairs": {"documents"},
@@ -315,7 +282,6 @@ def main() -> None:
     q["zscore_asof_join"](spark, BASE_SF_DIR).count()
 
     probes = [(name, lambda s, d, _sc, n=name: q[n](s, d)) for name in PROBES]
-    probes.append(("semdedup_scaled_cells", semdedup_scaled_cells))
     if selected is not None:
         probes = [(n, f) for n, f in probes if n in selected]
 

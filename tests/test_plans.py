@@ -263,6 +263,39 @@ def test_semdedup_pair_join_is_equi_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semdedup_scaled_cell_count_rule_matches_oracle(spark, sf_dir, tmp_path):
+    """SemDeDup's cell count is data-dependent (k = smallest k with
+    k² ≥ n): the Python rule the Spark builder uses and the integer
+    subquery the DuckDB oracle embeds must agree on every n, including
+    perfect squares and the degenerate 0/1 (float ceil(sqrt(n)) would
+    NOT — sqrt of a perfect square may land an ulp either side per
+    engine). Also pins parquet_row_count: footer-exact for the shipped
+    single-file tables AND for a Spark-written directory of parts."""
+    import math
+
+    import duckdb
+
+    from lab04_spark_streaming_spark.sources.files import parquet_row_count
+
+    con = duckdb.connect()
+    for n in [0, 1, 2, 3, 4, 5, 8, 9, 24, 25, 499, 500, 2000, 640_000]:
+        k_py = math.isqrt(max(n - 1, 0)) + 1
+        k_sql = con.execute(
+            "SELECT MIN(i) FROM range(1, 2000000) t(i) WHERE i * i >= ?",
+            [n],
+        ).fetchone()[0]
+        assert k_py == k_sql, n
+        assert k_py * k_py >= n and (k_py - 1) * (k_py - 1) < max(n, 1)
+    con.close()
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_emb = emb.count()
+    assert parquet_row_count(sf_dir, "embeddings") == n_emb
+    out = str(tmp_path / "emb_parts")
+    emb.repartition(4).write.parquet(f"{out}/embeddings.parquet")
+    assert parquet_row_count(out, "embeddings") == n_emb
+
+
 def test_trained_ivf_scores_match_exact_baseline(spark, sf_dir):
     """IVF over the k-means codebook may miss neighbors (recall) but
     every (vec_id, cosine) it returns must equal the brute-force score
