@@ -61,88 +61,91 @@ class QuerySpec:
 # and r02 go last.  Every query is still covered every round by the local
 # harness (tests/test_oracle_parity.py) regardless of position.
 _STAMP_FIRST: list[str] = [
-    # -- r10 window (executes the r9 verdict's item 1 / the rotation
-    # plan written here in r9, verbatim):
-    # (1) the 28 never-driver-stamped wave-14..18 queries (all 28
-    # verified MATCH by the r9 judge's driver-sim rerun, so these
-    # stamps should land green);
-    "lorenz_curve",
-    "t_closeness_audit",
-    "diff_in_diff",
-    "jackknife_ratio",
-    "kmv_set_ops",
-    "ipw_ate",
-    "mrr_eval",
-    "ql_dirichlet_topk",
-    "ece_calibration",
-    "mmd_rff",
-    "holt_backtest",
-    "psi_drift",
-    "markov_next_eval",
-    "fano_burstiness",
-    "seasonal_strength",
-    "pinball_eval",
-    "hhi_concentration",
-    "bradley_terry",
-    "graph_assortativity",
-    "rich_club",
-    "shapley_attribution",
-    "silhouette_simplified",
-    "calinski_harabasz",
-    "croston_forecast",
-    "bigram_heldout_ppl",
-    "fairness_parity_audit",
-    "pq_distortion",
-    "rec_hitrate_eval",
-    # (2) the remaining 13 of the r4-stamped cohort (extinguishes r4);
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "quality_filter_pipeline",
-    "dedup_simhash_pairs",
-    "decontamination_pairs",
-    "pii_scrub",
-    "token_count_bpe",
-    "stratified_sample",
-    "train_test_split",
-    "domain_quota_sample",
-    "sequence_packing",
-    "ngram_repetition",
-    "embedding_normalize",
-    # (3) the 4 r5-stamped queries whose code changed in r7, plus
-    # word_cooccurrence (r7 stamp) and dedup_clusters (r6 stamp,
-    # checkpoint-only changes since);
-    "dedup_exact_normalized",
-    "decontamination_containment",
-    "boilerplate_ngrams",
-    "substring_dedup_coverage",
-    "word_cooccurrence",
-    "dedup_clusters",
-    # (4) triangle_count re-enters the window because its code changed
-    # in round 10 (cost-based adjacency broadcast, the 100x-probe OOM
-    # fix) — changed code outranks unchanged fillers, the same rule
-    # that put the r7-changed queries in section (3); then two fillers
-    # from the oldest r5-stamped queries in registry order.
-    "triangle_count",
-    "moving_stats_flat",
-    "moving_stats_nested_json",
-    # (Window full at 50.  r11 rotation plan — registry growth is
-    # FROZEN until evidence freshness catches up (r9 verdict item 6),
-    # so r11 is purely refresh: the 35 remaining r5-stamped queries —
-    # json_decode_project, json_encode_struct, first_crossing_higher,
-    # q1_pricing_summary, q3_shipping_priority, q5_local_supplier,
-    # q4_order_priority, q12_priority_buckets, q14_promo_revenue,
-    # semi_join_exists, anti_join_not_exists, outer_join_agg,
-    # rollup_agg, cube_agg, window_topk_per_group,
-    # window_running_lag_lead, distinct_agg, set_ops, sort_limit_topk,
-    # string_funcs, date_funcs, math_case_funcs, conditional_pivot,
-    # approx_count_distinct, tumbling_window_1h, session_window_agg,
-    # first_crossing_lower, asof_join_generic, json_map_funcs,
-    # ann_ivf_topk, multimodal_decode_stub, multimodal_feature_knn,
-    # asof_join_forward, interval_join_spikes, approx_percentiles —
-    # then 15 slots of the oldest r6-stamped queries in registry
-    # order.  That makes every stamp r6+ after r11, with the r6 cohort
-    # finishing in r12.  All 278 stay covered every round by the local
-    # type-exact harness, tests/test_oracle_parity.py.)
+    # r11 window (executes the r10 verdict's item 1 / the rotation plan
+    # written here in r10, with two corrections the verdict's own "Done"
+    # criterion forces):
+    # (1) ALL 36 r5-stamped queries in registry order — the r10 comment
+    # said 35 but missed watermark_late_drop; leaving it out would
+    # violate "no registered query's latest stamp is older than r6";
+    "watermark_late_drop",
+    "json_decode_project",
+    "json_encode_struct",
+    "first_crossing_higher",
+    "first_crossing_lower",
+    "asof_join_generic",
+    "asof_join_forward",
+    "interval_join_spikes",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q4_order_priority",
+    "q12_priority_buckets",
+    "q14_promo_revenue",
+    "semi_join_exists",
+    "anti_join_not_exists",
+    "outer_join_agg",
+    "rollup_agg",
+    "cube_agg",
+    "window_topk_per_group",
+    "window_running_lag_lead",
+    "distinct_agg",
+    "set_ops",
+    "sort_limit_topk",
+    "string_funcs",
+    "date_funcs",
+    "math_case_funcs",
+    "conditional_pivot",
+    "approx_count_distinct",
+    "approx_percentiles",
+    "tumbling_window_1h",
+    "session_window_agg",
+    "json_map_funcs",
+    "ann_ivf_topk",
+    "multimodal_decode_stub",
+    "multimodal_feature_knn",
+    # (2) semdedup_keep_best: its code changed in r11 (cell count now
+    # scales with the corpus, k = ceil(sqrt(n)) — the r10 verdict's one
+    # perf-weak item) — changed code outranks unchanged fillers, the
+    # same rule that re-entered triangle_count in r10;
+    "semdedup_keep_best",
+    # (3) the 13 oldest r6-stamped queries in registry order as fillers.
+    "moving_stats_long_windows",
+    "zscore_asof_join",
+    "q6_forecast_revenue",
+    "grouping_sets",
+    "array_funcs",
+    "regexp_funcs",
+    "scalar_subquery",
+    "percentiles_exact",
+    "moment_aggs",
+    "unpivot_stack",
+    "window_ntile_percent_rank",
+    "histogram_bins",
+    "q2_best_supplier",
+    # (Window full at 50.  r12 rotation plan — registry growth stays
+    # FROZEN; r12 is purely refresh: the 30 remaining r6-stamped
+    # queries —
+    # q7_volume_shipping, q8_market_share, q9_product_profit,
+    # q10_returned_items, q11_important_volume, q13_customer_distribution,
+    # knn_fold_topk_ids, pq_codes, ann_pq_adc_topk, ann_ivfpq_topk,
+    # kmeans_clusters, ann_ivf_trained_topk, dedup_keep_best,
+    # embedding_int8, ann_recall_at_k, funnel_steps, moving_median,
+    # ewma_smoothing, gap_fill_locf, gap_fill_interp, retention_cohorts,
+    # ohlc_bars, autocorr_lag1, event_type_corr, rolling_active_users,
+    # dedup_incremental, char_entropy, bm25_topk, heavy_hitters_cms,
+    # contamination_rate,
+    # — then 19 slots of the oldest r7-stamped queries in registry
+    # order (zscore_grid_join, sessionize_gap30m, oov_rate_vocab,
+    # time_weighted_avg, mad_outliers, winsorize_p01_p99,
+    # user_trend_ols, session_assoc_rules, funnel_conversion,
+    # cusum_changepoint, key_skew_profile, range_frame_trailing_1h,
+    # mode_per_type, zorder_keys, word_repetition, dedup_cluster_sizes,
+    # token_budget_pack, dedup_incremental_near, unigram_logprob), plus
+    # one slot (wedged ahead of the r7 fillers, as always) for any
+    # query whose code changes in r12.  That extinguishes the r6 cohort
+    # in r12 and leaves the r7 cohort finishing in r13.  All 278 stay
+    # covered every round by the local type-exact harness,
+    # tests/test_oracle_parity.py.)
 ]
 
 
