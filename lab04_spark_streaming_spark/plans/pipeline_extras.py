@@ -797,7 +797,9 @@ def q_semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-oracled operator; the composition is hash-checked end to
     end."""
     from lab04_spark_streaming_spark.operators.dedup import dedup_clusters
-    from lab04_spark_streaming_spark.operators.similarity import kmeans_assign
+    from lab04_spark_streaming_spark.operators.similarity import (
+        kmeans_assign_packed,
+    )
 
     from lab04_spark_streaming_spark.sources.files import parquet_row_count
 
@@ -811,8 +813,13 @@ def q_semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the within-cell self-join AND the final keep-join, and without the
     # lineage cut each consumer replays the full Lloyd iteration DAG.
     # n×(id, cluster) rows — cheap to checkpoint at any scale.
+    # Packed-codebook assignment: bit-identical to kmeans_assign (the
+    # oracle is unchanged) but the argmin is one codegen fold per
+    # vector instead of an n·d·k-row positional join — with k = √n the
+    # join form's ROW volume is n^1.5·d, which the 10x probe measured
+    # as 50 s of a 57 s run.
     assign = (
-        kmeans_assign(emb, k=k, iters=2)
+        kmeans_assign_packed(emb, k=k, iters=2)
         .select("vec_id", F.col("cluster").alias("kcluster"))
         .localCheckpoint(eager=False)
     )
