@@ -250,6 +250,29 @@ def test_kmeans_two_rounds_not_degenerate(spark, sf_dir):
     assert one != two
 
 
+def test_kmeans_assign_packed_bit_identical(spark, sf_dir):
+    """kmeans_assign_packed must return the SAME rows as the
+    positional-join kmeans_assign for every (k, iters) — same seeds,
+    same integer-grid distances, same lower-cid tie-break, same
+    round-half-up update. The packed form exists purely to cut the
+    assignment's row volume (n·d·k → n); any divergence is a bug, and
+    SemDeDup's oracle (which unrolls the positional form in SQL)
+    would catch it only via an opaque hash mismatch."""
+    from lab04_spark_streaming_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_assign_packed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for k, iters in [(8, 1), (8, 2), (23, 2)]:
+        a = {tuple(r) for r in kmeans_assign(emb, k=k, iters=iters).collect()}
+        b = {
+            tuple(r)
+            for r in kmeans_assign_packed(emb, k=k, iters=iters).collect()
+        }
+        assert a == b, (k, iters)
+
+
 def test_semdedup_pair_join_is_equi_not_cartesian(spark, sf_dir):
     """SemDeDup's within-cell pair stage must be an equi join on
     (pos, kcluster) — never a cartesian/nested-loop product — and the
