@@ -103,12 +103,19 @@ _STAMP_FIRST: list[str] = [
     "ann_ivf_topk",
     "multimodal_decode_stub",
     "multimodal_feature_knn",
-    # (2) semdedup_keep_best: its code changed in r11 (cell count now
-    # scales with the corpus, k = ceil(sqrt(n)) — the r10 verdict's one
-    # perf-weak item) — changed code outranks unchanged fillers, the
-    # same rule that re-entered triangle_count in r10;
+    # (2) changed code outranks unchanged fillers (the rule that
+    # re-entered triangle_count in r10): semdedup_keep_best's code
+    # changed in r11 (cell count now scales with the corpus,
+    # k = ceil(sqrt(n)) — the r10 verdict's one perf-weak item), and
+    # triangle_count's changed again (the broadcast-vs-shuffle branch
+    # now reads the parquet footer instead of running an eager
+    # pairs.count() at construction — the r10 verdict's watch item /
+    # stretch (b));
     "semdedup_keep_best",
-    # (3) the 13 oldest r6-stamped queries in registry order as fillers.
+    "triangle_count",
+    # (3) the oldest r6-stamped queries in registry order as fillers
+    # (q2_best_supplier, the 13th, lost its slot to the triangle_count
+    # wedge and moves to the front of the r12 plan below).
     "moving_stats_long_windows",
     "zscore_asof_join",
     "q6_forecast_revenue",
@@ -121,10 +128,10 @@ _STAMP_FIRST: list[str] = [
     "unpivot_stack",
     "window_ntile_percent_rank",
     "histogram_bins",
-    "q2_best_supplier",
     # (Window full at 50.  r12 rotation plan — registry growth stays
-    # FROZEN; r12 is purely refresh: the 30 remaining r6-stamped
+    # FROZEN; r12 is purely refresh: the 31 remaining r6-stamped
     # queries —
+    # q2_best_supplier,
     # q7_volume_shipping, q8_market_share, q9_product_profit,
     # q10_returned_items, q11_important_volume, q13_customer_distribution,
     # knn_fold_topk_ids, pq_codes, ann_pq_adc_topk, ann_ivfpq_topk,
@@ -134,13 +141,13 @@ _STAMP_FIRST: list[str] = [
     # ohlc_bars, autocorr_lag1, event_type_corr, rolling_active_users,
     # dedup_incremental, char_entropy, bm25_topk, heavy_hitters_cms,
     # contamination_rate,
-    # — then 19 slots of the oldest r7-stamped queries in registry
+    # — then 18 slots of the oldest r7-stamped queries in registry
     # order (zscore_grid_join, sessionize_gap30m, oov_rate_vocab,
     # time_weighted_avg, mad_outliers, winsorize_p01_p99,
     # user_trend_ols, session_assoc_rules, funnel_conversion,
     # cusum_changepoint, key_skew_profile, range_frame_trailing_1h,
     # mode_per_type, zorder_keys, word_repetition, dedup_cluster_sizes,
-    # token_budget_pack, dedup_incremental_near, unigram_logprob), plus
+    # token_budget_pack, dedup_incremental_near), plus
     # one slot (wedged ahead of the r7 fillers, as always) for any
     # query whose code changes in r12.  That extinguishes the r6 cohort
     # in r12 and leaves the r7 cohort finishing in r13.  All 278 stay

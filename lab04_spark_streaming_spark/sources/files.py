@@ -37,8 +37,10 @@ def parquet_row_count(sf_dir: str, name: str) -> int:
     """Exact row count of ``{sf_dir}/{name}.parquet`` from the parquet
     FOOTER metadata — O(footer bytes), no Spark job, so query builders
     can make data-dependent parameter choices (e.g. SemDeDup's cell
-    count k = ceil(sqrt(n))) while staying action-free (the rule the
-    triangle_count cost probe is the documented lone exception to).
+    count k = ceil(sqrt(n)), triangle_count's broadcast-vs-shuffle
+    branch) while staying action-free — since r11 EVERY builder in the
+    package is action-free (r10's triangle_count pairs.count() was the
+    lone exception; it now uses this footer estimate).
     Handles both a single file and a directory of part files; on a real
     cluster the same numbers come from the catalog / file listing."""
     import pyarrow.parquet as pq
