@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from lab04_spark_streaming_spark.functions.guards import (
     sql_stable_round,
@@ -213,12 +214,22 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the 20 survivors."""
     # The basket relation feeds FOUR consumers (n_orders, marginals,
     # both self-join sides) — pin one scan+distinct with a lazy
-    # checkpoint instead of replaying it per consumer.
+    # checkpoint instead of replaying it per consumer.  SERIALIZED
+    # storage (PySpark's MEMORY_AND_DISK; the localCheckpoint default
+    # is the deserialized MEMORY_AND_DISK_DESER): the r10 100x scale
+    # probe flagged exactly this pin — ~60M deserialized basket rows
+    # of single-JVM cache pressure — and the serialized holder unrolls
+    # through chunked byte buffers with incremental memory checks and
+    # spills gracefully instead of buffering each partition as a
+    # vector of row objects (same fix as triangle_count's pins,
+    # wave9.py, where the deser unroll OOM'd a 24g heap).
     basket = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(
+            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
     )
     n_orders = basket.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")

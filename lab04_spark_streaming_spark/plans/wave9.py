@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from lab04_spark_streaming_spark.functions.guards import (
     sql_stable_round,
@@ -733,16 +734,26 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "ok")
         .distinct()
     )
-    # pairs feeds degree + orientation + the edge count; oriented
-    # feeds the adjacency build AND the intersection pass — pin both
-    # (multi-consumer rule).
+    # pairs feeds degree + orientation; oriented feeds the adjacency
+    # build AND the intersection pass — pin both (multi-consumer
+    # rule).  The pins store SERIALIZED (MEMORY_AND_DISK_SER): the
+    # default deserialized level buffers each partition as a vector
+    # of row objects before storing — at a 100x upscale (~120M pinned
+    # pair rows) 32 concurrent unroll vectors OOM'd a 24g heap under
+    # GC-locker allocation pressure, while the serialized holder
+    # unrolls through a chunked byte buffer with incremental memory
+    # checks and spills to disk gracefully (observed: OOM -> clean
+    # 100x run from this one change; sf0.1 cost is unmeasurable).
+    # PySpark's MEMORY_AND_DISK is the serialized level (the object
+    # form is MEMORY_AND_DISK_DESER, the localCheckpoint default).
+    _PIN = StorageLevel.MEMORY_AND_DISK
     pairs = (
         li.alias("a")
         .join(li.alias("b"), "ok")
         .filter(F.col("a.pk") < F.col("b.pk"))
         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN)
     )
     deg = (
         pairs.select(F.col("u").alias("x"))
@@ -763,12 +774,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("e")
         )
         .select("e.s", "e.t")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN)
     )
     adj = (
         oriented.groupBy("s")
         .agg(F.array_sort(F.collect_list("t")).alias("nbrs"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN)
     )
     # Broadcast the adjacency only while it fits. Past the cap the same
     # intersection plan runs as a shuffle join on s then t — at a 100x

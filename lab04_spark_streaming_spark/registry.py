@@ -110,12 +110,16 @@ _STAMP_FIRST: list[str] = [
     # triangle_count's changed again (the broadcast-vs-shuffle branch
     # now reads the parquet footer instead of running an eager
     # pairs.count() at construction — the r10 verdict's watch item /
-    # stretch (b));
+    # stretch (b) — and its multi-consumer pins store serialized), and
+    # copurchase_lift's basket pin is serialized too (the r10 100x
+    # probe's cache-pressure finding, same fix as triangle_count);
     "semdedup_keep_best",
     "triangle_count",
+    "copurchase_lift",
     # (3) the oldest r6-stamped queries in registry order as fillers
-    # (q2_best_supplier, the 13th, lost its slot to the triangle_count
-    # wedge and moves to the front of the r12 plan below).
+    # (q2_best_supplier and histogram_bins, the 12th/13th, lost their
+    # slots to the triangle_count/copurchase_lift wedges and move to
+    # the front of the r12 plan below).
     "moving_stats_long_windows",
     "zscore_asof_join",
     "q6_forecast_revenue",
@@ -127,11 +131,10 @@ _STAMP_FIRST: list[str] = [
     "moment_aggs",
     "unpivot_stack",
     "window_ntile_percent_rank",
-    "histogram_bins",
     # (Window full at 50.  r12 rotation plan — registry growth stays
-    # FROZEN; r12 is purely refresh: the 31 remaining r6-stamped
+    # FROZEN; r12 is purely refresh: the 32 remaining r6-stamped
     # queries —
-    # q2_best_supplier,
+    # q2_best_supplier, histogram_bins,
     # q7_volume_shipping, q8_market_share, q9_product_profit,
     # q10_returned_items, q11_important_volume, q13_customer_distribution,
     # knn_fold_topk_ids, pq_codes, ann_pq_adc_topk, ann_ivfpq_topk,
@@ -141,13 +144,13 @@ _STAMP_FIRST: list[str] = [
     # ohlc_bars, autocorr_lag1, event_type_corr, rolling_active_users,
     # dedup_incremental, char_entropy, bm25_topk, heavy_hitters_cms,
     # contamination_rate,
-    # — then 18 slots of the oldest r7-stamped queries in registry
+    # — then 17 slots of the oldest r7-stamped queries in registry
     # order (zscore_grid_join, sessionize_gap30m, oov_rate_vocab,
     # time_weighted_avg, mad_outliers, winsorize_p01_p99,
     # user_trend_ols, session_assoc_rules, funnel_conversion,
     # cusum_changepoint, key_skew_profile, range_frame_trailing_1h,
     # mode_per_type, zorder_keys, word_repetition, dedup_cluster_sizes,
-    # token_budget_pack, dedup_incremental_near), plus
+    # token_budget_pack), plus
     # one slot (wedged ahead of the r7 fillers, as always) for any
     # query whose code changes in r12.  That extinguishes the r6 cohort
     # in r12 and leaves the r7 cohort finishing in r13.  All 278 stay
