@@ -38,9 +38,11 @@ def parquet_row_count(sf_dir: str, name: str) -> int:
     FOOTER metadata — O(footer bytes), no Spark job, so query builders
     can make data-dependent parameter choices (e.g. SemDeDup's cell
     count k = ceil(sqrt(n)), triangle_count's broadcast-vs-shuffle
-    branch) while staying action-free — since r11 EVERY builder in the
-    package is action-free (r10's triangle_count pairs.count() was the
-    lone exception; it now uses this footer estimate).
+    branch) without an explicit Spark action — r10's triangle_count
+    pairs.count() was the one builder with one; it now uses this
+    footer estimate.  (Checkpointing builders still materialize their
+    pinned relations' upstream stages at construction under AQE —
+    see q_triangle_count's honesty note.)
     Handles both a single file and a directory of part files; on a real
     cluster the same numbers come from the catalog / file listing."""
     import pyarrow.parquet as pq
