@@ -304,6 +304,29 @@ def test_triangle_count_matches_bruteforce(spark, tmp_path_factory, edges):
     assert row.n_triangles == tri
 
 
+def test_triangle_pins_store_serialized(spark, sf_dir):
+    """The r11 pin-storage rule: triangle_count's row-proportional
+    multi-consumer pins (pairs/oriented/adj) must store SERIALIZED —
+    the default deserialized level buffers each partition as a vector
+    of row objects before storing, which OOM'd a 24g heap at the 100x
+    scale tier (32 concurrent unroll vectors over ~120M pinned pair
+    rows; scripts/scale_probe.py, round 11).  Verified observably:
+    after executing the query, every cached/checkpointed RDD block in
+    the context reports a serialized storage level."""
+    sc = spark.sparkContext
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    df = wave9.q_triangle_count(spark, sf_dir)
+    df.count()
+    new = [
+        i
+        for i in sc._jsc.sc().getRDDStorageInfo()
+        if i.id() not in before and i.numCachedPartitions() > 0
+    ]
+    assert new, "expected the lazy localCheckpoint pins to be cached"
+    deser = [i.name() for i in new if i.storageLevel().deserialized()]
+    assert deser == [], f"deserialized pins found: {deser}"
+
+
 def test_blocking_eval_matches_bruteforce(spark, tmp_path_factory):
     import re
 
