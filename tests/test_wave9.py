@@ -313,18 +313,22 @@ def test_triangle_pins_store_serialized(spark, sf_dir):
     rows; scripts/scale_probe.py, round 11).  Verified observably:
     after executing the query, every cached/checkpointed RDD block in
     the context reports a serialized storage level."""
+    from lab04_spark_streaming_spark.plans import wave7
+
     sc = spark.sparkContext
-    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
-    df = wave9.q_triangle_count(spark, sf_dir)
-    df.count()
-    new = [
-        i
-        for i in sc._jsc.sc().getRDDStorageInfo()
-        if i.id() not in before and i.numCachedPartitions() > 0
-    ]
-    assert new, "expected the lazy localCheckpoint pins to be cached"
-    deser = [i.name() for i in new if i.storageLevel().deserialized()]
-    assert deser == [], f"deserialized pins found: {deser}"
+    for fn in (wave9.q_triangle_count, wave7.q_copurchase_lift):
+        before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+        fn(spark, sf_dir).count()
+        new = [
+            i
+            for i in sc._jsc.sc().getRDDStorageInfo()
+            if i.id() not in before and i.numCachedPartitions() > 0
+        ]
+        assert new, f"{fn.__name__}: expected checkpoint pins cached"
+        deser = [
+            i.name() for i in new if i.storageLevel().deserialized()
+        ]
+        assert deser == [], f"{fn.__name__} deserialized pins: {deser}"
 
 
 def test_blocking_eval_matches_bruteforce(spark, tmp_path_factory):
