@@ -42,6 +42,17 @@ Usage:
   python scripts/scale_probe.py [--factor 10] [--runs 3]
                                 [--out /tmp/scale_probe.json]
 Prints one JSON line per query plus a summary line.
+
+Tier conventions (SCALE_PROBE_r10/r11 artifacts): 10x = default run,
+all probes; 100x = --probes <subset> with SPARK_GRAFT_DRIVER_MEM=24g
+(the one-box equivalent of a cluster's per-core memory; partitions
+already scale via min(512, 32*factor)); 1000x (r11) = the
+events/documents/embeddings families only (a 1000x lineitem is a
+600M-row one-box fixture — hours of shuffle for no added signal).
+On boxes whose /tmp reaps idle temp files mid-run (observed r11:
+temp_shuffle ENOENT ~15 min in), set
+SPARK_LOCAL_DIRS=/root/repo/.probe_tmp/sparklocal and
+--fixture-dir under .probe_tmp/ (gitignored).
 """
 
 from __future__ import annotations
