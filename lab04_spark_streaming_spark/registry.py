@@ -152,10 +152,18 @@ _STAMP_FIRST: list[str] = [
     # mode_per_type, zorder_keys, word_repetition, dedup_cluster_sizes,
     # token_budget_pack), plus
     # one slot (wedged ahead of the r7 fillers, as always) for any
-    # query whose code changes in r12.  That extinguishes the r6 cohort
-    # in r12 and leaves the r7 cohort finishing in r13.  All 278 stay
-    # covered every round by the local type-exact harness,
-    # tests/test_oracle_parity.py.)
+    # query whose code changes in r12.  Known candidates for that
+    # slot: converting the next-largest ROW-PROPORTIONAL
+    # localCheckpoint pins to the serialized storage level (the r11
+    # rule that fixed triangle_count's 100x OOM and copurchase_lift's
+    # cache pressure — see wave9.q_triangle_count; most of the ~94
+    # remaining default-level pins hold small bounded relations like
+    # centroids/codebooks/top-k survivors and are fine as they are;
+    # triage biggest-first from the sweep: dedup_clusters,
+    # zscore_grid_join, dedup_keep_best, item_item_cosine).  That
+    # extinguishes the r6 cohort in r12 and leaves the r7 cohort
+    # finishing in r13.  All 278 stay covered every round by the
+    # local type-exact harness, tests/test_oracle_parity.py.)
 ]
 
 
