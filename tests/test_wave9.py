@@ -331,6 +331,35 @@ def test_triangle_pins_store_serialized(spark, sf_dir):
         assert deser == [], f"{fn.__name__} deserialized pins: {deser}"
 
 
+def test_triangle_broadcast_branch_follows_footer_stats(
+    spark, sf_dir, monkeypatch
+):
+    """The broadcast-vs-shuffle branch is driven by the lineitem
+    parquet footer (est. edges = 2 x rows vs the 3M cap), not by an
+    eager count() job (r11).  Below the cap the adjacency joins carry
+    an explicit broadcast hint (BroadcastHashJoin in the INITIAL
+    plan — checkpointed leaves report unknown size, so only the hint
+    can produce it statically); past the cap the hint is absent and
+    the same plan runs as a shuffle join."""
+    import contextlib
+    import io
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    small = plan_of(wave9.q_triangle_count(spark, sf_dir))
+    assert "BroadcastHashJoin" in small
+
+    monkeypatch.setattr(
+        wave9, "parquet_row_count", lambda _d, _n: 10_000_000
+    )
+    big = plan_of(wave9.q_triangle_count(spark, sf_dir))
+    assert "BroadcastHashJoin" not in big
+
+
 def test_blocking_eval_matches_bruteforce(spark, tmp_path_factory):
     import re
 
