@@ -54,6 +54,26 @@ def get_spark(
         # checkpoints cleanable (reference: moving_statistic.py:13).
         .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # GC-locker OOM guard (one-box artifact, observed twice at the
+        # r11 100x/1000x scale tiers on this kernel/JDK 17.0.20 combo):
+        # under heavy allocation with JNI-critical sections active
+        # (lz4/zstd shuffle codecs), G1 exhausts its default 2
+        # GCLocker retries and throws a SPURIOUS OutOfMemoryError —
+        # the log signature is "Retried waiting for GCLocker too
+        # often" on a tiny allocation (5 words).  Raising the
+        # diagnostic retry count is the documented JDK mitigation
+        # (JDK-8192647); it changes no GC behavior when the locker
+        # isn't contended.  Only takes effect for the process's FIRST
+        # session (driver JVM launch) — later get_spark calls ignore
+        # it with a harmless warning.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:+UnlockDiagnosticVMOptions "
+                "-XX:GCLockerRetryAllocationCount=100",
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
