@@ -25,8 +25,19 @@ oracle-able — rare for hash-based operators.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Row-proportional checkpoint pins store SERIALIZED (in PySpark 4
+# naming MEMORY_AND_DISK is the serialized level; the localCheckpoint
+# default MEMORY_AND_DISK_DESER buffers each partition as a vector of
+# row objects while unrolling — 32 concurrent unroll vectors over a
+# ~120M-row pin OOM'd a 24g heap at the r11 100x scale tier, fixed by
+# this one change in plans/wave9.q_triangle_count). Bounded pins
+# (centroids, codebooks, top-k survivors) stay deserialized for free
+# reads.
+_PIN_SER = StorageLevel.MEMORY_AND_DISK
 
 from lab04_spark_streaming_spark.operators.textops import (
     expr_hash_int,
@@ -331,7 +342,9 @@ def dedup_clusters(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=False)
+        # PAIR-proportional (2x the near-dup pairs) → serialized pin
+        # (r12 triage; see _PIN_SER).
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     labels = ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
@@ -356,7 +369,11 @@ def dedup_clusters(
             # later rounds reuse the blocks. (An eager checkpoint costs
             # an extra driver-synchronized job per round — the loop is
             # scheduler-bound at lab scale, ~0.2 s fixed cost per job.)
-            .localCheckpoint(eager=False)
+            # NODE-proportional, and up to 20 rounds' pins coexist →
+            # serialized so the aggregate footprint unrolls through
+            # chunked byte buffers and spills instead of holding every
+            # round's row objects on heap (r12 triage; see _PIN_SER).
+            .localCheckpoint(eager=False, storageLevel=_PIN_SER)
         )
 
     # Two relaxations per convergence probe: halves the driver round

@@ -413,6 +413,16 @@ def zscore_asof_fast(
     # at sf0.1 (0 ReusedExchange: exchange reuse does not fire across
     # these differently-shaped subtrees). Occupied-slot-sized → cheap to
     # materialize at any scale.
+    # Pin-storage audit (r12 triage): every pin on this path (cums,
+    # resolved, the chunked fill union) is BOUNDED by occupied slots x
+    # keys x offsets — independent of tick count (the 1000x probe ran
+    # 1000x the events in 5.3x the time, exponent 0.24, with these pins
+    # deserialized). They stay at the fast deserialized default: the
+    # relations are read 2-4x each on the flagship hot path, and they
+    # grow only with the TIME SPAN (slots), which the chunked two-level
+    # prefix scan already partitions; a year-long span at 10 s slides
+    # is ~3.2M slots x keys — still far from the ~120M-row pin size
+    # that forced wave9's serialized conversion.
     cums = cumulative_moments(
         buckets, key_cols, chunk_slots=chunk_slots
     ).localCheckpoint(eager=False)

@@ -384,7 +384,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         dd.jaccard_pairs(_docs(spark, sf_dir))
         .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        # pair-proportional pin → serialized (r12 triage; see
+        # operators/dedup._PIN_SER for the unroll-OOM rationale)
+        .localCheckpoint(eager=False, storageLevel=dd._PIN_SER)
     )
     ids = (
         pairs.select(F.col("id_a").alias("doc_id"))
@@ -1096,7 +1098,9 @@ def q_decontamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.array_distinct(F.expr(expr_shingles(_SPARK_TOKS, 5)))
             ).alias("shingle"),
         )
-        .localCheckpoint(eager=False)
+        # shingle-EXPLODED (docs x shingles rows — the repo's biggest
+        # pin class) → serialized (r12 triage; operators/dedup._PIN_SER)
+        .localCheckpoint(eager=False, storageLevel=dd._PIN_SER)
     )
     keep = (
         sh0.groupBy("shingle")
@@ -1105,7 +1109,7 @@ def q_decontamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("shingle")
     )
     sh = sh0.join(keep, "shingle", "left_semi").localCheckpoint(
-        eager=False
+        eager=False, storageLevel=dd._PIN_SER
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -22,6 +22,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
 from lab04_spark_streaming_spark.operators.similarity import _expr_quantize
 from lab04_spark_streaming_spark.operators.textops import (
     expr_hash_int,
@@ -847,7 +848,9 @@ def q_semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         # The component stage symmetrizes pairs via a 2-branch union;
         # cut lineage here so the within-cell self-join runs once.
-        .localCheckpoint(eager=False)
+        # Pair-proportional pin → serialized (r12 triage; see
+        # operators/dedup._PIN_SER).
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     comp = dedup_clusters(pairs, emb.select("vec_id"), id_col="vec_id")
     return (

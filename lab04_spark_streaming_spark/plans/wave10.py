@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
 from lab04_spark_streaming_spark.functions.guards import (
     sql_stable_round,
     stable_round,
@@ -272,7 +273,9 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ck", "pk")
         .distinct()
         .repartition(spark.sparkContext.defaultParallelism, "ck")
-        .localCheckpoint(eager=False)
+        # lineitem-proportional pin (distinct customer x part) →
+        # serialized (r12 triage; see operators/dedup._PIN_SER)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     marg = cp.groupBy("pk").agg(F.count(F.lit(1)).alias("n_u"))
     pairs = (

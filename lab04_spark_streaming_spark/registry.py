@@ -61,109 +61,87 @@ class QuerySpec:
 # and r02 go last.  Every query is still covered every round by the local
 # harness (tests/test_oracle_parity.py) regardless of position.
 _STAMP_FIRST: list[str] = [
-    # r11 window (executes the r10 verdict's item 1 / the rotation plan
-    # written here in r10, with two corrections the verdict's own "Done"
-    # criterion forces):
-    # (1) ALL 36 r5-stamped queries in registry order — the r10 comment
-    # said 35 but missed watermark_late_drop; leaving it out would
-    # violate "no registered query's latest stamp is older than r6";
-    "watermark_late_drop",
-    "json_decode_project",
-    "json_encode_struct",
-    "first_crossing_higher",
-    "first_crossing_lower",
-    "asof_join_generic",
-    "asof_join_forward",
-    "interval_join_spikes",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q4_order_priority",
-    "q12_priority_buckets",
-    "q14_promo_revenue",
-    "semi_join_exists",
-    "anti_join_not_exists",
-    "outer_join_agg",
-    "rollup_agg",
-    "cube_agg",
-    "window_topk_per_group",
-    "window_running_lag_lead",
-    "distinct_agg",
-    "set_ops",
-    "sort_limit_topk",
-    "string_funcs",
-    "date_funcs",
-    "math_case_funcs",
-    "conditional_pivot",
-    "approx_count_distinct",
-    "approx_percentiles",
-    "tumbling_window_1h",
-    "session_window_agg",
-    "json_map_funcs",
-    "ann_ivf_topk",
-    "multimodal_decode_stub",
-    "multimodal_feature_knn",
-    # (2) changed code outranks unchanged fillers (the rule that
-    # re-entered triangle_count in r10): semdedup_keep_best's code
-    # changed in r11 (cell count now scales with the corpus,
-    # k = ceil(sqrt(n)) — the r10 verdict's one perf-weak item), and
-    # triangle_count's changed again (the broadcast-vs-shuffle branch
-    # now reads the parquet footer instead of running an eager
-    # pairs.count() at construction — the r10 verdict's watch item /
-    # stretch (b) — and its multi-consumer pins store serialized), and
-    # copurchase_lift's basket pin is serialized too (the r10 100x
-    # probe's cache-pressure finding, same fix as triangle_count);
-    "semdedup_keep_best",
+    # r12 window (executes the r11 verdict's item 1 — the rotation plan
+    # written here at r11 close — with the standing wedge rule applied:
+    # changed code outranks unchanged fillers).
+    # (1) Queries whose CODE changed in r12, in dependency order:
+    # triangle_count's broadcast-vs-shuffle branch gained a second,
+    # width-aware edge estimator (r11 advisor medium item — the density
+    # constant alone trusts the generator's ~4-wide orders); the
+    # dedup-cluster pipeline's row-proportional localCheckpoint pins
+    # (dedup_clusters' edge list + per-round labels, q_dedup_clusters'
+    # verified pairs, semdedup's cell pairs, decontamination's
+    # shingle-exploded relations, item_item_cosine's customer x part
+    # relation) now store SERIALIZED — the r11 verdict's item-2 triage,
+    # same rule that fixed triangle_count's 100x OOM; every conversion
+    # is pinned by tests/test_wave9.py::test_triangle_pins_store_serialized.
     "triangle_count",
-    "copurchase_lift",
-    # (3) the oldest r6-stamped queries in registry order as fillers
-    # (q2_best_supplier and histogram_bins, the 12th/13th, lost their
-    # slots to the triangle_count/copurchase_lift wedges and move to
-    # the front of the r12 plan below).
-    "moving_stats_long_windows",
-    "zscore_asof_join",
-    "q6_forecast_revenue",
-    "grouping_sets",
-    "array_funcs",
-    "regexp_funcs",
-    "scalar_subquery",
-    "percentiles_exact",
-    "moment_aggs",
-    "unpivot_stack",
-    "window_ntile_percent_rank",
-    # (Window full at 50.  r12 rotation plan — registry growth stays
-    # FROZEN; r12 is purely refresh: the 32 remaining r6-stamped
-    # queries —
-    # q2_best_supplier, histogram_bins,
-    # q7_volume_shipping, q8_market_share, q9_product_profit,
-    # q10_returned_items, q11_important_volume, q13_customer_distribution,
-    # knn_fold_topk_ids, pq_codes, ann_pq_adc_topk, ann_ivfpq_topk,
-    # kmeans_clusters, ann_ivf_trained_topk, dedup_keep_best,
-    # embedding_int8, ann_recall_at_k, funnel_steps, moving_median,
-    # ewma_smoothing, gap_fill_locf, gap_fill_interp, retention_cohorts,
-    # ohlc_bars, autocorr_lag1, event_type_corr, rolling_active_users,
-    # dedup_incremental, char_entropy, bm25_topk, heavy_hitters_cms,
-    # contamination_rate,
-    # — then 17 slots of the oldest r7-stamped queries in registry
-    # order (zscore_grid_join, sessionize_gap30m, oov_rate_vocab,
-    # time_weighted_avg, mad_outliers, winsorize_p01_p99,
-    # user_trend_ols, session_assoc_rules, funnel_conversion,
-    # cusum_changepoint, key_skew_profile, range_frame_trailing_1h,
-    # mode_per_type, zorder_keys, word_repetition, dedup_cluster_sizes,
-    # token_budget_pack), plus
-    # one slot (wedged ahead of the r7 fillers, as always) for any
-    # query whose code changes in r12.  Known candidates for that
-    # slot: converting the next-largest ROW-PROPORTIONAL
-    # localCheckpoint pins to the serialized storage level (the r11
-    # rule that fixed triangle_count's 100x OOM and copurchase_lift's
-    # cache pressure — see wave9.q_triangle_count; most of the ~94
-    # remaining default-level pins hold small bounded relations like
-    # centroids/codebooks/top-k survivors and are fine as they are;
-    # triage biggest-first from the sweep: dedup_clusters,
-    # zscore_grid_join, dedup_keep_best, item_item_cosine).  That
-    # extinguishes the r6 cohort in r12 and leaves the r7 cohort
-    # finishing in r13.  All 278 stay covered every round by the
-    # local type-exact harness, tests/test_oracle_parity.py.)
+    "dedup_clusters",
+    "dedup_cluster_sizes",
+    "golden_records",
+    "semdedup_keep_best",
+    "decontamination_containment",
+    "item_item_cosine",
+    # (2) ALL 32 remaining r6-stamped queries in registry order —
+    # extinguishes the r6 cohort this round (dedup_keep_best is both
+    # r6-stamped AND changed code; it sits here in its cohort slot):
+    "q2_best_supplier",
+    "histogram_bins",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_volume",
+    "q13_customer_distribution",
+    "knn_fold_topk_ids",
+    "pq_codes",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
+    "kmeans_clusters",
+    "ann_ivf_trained_topk",
+    "dedup_keep_best",
+    "embedding_int8",
+    "ann_recall_at_k",
+    "funnel_steps",
+    "moving_median",
+    "ewma_smoothing",
+    "gap_fill_locf",
+    "gap_fill_interp",
+    "retention_cohorts",
+    "ohlc_bars",
+    "autocorr_lag1",
+    "event_type_corr",
+    "rolling_active_users",
+    "dedup_incremental",
+    "char_entropy",
+    "bm25_topk",
+    "heavy_hitters_cms",
+    "contamination_rate",
+    # (3) the oldest r7-stamped queries in registry order as fillers
+    # (the 7 wedges above displaced the LAST 6 planned r7 fillers —
+    # range_frame_trailing_1h, mode_per_type, zorder_keys,
+    # word_repetition, token_budget_pack moved to the r13 plan below,
+    # and dedup_cluster_sizes moved up into the wedge block):
+    "zscore_grid_join",
+    "sessionize_gap30m",
+    "oov_rate_vocab",
+    "time_weighted_avg",
+    "mad_outliers",
+    "winsorize_p01_p99",
+    "user_trend_ols",
+    "session_assoc_rules",
+    "funnel_conversion",
+    "cusum_changepoint",
+    "key_skew_profile",
+    # (Window full at 50.  r13 rotation plan — registry growth stays
+    # FROZEN; r13 finishes the r7 cohort: the 5 remaining r7-stamped
+    # queries (range_frame_trailing_1h, mode_per_type, zorder_keys,
+    # word_repetition, token_budget_pack), then the oldest r8-stamped
+    # queries in registry order for the remaining ~44 slots, with the
+    # standing wedge rule: any query whose code changes in r13 outranks
+    # the unchanged r8 fillers.  Executing it leaves no stamp older
+    # than r8 after r13.  All 278 stay covered every round by the local
+    # type-exact harness, tests/test_oracle_parity.py.)
 ]
 
 

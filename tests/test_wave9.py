@@ -342,9 +342,23 @@ def test_triangle_pins_store_serialized(spark, sf_dir, monkeypatch):
         pin_ids.update(_pids() - before)
         return out
 
+    from lab04_spark_streaming_spark.plans import llm, pipeline_extras, wave10
+
     monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
     try:
-        for fn in (wave9.q_triangle_count, wave7.q_copurchase_lift):
+        # Every pin on these paths is row-proportional and was
+        # converted by the r11/r12 triage — assert ALL of them store
+        # serialized (queries whose remaining deserialized pins are
+        # bounded relations — centroids/codebooks — are audited in
+        # their docstrings instead, e.g. semdedup_keep_best).
+        for fn in (
+            wave9.q_triangle_count,
+            wave7.q_copurchase_lift,
+            llm.q_dedup_clusters,
+            pipeline_extras.q_dedup_keep_best,
+            wave10.q_item_item_cosine,
+            llm.q_decontamination_containment,
+        ):
             got = set(pin_ids)
             fn(spark, sf_dir).count()
             mine = pin_ids - got
