@@ -75,7 +75,15 @@ _STAMP_FIRST: list[str] = [
     # relation) now store SERIALIZED — the r11 verdict's item-2 triage,
     # same rule that fixed triangle_count's 100x OOM; every conversion
     # is pinned by tests/test_wave9.py::test_triangle_pins_store_serialized.
+    # ...and the r12 10x probe of dedup_clusters (first ever — the
+    # probe set grew by the triaged plans) caught exponent 1.45:
+    # jaccard_pairs' exploded shingle relation replayed the tokenize
+    # pass single-threaded per consumer (the jaccard_prefix_join
+    # lesson applied to the one operator that had missed it) — now
+    # repartitioned + pinned serialized, 138 s -> 25 s at 10x, which
+    # also changes dedup_jaccard_pairs:
     "triangle_count",
+    "dedup_jaccard_pairs",
     "dedup_clusters",
     "dedup_cluster_sizes",
     "golden_records",
@@ -118,10 +126,11 @@ _STAMP_FIRST: list[str] = [
     "heavy_hitters_cms",
     "contamination_rate",
     # (3) the oldest r7-stamped queries in registry order as fillers
-    # (the 7 wedges above displaced the LAST 6 planned r7 fillers —
-    # range_frame_trailing_1h, mode_per_type, zorder_keys,
-    # word_repetition, token_budget_pack moved to the r13 plan below,
-    # and dedup_cluster_sizes moved up into the wedge block):
+    # (the 8 wedges above displaced the LAST 7 planned r7 fillers —
+    # key_skew_profile, range_frame_trailing_1h, mode_per_type,
+    # zorder_keys, word_repetition, token_budget_pack moved to the
+    # r13 plan below, and dedup_cluster_sizes moved up into the wedge
+    # block):
     "zscore_grid_join",
     "sessionize_gap30m",
     "oov_rate_vocab",
@@ -132,11 +141,10 @@ _STAMP_FIRST: list[str] = [
     "session_assoc_rules",
     "funnel_conversion",
     "cusum_changepoint",
-    "key_skew_profile",
     # (Window full at 50.  r13 rotation plan — registry growth stays
-    # FROZEN; r13 finishes the r7 cohort: the 5 remaining r7-stamped
-    # queries (range_frame_trailing_1h, mode_per_type, zorder_keys,
-    # word_repetition, token_budget_pack), then the oldest r8-stamped
+    # FROZEN; r13 finishes the r7 cohort: the 6 remaining r7-stamped
+    # queries (key_skew_profile, range_frame_trailing_1h, mode_per_type,
+    # zorder_keys, word_repetition, token_budget_pack), then the oldest r8-stamped
     # queries in registry order for the remaining ~44 slots, with the
     # standing wedge rule: any query whose code changes in r13 outranks
     # the unchanged r8 fillers.  Executing it leaves no stamp older

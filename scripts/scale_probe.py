@@ -103,6 +103,15 @@ PROBES = [
     "poisson_bootstrap",
     "kcenter_coreset",
     "mmd_rff",
+    # fourth tier (r12): representatives of the pin-converted plans
+    # (the r11 verdict's item-2 triage; "pins converted count as
+    # changes" re-probe rule).  dedup_clusters stands for the whole
+    # connected-components pipeline — dedup_keep_best /
+    # dedup_cluster_sizes / golden_records are thin composers over the
+    # same pinned relations.
+    "dedup_clusters",
+    "decontamination_containment",
+    "item_item_cosine",
 ]
 
 # (r11) semdedup_keep_best itself now scales its cell count with the
@@ -121,6 +130,7 @@ STRIDES = {
     "doc_id": 5_000,
     "vec_id": 2_000,
     "n_parts": 20_000,
+    "n_cust": 15_000,  # c_custkey 0..14999 at sf0.1; 1500 at sf0.01
 }
 
 
@@ -140,7 +150,7 @@ PROBE_TABLES = {
     # third tier (r10): the rest of the bench headline, completing the
     # 24-query scale table.
     "q1_pricing_summary": {"lineitem"},
-    "q5_local_supplier": {"lineitem", "orders"},
+    "q5_local_supplier": {"lineitem", "orders", "customer"},
     "moving_stats_flat": {"events"},
     "moving_stats_long_windows": {"events"},
     "moving_stats_nested_json": {"events"},
@@ -155,6 +165,10 @@ PROBE_TABLES = {
     "poisson_bootstrap": {"events"},
     "kcenter_coreset": {"embeddings"},
     "mmd_rff": {"embeddings"},
+    # fourth tier (r12)
+    "dedup_clusters": {"documents"},
+    "decontamination_containment": {"documents"},
+    "item_item_cosine": {"lineitem", "orders"},
 }
 
 
@@ -215,11 +229,37 @@ def build_fixture(
         FROM '{src}/documents.parquet' CROSS JOIN reps
         """,
     )
+    # o_custkey must scatter over a factor-x customer space, exactly
+    # like lineitem's partkeys: the shipped generator grows customers
+    # 10x alongside orders (sf0.01: 1500 -> sf0.1: 15000, verified),
+    # so keeping replica custkeys unchanged would give every customer
+    # factor-x more orders — basket-pair stages (item_item_cosine's
+    # per-customer self-join) then grow ~factor^2 as a FIXTURE artifact
+    # (caught r12: the first item_item probe ran >10x over its
+    # projected time on exactly this shape).  Replica 0 keeps source
+    # keys, as everywhere.
     emit(
         "orders",
         f"""
-        SELECT * REPLACE (o_orderkey + r * {p['l_orderkey']} AS o_orderkey)
+        SELECT * REPLACE (
+            o_orderkey + r * {p['l_orderkey']} AS o_orderkey,
+            CASE WHEN r = 0 THEN o_custkey
+                 ELSE CAST(hash(o_orderkey * 2654435761 + r)
+                      % {p['n_cust'] * factor} AS BIGINT)
+            END AS o_custkey)
         FROM '{src}/orders.parquet' CROSS JOIN reps
+        """,
+    )
+    # Upscaled customer dimension to match the scattered o_custkey
+    # domain (only built when a probe reads the customer TABLE, e.g.
+    # q5_local_supplier — a 1x customer next to a factor-x orders
+    # would silently drop the join).  Replica custkeys stride by the
+    # base count; every scattered o_custkey lands in [0, n_cust*factor).
+    emit(
+        "customer",
+        f"""
+        SELECT * REPLACE (c_custkey + r * {p['n_cust']} AS c_custkey)
+        FROM '{src}/customer.parquet' CROSS JOIN reps
         """,
     )
     emit(
