@@ -26,7 +26,7 @@ oracle-able — rare for hash-based operators.
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Row-proportional checkpoint pins store SERIALIZED (in PySpark 4
@@ -419,11 +419,14 @@ def jaccard_pairs(
     threshold: float = 0.4,
     max_df: int = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
+    """Exact n-gram Jaccard pairs at ``threshold`` (PPJoin-pruned).
 
-    Plan: explode distinct (id, shingle) → self-join on shingle
-    (inverted index — the shuffle key is the shingle hash) → count
-    shared shingles per pair → |A∪B| = |A|+|B|−|A∩B|.
+    Plan: explode distinct (id, shingle) → df cap → PREFIX-filtered
+    self-join (each doc's rarest L − ⌈t·L⌉ + 1 shingles only — see
+    the candidate-stage comment below) → verify by intersecting the
+    full capped sets → |A∪B| = |A|+|B|−|A∩B|. Output is identical to
+    the naive all-shingle inverted-index walk (the pruning is
+    lossless), which is what the DuckDB oracle still runs.
 
     ``max_df`` is the stop-shingle cap: shingles appearing in more than
     ``max_df`` documents are dropped from the shingle sets BEFORE the
@@ -472,24 +475,86 @@ def jaccard_pairs(
         sh = sh0.join(keep, "shingle", "left_semi").localCheckpoint(
             eager=False, storageLevel=_PIN_SER
         )
+    # Candidate generation is PREFIX-FILTERED (PPJoin, Xiao et al.
+    # 2008 — the same lossless pruning plans/mining.q_jaccard_prefix_
+    # join uses at t=0.8, instantiated here at the caller's
+    # threshold): each doc's shingles are ordered by global rarity
+    # (df, shingle), and two sets with Jaccard >= t MUST share a
+    # shingle within their first L - ceil(t*L) + 1 elements, so the
+    # self-join buckets only on those prefixes.  This replaced the
+    # naive all-shingle inverted-index walk in r12: on a corpus whose
+    # common-shingle df scales with corpus size (any real corpus —
+    # boilerplate df grows linearly with docs), the naive walk is
+    # SUM df^2 ~ quadratic in scale even under the df cap; the 100x
+    # probe filled 75 GB of shuffle and died.  Prefix buckets key on
+    # each doc's RAREST shingles instead, so hot shingles never form
+    # buckets unless a doc consists of nothing else — candidates
+    # shrink to near the true-pair count.  The filter is exact: the
+    # emitted (pair, n_inter, jaccard) set is bit-identical to the
+    # naive plan's (verification recomputes the intersection from the
+    # full capped sets), so the DuckDB oracle keeps the plain
+    # self-join form.  The threshold enters the prefix bound as an
+    # exact rational (float ceil(0.4*5) is 3, not 2 — IEEE 0.4*5
+    # rounds above 2).
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(1_000_000)
+    t_num, t_den = fr.numerator, fr.denominator
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    # Full capped sets for verification — feeds BOTH candidate-verify
+    # sides; sorted arrays so array_intersect is a merge.
+    sets = (
+        sh.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("shingle")).alias("_set"))
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
+    )
+    dford = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_odf"))
+    pref = (
+        sh.join(sizes, id_col)
+        .join(dford, "shingle")
+        .withColumn(
+            "_pos",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("_odf", "shingle")
+            ),
+        )
+        .filter(
+            F.col("_pos")
+            <= F.col("n_sh")
+            - F.expr(f"({t_num} * n_sh + {t_den - 1}) div {t_den}")
+            + 1
+        )
+        .select(id_col, "n_sh", "shingle")
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # |B| >= t|A| and |A| >= t|B|, in integers (length filter)
+            & (t_den * F.col("b.n_sh") >= t_num * F.col("a.n_sh"))
+            & (t_den * F.col("a.n_sh") >= t_num * F.col("b.n_sh")),
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
         )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .distinct()
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb"))
     return (
-        inter.join(sa, "id_a")
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("size(array_intersect(_sa, _sb))").alias("n_inter"),
+            F.expr("size(_sa)").alias("n_a"),
+            F.expr("size(_sb)").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
