@@ -524,10 +524,24 @@ def jaccard_pairs(
             - F.expr(f"({t_num} * n_sh + {t_den - 1}) div {t_den}")
             + 1
         )
-        .select(id_col, "n_sh", "shingle")
+        .select(id_col, "n_sh", "shingle", "_pos")
         .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     a, b = pref.alias("a"), pref.alias("b")
+    # POSITIONAL filter (PPJoin Lemma 1) as a join predicate: a match
+    # at ordered positions (pa, pb) bounds the total overlap by
+    # 1 + min(L_a - pa, L_b - pb), and J >= t needs overlap >=
+    # ceil(t/(1+t) * (L_a + L_b)); every true pair passes at its FIRST
+    # common prefix shingle (all other common shingles order after
+    # it), so per-row pruning + distinct is lossless.  This is the
+    # low-threshold workhorse: at t=0.4 the prefix is 60% of each set
+    # and prefix-bucketing alone left 570M candidate rows at the 100x
+    # probe (the verify join then ships a full set array per row —
+    # the measured 75 GB disk-fill); the positional bound kills
+    # shared-shingle matches that sit deep in both rarity orders,
+    # which is exactly the shape of a false cross-corpus candidate.
+    # Integer form of 1 + min(..) >= ceil(n*(La+Lb)/(n+d)):
+    # (n+d)*(1 + min(..)) >= n*(La+Lb).
     cand = (
         a.join(
             b,
@@ -535,7 +549,18 @@ def jaccard_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             # |B| >= t|A| and |A| >= t|B|, in integers (length filter)
             & (t_den * F.col("b.n_sh") >= t_num * F.col("a.n_sh"))
-            & (t_den * F.col("a.n_sh") >= t_num * F.col("b.n_sh")),
+            & (t_den * F.col("a.n_sh") >= t_num * F.col("b.n_sh"))
+            & (
+                (t_num + t_den)
+                * (
+                    F.lit(1)
+                    + F.least(
+                        F.col("a.n_sh") - F.col("a._pos"),
+                        F.col("b.n_sh") - F.col("b._pos"),
+                    )
+                )
+                >= t_num * (F.col("a.n_sh") + F.col("b.n_sh"))
+            ),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
