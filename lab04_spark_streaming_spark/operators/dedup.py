@@ -234,7 +234,8 @@ def simhash_pairs(
             "named_struct('band', b, "
             "'band_val', cast(shiftright(simhash, b * 8) % 256 as int))))"
         ),
-    ).localCheckpoint(eager=False)
+        # n x 4 band rows (row-proportional) -> serialized (r13 triage)
+    ).localCheckpoint(eager=False, storageLevel=_PIN_SER)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(

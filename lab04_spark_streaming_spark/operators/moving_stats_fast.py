@@ -98,6 +98,7 @@ def cumulative_moments(
             F.sum("_s").over(w).alias("_cs"),
             F.sum("_sq").over(w).alias("_csq"),
         )
+    # pin-bounded: occupied slots x keys (time-span, not tick count).
     # Two consumers below (partial cumsum + per-chunk totals); the
     # bucket relation is occupied-slot-sized, so a lazy lineage cut is
     # cheap at any scale and halves the upstream scan/agg replay.
@@ -215,8 +216,9 @@ def asof_cum_lookup(
             .drop("_isb")
         )
 
-    # Consumed by the fill window AND the chunk-domain distinct;
-    # slot/probe-bounded rows — cut lineage once.
+    # pin-bounded: slot/probe rows (time-span, not tick count).
+    # Consumed by the fill window AND the chunk-domain distinct —
+    # cut lineage once.
     u = (
         b_side.unionByName(p_side)
         .withColumn("_chunk", F.floor(F.col("_slot") / chunk_slots))
@@ -413,6 +415,7 @@ def zscore_asof_fast(
     # at sf0.1 (0 ReusedExchange: exchange reuse does not fire across
     # these differently-shaped subtrees). Occupied-slot-sized → cheap to
     # materialize at any scale.
+    # pin-bounded: occupied slots x keys x offsets, see below.
     # Pin-storage audit (r12 triage): every pin on this path (cums,
     # resolved, the chunked fill union) is BOUNDED by occupied slots x
     # keys x offsets — independent of tick count (the 1000x probe ran
@@ -423,6 +426,7 @@ def zscore_asof_fast(
     # prefix scan already partitions; a year-long span at 10 s slides
     # is ~3.2M slots x keys — still far from the ~120M-row pin size
     # that forced wave9's serialized conversion.
+    # pin-bounded: occupied slots x keys (see audit note above)
     cums = cumulative_moments(
         buckets, key_cols, chunk_slots=chunk_slots
     ).localCheckpoint(eager=False)
@@ -459,8 +463,9 @@ def zscore_asof_fast(
         .withColumn("_off", F.explode(F.array(*[F.lit(o) for o in offs])))
         .withColumn("_slot", (F.col("_end0") - F.col("_off")).cast("long"))
     )
-    # hi and lo both consume the resolved probes — cut lineage so the
-    # fill pass runs once (probes × offsets rows, slot-bounded).
+    # pin-bounded: probes × offsets rows (slot-bounded) — hi and lo
+    # both consume the resolved probes; cut lineage so the fill pass
+    # runs once.
     resolved = asof_cum_lookup(
         cums, probes, key_cols, chunk_slots=chunk_slots
     ).localCheckpoint(eager=False)

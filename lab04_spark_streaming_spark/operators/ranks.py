@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
+
 __all__ = ["global_row_number", "global_ntile"]
 
 
@@ -55,7 +57,9 @@ def global_row_number(
     ranged = (
         df.repartitionByRange(n, *cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        # full-input pin (row-proportional) -> serialized (r13 triage;
+        # operators/dedup._PIN_SER)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     local = ranged.withColumn(
         "_lrk",
@@ -118,8 +122,9 @@ def global_ntile(
         raise ValueError(
             f"global_ntile: input already has column(s) {sorted(clash)}"
         )
-    # Both consumers (rank + count) read one pinned materialization.
-    base = df.localCheckpoint(eager=False)
+    # Both consumers (rank + count) read one pinned materialization;
+    # full-input pin (row-proportional) -> serialized (r13 triage).
+    base = df.localCheckpoint(eager=False, storageLevel=_PIN_SER)
     ranked = global_row_number(
         base, *order, rank_col="_gnt_rk", num_partitions=num_partitions
     )

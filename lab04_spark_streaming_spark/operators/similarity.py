@@ -27,6 +27,7 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
 from lab04_spark_streaming_spark.operators.textops import expr_hash_int
 
 
@@ -352,7 +353,8 @@ def srp_banded_pairs(
         dim,
         id_col,
         vec_col,
-    ).localCheckpoint(eager=False)
+        # n x bands rows -> serialized (r13 triage; _PIN_SER)
+    ).localCheckpoint(eager=False, storageLevel=_PIN_SER)
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(
@@ -471,8 +473,9 @@ def kmeans_assign(
     pos = _kmeans_pos(emb, id_col, vec_col)
     cent = _kmeans_seed(pos, k, id_col)
     for _ in range(iters - 1):
-        # k·d-row relation — checkpointing it per iteration keeps the
-        # plan flat (otherwise iteration i's plan nests all of 1..i-1
+        # pin-bounded: k·d rows (params, not input size) — kept
+        # deserialized; checkpointing per iteration keeps the plan
+        # flat (otherwise iteration i's plan nests all of 1..i-1
         # and Catalyst analysis grows superlinearly with iters).
         cent = _kmeans_update(
             pos, _kmeans_assign_round(pos, cent, id_col), id_col
@@ -527,7 +530,9 @@ def kmeans_assign_packed(
     vecs = (
         emb.select(F.col(id_col), F.expr(_expr_quantize(vec_col)).alias("qv"))
         .repartition(emb.sparkSession.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=False)
+        # n rows x 64-long array (~0.5 KB/row) -> serialized
+        # (r13 triage; _PIN_SER)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
 
     d2 = (
@@ -588,6 +593,7 @@ def kmeans_assign_packed(
         .agg(F.array_sort(F.collect_list(F.struct("cid", "carr"))).alias("cents"))
     )
     for _ in range(iters - 1):
+        # pin-bounded: ONE row (the packed k·d codebook)
         packed = pack(update(assign_round(packed))).localCheckpoint(
             eager=False
         )
@@ -602,7 +608,8 @@ def _kmeans_pos(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return (
         _quantized_pos(emb, id_col, vec_col)
         .select(id_col, "pos", "x")
-        .localCheckpoint(eager=False)
+        # n·d rows (row-proportional) -> serialized (r13 triage)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
 
 
@@ -649,6 +656,7 @@ def kmeans_centroids(
     pos = _kmeans_pos(emb, id_col, vec_col)
     cent = _kmeans_seed(pos, k, id_col)
     for _ in range(updates):
+        # pin-bounded: k·d rows (params, not input size)
         cent = _kmeans_update(
             pos, _kmeans_assign_round(pos, cent, id_col), id_col
         ).localCheckpoint(eager=False)
@@ -828,7 +836,8 @@ def _pq_pos(
             (F.col("pos") / F.lit(sub_dim)).cast("int").alias("sub"),
             "x",
         )
-        .localCheckpoint(eager=False)
+        # n·d rows (row-proportional) -> serialized (r13 triage)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
 
 
@@ -893,6 +902,7 @@ def _pq_train_from_pos(
                 .cast("long")
                 .alias("c")
             )
+            # pin-bounded: m·k·sub_dim = 64·k codebook rows
             .localCheckpoint(eager=False)
         )
     return cent
@@ -934,6 +944,7 @@ def ann_pq_adc_topk(
     deterministic and oracle-checkable. Emits (vec_id, adc) ascending
     (smaller = closer), ties → lower id."""
     sub_dim = 64 // m
+    # pin-bounded: 64·codes codebook rows
     cent = pq_codebooks(
         emb, m=m, k=codes, updates=updates, id_col=id_col, vec_col=vec_col,
         sub_dim=sub_dim,
@@ -992,13 +1003,15 @@ def ann_ivfpq_topk(
     sub_dim = 64 // m
     pos = _kmeans_pos(emb, id_col, vec_col)
     cent = _kmeans_seed(pos, n_cells, id_col)
+    # pin-bounded: n_cells·d centroid rows
     cent = _kmeans_update(
         pos, _kmeans_assign_round(pos, cent, id_col), id_col
     ).localCheckpoint(eager=False)
     assign = (
         _kmeans_assign_round(pos, cent, id_col)
         .select(id_col, F.col("_p.cid").alias("cell"))
-        .localCheckpoint(eager=False)
+        # n rows (row-proportional) -> serialized (r13 triage)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     cellc = cent.select(F.col("cid").alias("cell"), "pos", "c")
     rpos = (
@@ -1011,8 +1024,10 @@ def ann_ivfpq_topk(
             (F.col("pos") / F.lit(sub_dim)).cast("int").alias("sub"),
             (F.col("x") - F.col("c")).alias("x"),
         )
-        .localCheckpoint(eager=False)
+        # n·d residual rows (row-proportional) -> serialized (r13)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
+    # pin-bounded: 64·codes codebook rows
     books = _pq_train_from_pos(rpos, codes, 1, id_col).localCheckpoint(
         eager=False
     )
@@ -1090,7 +1105,10 @@ def cell_pair_cosines(
     and the cell relation is checkpointed because it feeds both join
     sides; the per-pair work is a pure multiply-add fold in codegen.
     Pair volume is Σ|cell|²·d — bounded by the clustering, never
-    n²·d."""
+    n²·d. The cell pin is one row per vector carrying the 64-long
+    quantized array (~0.5 KB/row) — row-proportional and wide, the
+    deserialized-unroll OOM class — so it stores serialized
+    (operators/dedup._PIN_SER; r13 triage)."""
     qq = "cast(floor(cast(x as double) * 10000000.0 + 0.5) as bigint)"
     cells = (
         emb.join(assign, id_col)
@@ -1107,7 +1125,7 @@ def cell_pair_cosines(
                 "aggregate(_q, cast(0 as bigint), (acc, x) -> acc + x * x)"
             ).alias("_n2"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     a = cells.select(
         F.col(id_col).alias("id_a"),

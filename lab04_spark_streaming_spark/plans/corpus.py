@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
 from lab04_spark_streaming_spark.operators.textops import (
     expr_hash_int,
     expr_norm_digest,
@@ -165,7 +166,7 @@ def q_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(F.expr(f"array_distinct({_SPARK_TOKS})")).alias("w"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     top = (
         t.alias("a")

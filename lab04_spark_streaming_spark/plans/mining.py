@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
 from lab04_spark_streaming_spark.functions.guards import (
     exact_avg,
     sql_exact_avg,
@@ -100,7 +101,7 @@ def q_span_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir)
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.expr(_expr_spans(_SPARK_TOKS)).alias("spans"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     banned = (
         docs.select(F.explode("spans").alias("span"))
@@ -199,7 +200,7 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.expr(f"array_distinct({expr_shingles('toks')})").alias("s"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     ex = docs.select(
         "doc_id", F.size("s").alias("L"), F.explode("s").alias("sh")
@@ -325,7 +326,7 @@ def q_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = docs.filter(F.expr(f"size({_SPARK_TOKS}) >= 3"))
     # sigs and sets each feed BOTH sides of the pair join — checkpoint
     # so the signature/shingle passes run once per relation.
-    sigs = dd.minhash_signatures(eligible).localCheckpoint(eager=False)
+    sigs = dd.minhash_signatures(eligible).localCheckpoint(eager=False, storageLevel=_PIN_SER)
     # staged projections (tokens, then shingles) — inlining the token
     # split into the shingle lambda re-splits per element (see the
     # minhash_signatures docstring, operators/dedup.py).
@@ -335,7 +336,7 @@ def q_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.expr(f"array_distinct({expr_shingles('toks')})").alias("s"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -517,7 +518,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir)
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     bg = toks.select(
         "doc_id",
@@ -803,7 +804,7 @@ def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"array_distinct({expr_shingles('toks')})")
             ).alias("sh"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     a, b = ex.alias("a"), ex.alias("b")
     return (
@@ -832,7 +833,7 @@ def q_kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     alive = adj.select(F.col("u").alias("node")).distinct()
     deg = None
@@ -1219,7 +1220,7 @@ def q_snm_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(
             Window.partitionBy("blk").orderBy("skey", "doc_id")
         ),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=_PIN_SER)
     a, b = pos.alias("a"), pos.alias("b")
     return (
         a.join(
@@ -1283,7 +1284,7 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     labels = adj.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
@@ -1639,7 +1640,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = (
         kmeans_assign(emb, k=8, iters=2)
         .select("vec_id", F.col("cluster").alias("kcluster"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     from lab04_spark_streaming_spark.operators.similarity import (
         cell_pair_cosines,
@@ -1648,7 +1649,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         cell_pair_cosines(emb, assign)
         # feeds both direction branches of the symmetrization
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     sym = pairs.select(
         F.col("id_a").alias("anchor"), F.col("id_b").alias("other"), "cos"
@@ -1730,7 +1731,7 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate is the ONLY candidate — no range join needed. The probe
     grid is a broadcast literal cross join (users × 4 probes/day is a
     fan-out of the small user relation, never the events)."""
-    hist = q_scd2_intervals(spark, sf_dir).localCheckpoint(eager=False)
+    hist = q_scd2_intervals(spark, sf_dir).localCheckpoint(eager=False, storageLevel=_PIN_SER)
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(
         F.expr("min(date_trunc('day', ts))").alias("d0"),
@@ -2250,7 +2251,7 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (In production this is a stored table; deriving it here keeps the
     # query self-contained without changing the shape being tested.)
     old_dim = _scd2_build(ev.filter(F.col("ts") < cutoff)).localCheckpoint(
-        eager=False
+        eager=False, storageLevel=_PIN_SER
     )
     closed = old_dim.filter(~F.col("is_current"))
     seeds = old_dim.filter(F.col("is_current")).select(
@@ -2396,6 +2397,7 @@ def q_pca_power_top(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col("si").cast("decimal(38,0)") * F.col("sj").cast("decimal(38,0)")
             ).alias("g"),
         )
+        # pin-bounded: d^2 = 64x64 gram-matrix rows
         .localCheckpoint(eager=False)
     )
     dims = gram.select(F.col("i").alias("pos")).distinct()

@@ -716,7 +716,7 @@ def q_substring_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(expr_shingles(_SPARK_TOKS, n))
             ).alias("pos", "shingle"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     shared = (
         sh.groupBy("shingle")
@@ -822,7 +822,9 @@ def q_semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = (
         kmeans_assign_packed(emb, k=k, iters=2)
         .select("vec_id", F.col("cluster").alias("kcluster"))
-        .localCheckpoint(eager=False)
+        # n-row relation (narrow, but row-proportional) read by the
+        # pair stage and the final join -> serialized (r13 triage).
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     # Within-cell pairs via a cell-bucketed join of WHOLE vectors with a
     # quantized zip_with fold per pair — the same int64 moments as a

@@ -747,6 +747,7 @@ def q_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.date_trunc("hour", "ts").alias("hour")
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # pin-bounded: hour-grid x types (time-span, not row count)
         .localCheckpoint(eager=False)
     )
     end = ev.agg(

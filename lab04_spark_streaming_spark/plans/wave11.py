@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
 from lab04_spark_streaming_spark.functions.guards import (
     sql_stable_round,
     stable_round,
@@ -71,7 +72,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(
             pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
 
 
@@ -121,7 +122,7 @@ def q_ppr_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = (
         deg.select(F.col("src").alias("x"), "deg")
         .crossJoin(F.broadcast(seed))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     pr = nodes.select(
         "x",
@@ -157,7 +158,7 @@ def q_ppr_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr("(85 * coalesce(_s, cast(0 as bigint))) div 100")
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=_PIN_SER)
         )
     top = (
         pr.filter(F.col("x") != F.col("seed"))
@@ -239,6 +240,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(F.col("src").alias("x"), F.lit(0).alias("dist"))
     )
+    # pin-bounded: ONE seed row (loop rebinds to the serialized union below)
     dist = seed.localCheckpoint(eager=False)
     for _ in range(_BFS_MAX_HOPS):
         expanded = (
@@ -251,7 +253,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(expanded)
             .groupBy("x")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=_PIN_SER)
         )
     hops = dist.groupBy("dist").agg(F.count(F.lit(1)).alias("n_parts"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -460,6 +462,7 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # pin-bounded: hour-grid x types (time-span, not row count)
         .localCheckpoint(eager=False)
     )
     end = ev.agg(F.date_trunc("hour", F.max("ts")).alias("end_hour"))
@@ -614,7 +617,7 @@ def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tokb"),
         F.expr(f"try_element_at({_SPARK_TOKS}, 1)").alias("w1"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=_PIN_SER)
     pairs = (
         docs.alias("a")
         .join(docs.alias("b"), "blk")
@@ -627,7 +630,7 @@ def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("a.w1") == F.col("b.w1"), F.lit(False))
             ).alias("g3"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     stats = pairs.groupBy().agg(
         F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias("nm"),
@@ -758,7 +761,7 @@ def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("b.w1", "b.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     c1 = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
     n1a = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n1a"))
@@ -856,7 +859,7 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sparkContext.defaultParallelism, "doc_id"
         )
     )
-    ph = phash_stub(media).localCheckpoint(eager=False)
+    ph = phash_stub(media).localCheckpoint(eager=False, storageLevel=_PIN_SER)
     bands = ph.select(
         "media_id",
         "phash",

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
 from lab04_spark_streaming_spark.functions.guards import (
     sql_stable_round,
     stable_round,
@@ -483,13 +484,13 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.expr(_SPARK_TOKS).alias("_toks")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=_PIN_SER)
     rel = docs.select(
         "doc_id",
         F.expr(
             f"size(array_intersect(array_distinct(_toks), array({terms})))"
         ).cast("long").alias("rel"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=_PIN_SER)
     dl = docs.select(
         "doc_id", F.expr("cast(size(_toks) as bigint)").alias("dl")
     )

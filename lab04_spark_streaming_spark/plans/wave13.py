@@ -20,6 +20,7 @@ from lab04_spark_streaming_spark.functions.guards import (
     sql_stable_round,
     stable_round,
 )
+from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
 from lab04_spark_streaming_spark.operators.textops import (
     expr_tokens,
     sql_tokens,
@@ -62,11 +63,13 @@ def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.expr(_SPARK_TOKS)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("r"))
+        # pin-bounded: vocab-bounded (w, r) counts
         .localCheckpoint(eager=False)
     )
     nr = (
         wc.groupBy("r")
         .agg(F.count(F.lit(1)).alias("n_r"))
+        # pin-bounded: <= max observed count rows
         .localCheckpoint(eager=False)
     )
     tot = wc.agg(F.sum("r").alias("n_tokens"))
@@ -147,7 +150,9 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
     # the token stream feeds first-decile AND per-decile counts —
-    # split-restore + pin once
+    # split-restore + pin once; exploded per-token rows are
+    # corpus-token-proportional, so the pin stores serialized
+    # (operators/dedup._PIN_SER; r13 triage)
     toks = (
         docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .crossJoin(F.broadcast(n_docs))
@@ -158,7 +163,7 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dec"),
             F.explode(F.expr(_SPARK_TOKS)).alias("w"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     first_dec = toks.groupBy("w").agg(F.min("dec").alias("fd"))
     new_terms = first_dec.groupBy("fd").agg(
@@ -358,7 +363,10 @@ def q_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     two selected doubles; outlier counts are BIGINT.
 
     Scale: per-type rank windows; at petabyte scale the quantile pick
-    is a merged-summary cut (quantile_merge_eval's audited path)."""
+    is a merged-summary cut (quantile_merge_eval's audited path). The
+    ranked pin is one row per events row (read 4 times: q1/q3/fences
+    join/outlier count), so it stores serialized
+    (operators/dedup._PIN_SER; r13 triage)."""
     ev = _events(spark, sf_dir).select("event_type", "value", "event_id")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     n = Window.partitionBy("event_type")
@@ -367,7 +375,7 @@ def q_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.row_number().over(w).alias("r"),
         F.count(F.lit(1)).over(n).alias("n"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=_PIN_SER)
     q1 = (
         ranked.filter(F.col("r") * 4 >= F.col("n"))
         .groupBy("event_type")

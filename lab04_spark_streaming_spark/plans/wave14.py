@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
 from lab04_spark_streaming_spark.functions.guards import (
     sql_stable_round,
     stable_round,
@@ -559,7 +560,7 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " 16, 10) as bigint)"
             ),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     exact = users.agg(
         F.sum("in_a").alias("n_a_exact"),
@@ -820,7 +821,7 @@ def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.expr(_SPARK_TOKS).alias("_toks")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=_PIN_SER)
     rel = docs.select(
         "doc_id",
         F.expr(
@@ -995,7 +996,7 @@ def q_ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.expr(_SPARK_TOKS).alias("_toks")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=_PIN_SER)
     dl = docs.select(
         "doc_id", F.expr("cast(size(_toks) as bigint)").alias("dl")
     )
@@ -1454,6 +1455,7 @@ def q_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         holt,
         "event_type string, rn long, y double, f double, l double, "
         "b double",
+    # pin-bounded: hours x types rows (time-span-bounded)
     ).localCheckpoint(eager=False)
     n = rec.groupBy("event_type").agg(F.max("rn").alias("n_hours"))
     tail = rec.join(n, "event_type").filter(

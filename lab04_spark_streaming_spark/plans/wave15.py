@@ -416,6 +416,7 @@ def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y")
         )
         .withColumn("hod", F.hour("h").cast("int"))
+        # pin-bounded: 24-row hour-of-day grid x types
         .localCheckpoint(eager=False)
     )
     prof = hourly.groupBy("event_type", "hod").agg(

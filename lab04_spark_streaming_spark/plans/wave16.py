@@ -21,6 +21,7 @@ from lab04_spark_streaming_spark.functions.guards import (
     sql_stable_round,
     stable_round,
 )
+from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
 from lab04_spark_streaming_spark.sources.files import load_table
 
 
@@ -111,6 +112,7 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("i", "j")
         .agg(F.sum("w_ij").alias("n_ij"))
+        # pin-bounded: |types|^2 comparison-pair rows
         .localCheckpoint(eager=False)
     )
     wr_ = wins.select(
@@ -241,8 +243,13 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pair generation per order (width²-bounded); the degree
     join shuffles on node keys; moments reduce the 2|E| endpoint
-    rows map-side."""
-    edges = _part_edges(spark, sf_dir).localCheckpoint(eager=False)
+    rows map-side. The edge pin is ~2 edges per lineitem row — the
+    SAME relation whose deserialized pin OOM'd triangle_count's 100x
+    probe — so it stores serialized (operators/dedup._PIN_SER; r13
+    triage)."""
+    edges = _part_edges(spark, sf_dir).localCheckpoint(
+        eager=False, storageLevel=_PIN_SER
+    )
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -318,14 +325,19 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the degree relation shuffles on node keys once; the
     4-row threshold grid broadcast-joins against it; edges stream
-    map-side against the broadcast hub flags."""
-    edges = _part_edges(spark, sf_dir).localCheckpoint(eager=False)
+    map-side against the broadcast hub flags. Both pins store
+    serialized (r13 triage): edges is the triangle-count OOM
+    relation (~2 per lineitem row), and deg is |parts|-proportional
+    — smaller, but still a row-scaling relation read three times."""
+    edges = _part_edges(spark, sf_dir).localCheckpoint(
+        eager=False, storageLevel=_PIN_SER
+    )
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     ks = spark.createDataFrame([(k,) for k in _RICH_KS], "k long")
     nk = (

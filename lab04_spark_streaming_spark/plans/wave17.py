@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
 from lab04_spark_streaming_spark.functions.guards import (
     sql_stable_round,
     stable_round,
@@ -45,7 +46,7 @@ def _dists(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos.join(F.broadcast(cent), "pos")
         .groupBy("vec_id", "cid")
         .agg(F.sum(diff * diff).alias("dist"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
 
 
@@ -177,7 +178,7 @@ def q_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("_p.cid").alias("cluster"),
         F.col("_p.dist").alias("a2"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=_PIN_SER)
     w_tot = own.agg(
         F.sum("a2").alias("w_ssq"), F.count(F.lit(1)).alias("n")
     )

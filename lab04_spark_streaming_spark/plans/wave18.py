@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
 from lab04_spark_streaming_spark.functions.guards import (
     sql_stable_round,
     stable_round,
@@ -174,11 +175,12 @@ def q_bigram_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir)
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     train_w = toks.filter(F.col("doc_id") % 2 == 0).select(
         "doc_id", F.posexplode("toks").alias("i", "w")
     )
+    # pin-bounded: vocab-bounded distinct words
     vocab = train_w.select("w").distinct().localCheckpoint(eager=False)
     v_size = vocab.agg((F.count(F.lit(1)) + 1).alias("v"))  # +1: <unk>
     w_next = Window.partitionBy("doc_id").orderBy("i")
@@ -403,7 +405,7 @@ def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     books = pq_codebooks(emb, m=4, k=16, updates=1)
-    enc = pq_encode(emb, books, sub_dim=16).localCheckpoint(eager=False)
+    enc = pq_encode(emb, books, sub_dim=16).localCheckpoint(eager=False, storageLevel=_PIN_SER)
     per_sub = enc.groupBy("sub").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("sqdist").alias("ssq"),
@@ -517,7 +519,7 @@ def q_rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ok", "pk", "is_train")
         .distinct()
         .repartition(spark.sparkContext.defaultParallelism, "ok")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     train = basket.filter(F.col("is_train"))
     pairs = (

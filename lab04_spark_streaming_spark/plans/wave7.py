@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
 from lab04_spark_streaming_spark.functions.guards import (
     sql_stable_round,
     stable_round,
@@ -66,6 +67,7 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw = (
         toks.groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("cs"))
+        # pin-bounded: sources x vocab-bounded counts
         .localCheckpoint(eager=False)
     )
     ns = sw.groupBy("source").agg(F.sum("cs").alias("ns"))
@@ -313,7 +315,7 @@ def q_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("w"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -628,7 +630,7 @@ def q_vocab_novelty_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("w"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     base_vocab = (
         toks.filter(F.col("doc_id") % 2 == 0).select("w").distinct()

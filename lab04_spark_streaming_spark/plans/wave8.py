@@ -33,6 +33,7 @@ from lab04_spark_streaming_spark.operators.textops import (
     expr_tokens,
     sql_tokens,
 )
+from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
 from lab04_spark_streaming_spark.sources.files import load_table
 
 _SPARK_TOKS = expr_tokens("text")
@@ -91,18 +92,19 @@ def q_pmi_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(F.expr(f"array_distinct({_SPARK_TOKS})")).alias("w"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     marg = (
         t.groupBy("w")
         .agg(F.count(F.lit(1)).alias("nw"))
+        # pin-bounded: vocab-bounded (w, nw) counts
         .localCheckpoint(eager=False)
     )
     t2 = t.join(
         marg.filter(F.col("nw") >= _PMI_MIN_DOCS).select("w"),
         "w",
         "left_semi",
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=_PIN_SER)
     pairs = (
         t2.alias("a")
         .join(t2.alias("b"), "doc_id")
@@ -186,7 +188,7 @@ def q_chi2_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.explode(F.expr(f"array_distinct({_SPARK_TOKS})")).alias("w"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     sw = t.groupBy("source", "w").agg(F.count(F.lit(1)).alias("a"))
     nw = sw.groupBy("w").agg(F.sum("a").alias("nw"))
@@ -766,12 +768,17 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # Both pins are row/pair-proportional -> serialized (r13 triage;
+    # operators/dedup._PIN_SER): assign is n x (id, cluster), pairs is
+    # the within-cell pair relation read by both union branches.
     assign = (
         kmeans_assign(emb, k=8, iters=2)
         .select("vec_id", F.col("cluster").alias("kcluster"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
-    pairs = cell_pair_cosines(emb, assign).localCheckpoint(eager=False)
+    pairs = cell_pair_cosines(emb, assign).localCheckpoint(
+        eager=False, storageLevel=_PIN_SER
+    )
     labels = emb.select("vec_id", F.col("label").cast("int").alias("label"))
     sym = pairs.select(
         F.col("id_a").alias("anchor"), F.col("id_b").alias("other"), "cos"
@@ -1048,6 +1055,7 @@ def q_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.expr(_SPARK_TOKS)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        # pin-bounded: vocab-bounded (w, c) counts
         .localCheckpoint(eager=False)
     )
     tot = tc.agg(
@@ -1264,12 +1272,17 @@ def q_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # Both pins are row/pair-proportional -> serialized (r13 triage;
+    # operators/dedup._PIN_SER): assign is n x (id, cluster), pairs is
+    # the within-cell pair relation read by both union branches.
     assign = (
         kmeans_assign(emb, k=8, iters=2)
         .select("vec_id", F.col("cluster").alias("kcluster"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
-    pairs = cell_pair_cosines(emb, assign).localCheckpoint(eager=False)
+    pairs = cell_pair_cosines(emb, assign).localCheckpoint(
+        eager=False, storageLevel=_PIN_SER
+    )
     labels = emb.select("vec_id", F.col("label").cast("int").alias("label"))
     sym = pairs.select(
         F.col("id_a").alias("anchor"), F.col("id_b").alias("other")
@@ -1378,7 +1391,7 @@ def q_simhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", F.expr(f"array_distinct({toks})").alias("s")
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     xa = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
     xb = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))

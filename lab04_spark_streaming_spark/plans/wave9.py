@@ -42,6 +42,7 @@ from lab04_spark_streaming_spark.operators.textops import (
     sql_norm_digest,
     sql_tokens,
 )
+from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
 from lab04_spark_streaming_spark.sources.files import (
     load_table,
     parquet_row_count,
@@ -1232,7 +1233,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" {_DSIR_BUCKETS})"
             ).alias("b"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     lm = toks.groupBy("b").agg(
         F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("ct"),
@@ -1416,7 +1417,7 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(~F.col("is_stop"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     plen = phr.groupBy("doc_id", "phrase_id").agg(
         F.count(F.lit(1)).alias("phrase_len")
@@ -2433,7 +2434,7 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cast(floor(cast(xf as double) * 10000000.0 + 0.5) as bigint)"
             ).alias("x"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
 
     def dist_to(center_pos: DataFrame) -> DataFrame:
@@ -2448,7 +2449,7 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos", F.col("x").alias("c")
     )
     mind = dist_to(c0).withColumnRenamed("dnew", "mind").localCheckpoint(
-        eager=False
+        eager=False, storageLevel=_PIN_SER
     )
     selected = spark.createDataFrame(
         [(0, 0, None)], "step int, vec_id long, radius_sq long"
@@ -2458,6 +2459,7 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             mind.orderBy(F.desc("mind"), "vec_id")
             .limit(1)
             .select("vec_id", F.col("mind").alias("radius_sq"))
+            # pin-bounded: ONE row (the argmax pick)
             .localCheckpoint(eager=False)
         )
         selected = selected.unionByName(
@@ -2473,7 +2475,7 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "vec_id", F.least("mind", "dnew").alias("mind")
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=_PIN_SER)
         )
     return selected
 
@@ -2560,13 +2562,13 @@ def q_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"array_distinct({expr_shingles('_toks', 3)})")
             ).alias("shingle"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
     rare = sh.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("_df")
     ).filter(F.col("_df") <= _LSH_DF_CAP)
     shc = sh.join(rare.select("shingle"), "shingle", "left_semi")
-    shc = shc.localCheckpoint(eager=False)
+    shc = shc.localCheckpoint(eager=False, storageLevel=_PIN_SER)
     sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         shc.alias("a")
