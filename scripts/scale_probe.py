@@ -58,6 +58,7 @@ SPARK_LOCAL_DIRS=/root/repo/.probe_tmp/sparklocal and
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import math
 import os
@@ -112,6 +113,14 @@ PROBES = [
     "dedup_clusters",
     "decontamination_containment",
     "item_item_cosine",
+    # fifth tier (r13): never-probed wave16 graph plans on the
+    # triangle-count edge relation, plus one representative per r13
+    # pin-conversion class (token explode: heaps_law; events
+    # row_number rank: tukey_fences).
+    "graph_assortativity",
+    "rich_club",
+    "heaps_law",
+    "tukey_fences",
 ]
 
 # (r11) semdedup_keep_best itself now scales its cell count with the
@@ -137,6 +146,15 @@ STRIDES = {
 # Which upscaled tables each probe reads — a selective run (--probes)
 # builds only what it needs, so a 100x events-only point stays cheap
 # (100x lineitem would be 600M rows).
+# Bump whenever build_fixture's generation scheme changes (key
+# scattering, dimension handling, ...): fixture reuse is meta-based,
+# not existence-based — a stale dir built under an older scheme is
+# wiped and rebuilt instead of silently reused (r12 advisor: pre-r12
+# dirs carried unscattered o_custkey orders and verbatim 1x customer
+# next to scattered orders, resurrecting the exact join-drop and
+# factor^2-basket artifacts the r12 fixes removed).
+FIXTURE_GENERATION = 3
+
 PROBE_TABLES = {
     "zscore_asof_join": {"events"},
     "semdedup_keep_best": {"embeddings"},
@@ -169,6 +187,14 @@ PROBE_TABLES = {
     "dedup_clusters": {"documents"},
     "decontamination_containment": {"documents"},
     "item_item_cosine": {"lineitem", "orders"},
+    # fifth tier (r13): the wave16 graph queries share triangle_count's
+    # co-purchase edge relation but had never been probed (r12 verdict
+    # item 3); heaps_law/tukey_fences carry the r13 pin conversions for
+    # the token-explode and events-rank pin classes.
+    "graph_assortativity": {"lineitem"},
+    "rich_club": {"lineitem"},
+    "heaps_law": {"documents"},
+    "tukey_fences": {"events"},
 }
 
 
@@ -277,14 +303,31 @@ def build_fixture(
     )
     # Dimensions stay 1x (at real SF they grow too, but remain
     # broadcast-side; the probed costs live in the fact tables).
-    # `orders` is NOT copied verbatim — a 1x orders next to a 10x
-    # lineitem would silently drop 90% of an orders join, so it is
-    # only present when explicitly upscaled via `tables`.
-    for t in ("region", "nation", "customer", "supplier", "part"):
+    # `orders` and `customer` are NOT copied verbatim — a 1x copy next
+    # to a factor-x counterpart silently drops most of the join (r12
+    # advisor); they exist only when explicitly upscaled via `tables`
+    # (PROBE_TABLES lists them for every probe that reads them).
+    for t in ("region", "nation", "supplier", "part"):
         dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):
             shutil.copyfile(f"{src}/{t}.parquet", dst)
     con.close()
+    # Record what this dir now contains and under which scheme.
+    meta_path = f"{out}/_fixture_meta.json"
+    meta = {"generation": FIXTURE_GENERATION, "factor": factor, "built": []}
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            prev = json.load(fh)
+        if (
+            prev.get("generation") == FIXTURE_GENERATION
+            and prev.get("factor") == factor
+        ):
+            meta["built"] = prev.get("built", [])
+    meta["built"] = sorted(
+        set(meta["built"]) | (tables if tables is not None else set())
+    )
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
 
 
 def main() -> None:
@@ -313,9 +356,29 @@ def main() -> None:
     want = set().union(*(PROBE_TABLES[n] for n in running))
 
     fixture = args.fixture_dir or f"/tmp/scale{args.factor}x"
-    built = {
-        t for t in want if os.path.exists(f"{fixture}/{t}.parquet")
-    }
+    # Meta-based reuse: a dir built under an older generation scheme
+    # (or missing its marker entirely) is wiped and rebuilt — file
+    # existence alone resurrects stale-keyed tables (r12 advisor).
+    meta_path = f"{fixture}/_fixture_meta.json"
+    built: set[str] = set()
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if (
+            meta.get("generation") == FIXTURE_GENERATION
+            and meta.get("factor") == args.factor
+        ):
+            built = set(meta.get("built", []))
+    if not built and os.path.isdir(fixture):
+        stale = glob.glob(f"{fixture}/*.parquet")
+        if stale:
+            print(
+                f"[fixture] wiping {len(stale)} stale files in {fixture} "
+                f"(generation != {FIXTURE_GENERATION})",
+                file=sys.stderr,
+            )
+        for f in stale + glob.glob(f"{fixture}/_fixture_meta.json"):
+            os.remove(f)
     if want - built:
         t0 = time.time()
         build_fixture(BASE_SF_DIR, fixture, args.factor, tables=want - built)
