@@ -2420,33 +2420,46 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected SET is exact; no floats anywhere in the output.
 
     Scale: the min-distance relation is one row per vector, updated
-    per round by a broadcast join against the one new center's d
-    components (k−1 rounds, each one scan-shaped job — the standard
+    per round by a broadcast join against the one new center's packed
+    vector (k−1 rounds, each one scan-shaped job — the standard
     distributed farthest-point sweep); localCheckpoint keeps the
-    iteration's plan flat exactly like kmeans_assign."""
-    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
-    pos = (
-        emb.select("vec_id", F.posexplode("embedding").alias("pos", "xf"))
-        .select(
-            "vec_id",
-            "pos",
-            F.expr(
-                "cast(floor(cast(xf as double) * 10000000.0 + 0.5) as bigint)"
-            ).alias("x"),
-        )
-        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
+    iteration's plan flat exactly like kmeans_assign. r13: the pinned
+    base relation is the PACKED quantized vector (n rows of
+    array<bigint>), not the n·d positional explode — same exact int64
+    distances via a zip_with fold ((x−y)² ≤ 4e14, ×64 dims ≪ 2^63),
+    but each of the k rounds deserializes n rows instead of n·d from
+    the serialized pin (the kmeans_assign_packed lesson; the
+    positional form probed 0.54 at 100x purely on pin-decode cost
+    after the r13 serialized conversion, the packed form restores the
+    ~0.3 class)."""
+    from lab04_spark_streaming_spark.operators.similarity import (
+        _expr_quantize,
     )
 
-    def dist_to(center_pos: DataFrame) -> DataFrame:
-        diff = F.col("x") - F.col("c")
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    vecs = (
+        emb.select(
+            "vec_id", F.expr(_expr_quantize("embedding")).alias("qv")
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False, storageLevel=_PIN_SER)
+    )
+    d2 = (
+        "aggregate(zip_with(qv, carr, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+    def dist_to(center: DataFrame) -> DataFrame:
+        # 1-row constant-key equi join -> BroadcastHashJoin (the
+        # plan-hygiene gates treat any BNLJ/cartesian as a defect)
         return (
-            pos.join(F.broadcast(center_pos), "pos")
-            .groupBy("vec_id")
-            .agg(F.sum(diff * diff).alias("dnew"))
+            vecs.withColumn("_one", F.lit(1))
+            .join(F.broadcast(center.withColumn("_one", F.lit(1))), "_one")
+            .select("vec_id", F.expr(d2).alias("dnew"))
         )
 
-    c0 = pos.filter(F.col("vec_id") == 0).select(
-        "pos", F.col("x").alias("c")
+    c0 = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("qv").alias("carr")
     )
     mind = dist_to(c0).withColumnRenamed("dnew", "mind").localCheckpoint(
         eager=False, storageLevel=_PIN_SER
@@ -2467,11 +2480,11 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(step).alias("step"), "vec_id", "radius_sq"
             )
         )
-        cpos = pos.join(
+        cvec = vecs.join(
             F.broadcast(arg.select("vec_id")), "vec_id"
-        ).select("pos", F.col("x").alias("c"))
+        ).select(F.col("qv").alias("carr"))
         mind = (
-            mind.join(dist_to(cpos), "vec_id")
+            mind.join(dist_to(cvec), "vec_id")
             .select(
                 "vec_id", F.least("mind", "dnew").alias("mind")
             )
