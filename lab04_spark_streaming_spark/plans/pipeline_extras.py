@@ -515,10 +515,17 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     that produces a real IVF codebook. Integer-grid centroids keep the
     whole computation exact, so even an iterative float algorithm is
     hash-checked against DuckDB (2 unrolled iterations in the oracle
-    SQL)."""
-    from lab04_spark_streaming_spark.operators.similarity import kmeans_assign
+    SQL). r13: served by the PACKED evaluation (kmeans_assign_packed —
+    bit-identical seeds/distances/tie-breaks by construction, the
+    oracle keeps its positional unroll): n rows move per round instead
+    of n·d·k, the row-volume lesson the 100x probes keep re-teaching
+    (kmeans_clusters positional probed 0.59 at 100x; the packed
+    SemDeDup assignment probes 0.30-0.62 on 25x the work)."""
+    from lab04_spark_streaming_spark.operators.similarity import (
+        kmeans_assign_packed,
+    )
 
-    return kmeans_assign(_emb(spark, sf_dir), k=8, iters=2)
+    return kmeans_assign_packed(_emb(spark, sf_dir), k=8, iters=2)
 
 
 # Shared CTE prefix: quantized positions → seed c0 → one Lloyd round →
