@@ -816,10 +816,12 @@ def q_curation_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest window and the metric projection share the documents scan,
     the cluster join broadcasts nothing heavier than the n×(id, cell)
     assignment, and the output is |langs|×k rows of exact integers."""
-    from lab04_spark_streaming_spark.operators.similarity import kmeans_assign
+    from lab04_spark_streaming_spark.operators.similarity import (
+        kmeans_assign_packed,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = kmeans_assign(emb, k=8, iters=2).select(
+    assign = kmeans_assign_packed(emb, k=8, iters=2).select(
         F.col("vec_id").alias("doc_id"), F.col("cluster").alias("kcluster")
     )
     toks = _SPARK_TOKS

@@ -1633,12 +1633,14 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine) with an id tie-break; as with knn_fold_topk_ids, two
     distinct cosines within double-comparison noise cannot occur
     because both engines compare the same bit patterns."""
-    from lab04_spark_streaming_spark.operators.similarity import kmeans_assign
+    from lab04_spark_streaming_spark.operators.similarity import (
+        kmeans_assign_packed,
+    )
     from lab04_spark_streaming_spark.sources.files import load_table as _lt
 
     emb = _lt(spark, sf_dir, "embeddings")
     assign = (
-        kmeans_assign(emb, k=8, iters=2)
+        kmeans_assign_packed(emb, k=8, iters=2)
         .select("vec_id", F.col("cluster").alias("kcluster"))
         .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )

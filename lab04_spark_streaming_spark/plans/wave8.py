@@ -764,7 +764,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor."""
     from lab04_spark_streaming_spark.operators.similarity import (
         cell_pair_cosines,
-        kmeans_assign,
+        kmeans_assign_packed,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -772,7 +772,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operators/dedup._PIN_SER): assign is n x (id, cluster), pairs is
     # the within-cell pair relation read by both union branches.
     assign = (
-        kmeans_assign(emb, k=8, iters=2)
+        kmeans_assign_packed(emb, k=8, iters=2)
         .select("vec_id", F.col("cluster").alias("kcluster"))
         .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
@@ -1268,7 +1268,7 @@ def q_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate per anchor. No windows."""
     from lab04_spark_streaming_spark.operators.similarity import (
         cell_pair_cosines,
-        kmeans_assign,
+        kmeans_assign_packed,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1276,7 +1276,7 @@ def q_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operators/dedup._PIN_SER): assign is n x (id, cluster), pairs is
     # the within-cell pair relation read by both union branches.
     assign = (
-        kmeans_assign(emb, k=8, iters=2)
+        kmeans_assign_packed(emb, k=8, iters=2)
         .select("vec_id", F.col("cluster").alias("kcluster"))
         .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
