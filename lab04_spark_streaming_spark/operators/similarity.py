@@ -517,10 +517,14 @@ def kmeans_assign_packed(
 
     Seeded k must satisfy k ≥ 1 (empty input returns empty; callers
     derive k from the data — semdedup uses ceil(√n) ≥ 1). Used by the
-    SemDeDup pipeline; the positional form stays for the oracles whose
-    SQL twins unroll it directly (kmeans_clusters, IVF, PQ — identical
-    results, so they can migrate round by round as their stamp windows
-    come up)."""
+    SemDeDup pipeline, and — since r13 — by every registered k=8
+    assignment (kmeans_clusters, curation_master, contrastive_pairs,
+    hard_negative_mining, label_noise_knn; each a bit-identical swap,
+    oracles unchanged, equivalence pinned by
+    tests/test_plans.py's packed-vs-positional test). The positional
+    :func:`kmeans_assign` remains as the oracle-anchored reference
+    implementation and for the IVF/PQ trainers whose update rounds
+    are inherently positional."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     # Split restoration (higher-order functions evaluate interpreted,
