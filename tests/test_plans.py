@@ -1179,6 +1179,14 @@ def test_all_registered_queries_plan_hygiene(spark, sf_dir):
         # wave18: 1-row vocab-size / corpus-total / embedding-energy
         # broadcasts
         "bigram_heldout_ppl", "fairness_parity_audit", "pq_distortion",
+        # r13 packed-assignment migrations: the ONE-row packed codebook
+        # attaches via a constant-key equi join that Catalyst constant-
+        # folds (1 = 1 -> true) into a BNLJ with a 1-row
+        # IdentityBroadcast build side - n x 1 pairing, cost-identical
+        # to a BHJ against one row, scale-safe. (The same join has run
+        # inside semdedup_keep_best since r12, hidden from this gate
+        # behind its localCheckpoint pins.)
+        "kmeans_clusters", "curation_master",
     }
     offenders = []
     for s in all_specs():
