@@ -786,6 +786,18 @@ FROM checks
 _KCORE_K = 3
 _KCORE_ROUNDS = 5
 _KCORE_MIN_SHARED = 2
+# df window for the co-occurrence edge build: a shingle with df = 1
+# cannot witness a pair, and a shingle shared by THOUSANDS of documents
+# is boilerplate, not similarity signal — and each such shingle costs
+# df^2 candidate rows in the self-join (Sigma df^2 total, ~quadratic in
+# corpus scale: the un-capped build shuffled > 53 GB at the 100x tier
+# before this cap, the same failure class as the pre-PPJoin jaccard
+# walk, r12). Same fixed cap as operators/dedup's jaccard index
+# (max_df = 1000) and mirrored EXACTLY in the DuckDB oracle base CTE,
+# so both engines compute the same capped graph and the hash check
+# stays exact. At the driver-gate scales (<= 5k documents) no shingle
+# reaches the cap, so the graph is identical to the un-capped one.
+_KCORE_DF_CAP = 1000
 
 
 def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -806,7 +818,14 @@ def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False, storageLevel=_PIN_SER)
     )
-    a, b = ex.alias("a"), ex.alias("b")
+    keep = (
+        ex.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= _KCORE_DF_CAP))
+        .select("sh")
+    )
+    exf = ex.join(keep, "sh", "left_semi")
+    a, b = exf.alias("a"), exf.alias("b")
     return (
         a.join(
             b,
@@ -872,9 +891,14 @@ ex AS (
         FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t(doc_id, toks)
         WHERE len(toks) >= 3) q, unnest(s) u(sh)
 ),
+shf AS (
+  SELECT sh FROM ex GROUP BY sh
+  HAVING COUNT(*) BETWEEN 2 AND {_KCORE_DF_CAP}
+),
+exf AS (SELECT ex.doc_id, ex.sh FROM ex JOIN shf USING (sh)),
 e0 AS (
   SELECT a.doc_id AS src, b.doc_id AS dst
-  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM exf a JOIN exf b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_MIN_SHARED}
 ),
 adj AS (SELECT src AS u, dst AS v FROM e0

@@ -121,6 +121,7 @@ PROBES = [
     "rich_club",
     "heaps_law",
     "tukey_fences",
+    "kcore_docs",
 ]
 
 # (r11) semdedup_keep_best itself now scales its cell count with the
@@ -195,6 +196,11 @@ PROBE_TABLES = {
     "rich_club": {"lineitem"},
     "heaps_law": {"documents"},
     "tukey_fences": {"events"},
+    # r13 audit: the doc-shingle co-occurrence edge build behind
+    # kcore_docs/lpa_communities is a raw shingle self-join (Sigma df^2
+    # candidate rows) - the class that killed the pre-PPJoin jaccard
+    # walk; never probed before.
+    "kcore_docs": {"documents"},
 }
 
 
