@@ -122,6 +122,8 @@ PROBES = [
     "heaps_law",
     "tukey_fences",
     "kcore_docs",
+    "fs_linkage",
+    "snm_candidates",
 ]
 
 # (r11) semdedup_keep_best itself now scales its cell count with the
@@ -201,6 +203,12 @@ PROBE_TABLES = {
     # candidate rows) - the class that killed the pre-PPJoin jaccard
     # walk; never probed before.
     "kcore_docs": {"documents"},
+    # r13 audit, second batch: the remaining never-probed PAIR
+    # generators - record-linkage blocking (first-chars block key:
+    # replica-heavy corpora share prefixes) and sorted-neighborhood
+    # candidates (w-bounded by construction - the probe verifies).
+    "fs_linkage": {"documents"},
+    "snm_candidates": {"documents"},
 }
 
 
