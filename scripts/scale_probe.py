@@ -124,6 +124,9 @@ PROBES = [
     "kcore_docs",
     "fs_linkage",
     "snm_candidates",
+    "randomization_test",
+    "decontamination_pairs",
+    "multimodal_decode_stub",
 ]
 
 # (r11) semdedup_keep_best itself now scales its cell count with the
@@ -209,6 +212,11 @@ PROBE_TABLES = {
     # candidates (w-bounded by construction - the probe verifies).
     "fs_linkage": {"documents"},
     "snm_candidates": {"documents"},
+    # r13 audit, third batch: the permutation-loop test, the decontam
+    # pair emitter, and the Arrow mapInPandas decode plumbing.
+    "randomization_test": {"events"},
+    "decontamination_pairs": {"documents"},
+    "multimodal_decode_stub": {"documents"},
 }
 
 
