@@ -127,6 +127,8 @@ PROBES = [
     "randomization_test",
     "decontamination_pairs",
     "multimodal_decode_stub",
+    "ppr_related_parts",
+    "bfs_hops",
 ]
 
 # (r11) semdedup_keep_best itself now scales its cell count with the
@@ -217,6 +219,11 @@ PROBE_TABLES = {
     "randomization_test": {"events"},
     "decontamination_pairs": {"documents"},
     "multimodal_decode_stub": {"documents"},
+    # r13 audit, fourth batch: the iterative co-purchase graph walks
+    # (PPR power iteration, BFS frontier expansion) on the
+    # triangle-count edge relation.
+    "ppr_related_parts": {"lineitem"},
+    "bfs_hops": {"lineitem"},
 }
 
 
