@@ -25,19 +25,14 @@ oracle-able — rare for hash-based operators.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# Row-proportional checkpoint pins store SERIALIZED (in PySpark 4
-# naming MEMORY_AND_DISK is the serialized level; the localCheckpoint
-# default MEMORY_AND_DISK_DESER buffers each partition as a vector of
-# row objects while unrolling — 32 concurrent unroll vectors over a
-# ~120M-row pin OOM'd a 24g heap at the r11 100x scale tier, fixed by
-# this one change in plans/wave9.q_triangle_count). Bounded pins
-# (centroids, codebooks, top-k survivors) stay deserialized for free
-# reads.
-_PIN_SER = StorageLevel.MEMORY_AND_DISK
+# Row-proportional checkpoint pins store SERIALIZED — policy constant
+# and full rationale live in operators/pinning.py (moved there r14 so
+# plan modules no longer import a dedup-private name for a storage
+# level).
+from lab04_spark_streaming_spark.operators.pinning import PIN_SER as _PIN_SER
 
 from lab04_spark_streaming_spark.operators.textops import (
     expr_hash_int,

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
+from lab04_spark_streaming_spark.operators.pinning import PIN_SER as _PIN_SER
 
 __all__ = ["global_row_number", "global_ntile"]
 

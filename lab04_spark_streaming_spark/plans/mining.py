@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
+from lab04_spark_streaming_spark.operators.pinning import PIN_SER as _PIN_SER
 from lab04_spark_streaming_spark.functions.guards import (
     exact_avg,
     sql_exact_avg,
@@ -800,13 +800,16 @@ _KCORE_MIN_SHARED = 2
 _KCORE_DF_CAP = 1000
 
 
-def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kcore_edges(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     # Split restoration + one-pass shingling, as in
     # q_jaccard_prefix_join: the exploded relation feeds both sides of
     # the pair self-join, so the tokenize→shingle pass is checkpointed
-    # rather than recomputed per side.
+    # rather than recomputed per side.  ``docs`` lets the deduped
+    # variants build the graph over a representative subset (r14).
     ex = (
-        _docs(spark, sf_dir)
+        (docs if docs is not None else _docs(spark, sf_dir))
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
         .filter(F.expr("size(toks) >= 3"))
@@ -841,14 +844,9 @@ def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: the inverted-index edge build is the dedup
-    verifier's (shingle-keyed, df-bounded buckets); the peel loop is
-    {rounds} x (one semi-join + one count agg) over the symmetrized
-    edge relation, which is localCheckpointed ONCE so the five rounds
-    replay neither the scan nor the self-join (same lineage-cut
-    pattern as operators/dedup.dedup_clusters)."""
-    edges = _kcore_edges(spark, sf_dir)
+def _kcore_peel(edges: DataFrame) -> DataFrame:
+    """The k-core peel loop over a prebuilt edge list — shared by the
+    exact-graph and dedup-before-graph variants (r14)."""
     adj = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
@@ -879,16 +877,75 @@ def q_kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the inverted-index edge build is the dedup
+    verifier's (shingle-keyed, df-bounded buckets); the peel loop is
+    {rounds} x (one semi-join + one count agg) over the symmetrized
+    edge relation, which is localCheckpointed ONCE so the five rounds
+    replay neither the scan nor the self-join (same lineage-cut
+    pattern as operators/dedup.dedup_clusters)."""
+    return _kcore_peel(_kcore_edges(spark, sf_dir))
+
+
+def _rep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-before-graph representative selection (r14, the r13
+    verdict's one `weak` item): collapse every near-dup cluster
+    (connected components over the verified Jaccard-0.4 pairs,
+    plans/llm.q_dedup_clusters) to its keep-best representative
+    (longest by n_chars, doc_id tie-break — the q_dedup_keep_best
+    rule), keep all singletons.  The exact co-occurrence graph is
+    output-quadratic on dup-heavy corpora (measured x22.2 edges per
+    x10 docs at the 100x tier, SCALE_PROBE_r13 kcore_docs_history);
+    deduplicating first is the semantic lever — replica families
+    become one node, so the graph the peel/LPA loops see grows with
+    CONTENT, not with replication."""
+    docs = _docs(spark, sf_dir)
+    from lab04_spark_streaming_spark.plans.llm import q_dedup_clusters
+
+    # (doc_id, cluster_id) for docs in >= 1 verified pair; the labels
+    # relation is already pinned inside dedup_clusters' relax loop, so
+    # its two consumers below do not replay the pair pipeline.
+    clusters = q_dedup_clusters(spark, sf_dir)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    best = (
+        clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("doc_id")
+    )
+    keep = (
+        docs.select("doc_id")
+        .join(clusters.select("doc_id"), "doc_id", "left_anti")
+        .union(best)
+    )
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+def q_kcore_docs_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core over the DEDUPED doc-similarity graph: near-dup families
+    collapse to their keep-best representative before the edge build,
+    then the same df-capped inverted-index join and peel loop as
+    q_kcore_docs.  This is the 100-TB-shaped variant — the exact graph
+    stays registered for parity, but on replica-heavy corpora its edge
+    count is quadratic in the duplication factor while this one's
+    grows with distinct content."""
+    return _kcore_peel(
+        _kcore_edges(spark, sf_dir, docs=_rep_docs(spark, sf_dir))
+    )
+
+
 # Shared doc-similarity-graph base CTEs (k-core + LPA oracles): the
 # inverted-index edge build over distinct 3-shingles with the
 # >= _KCORE_MIN_SHARED pair-count threshold, symmetrized, plus the
 # node set. One definition so the two graph oracles cannot drift.
-def _sql_doc_graph_base() -> str:
+def _sql_doc_graph_base(src: str = "documents") -> str:
     return f"""
 ex AS (
   SELECT doc_id, u.sh
   FROM (SELECT doc_id, list_distinct({sql_shingles('toks')}) AS s
-        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t(doc_id, toks)
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM {src}) t(doc_id, toks)
         WHERE len(toks) >= 3) q, unnest(s) u(sh)
 ),
 shf AS (
@@ -905,10 +962,37 @@ adj AS (SELECT src AS u, dst AS v FROM e0
         UNION ALL SELECT dst, src FROM e0)"""
 
 
-def _sql_kcore() -> str:
+# Representative-docs CTEs for the deduped graph oracles: the full
+# near-dup-clusters query (plans/llm.SQL_DEDUP_CLUSTERS, nested with
+# its own WITH RECURSIVE) + the keep-best window + singletons — the
+# exact SQL twin of _rep_docs.
+def _sql_rep_ctes() -> str:
+    from lab04_spark_streaming_spark.plans.llm import SQL_DEDUP_CLUSTERS
+
+    # MATERIALIZED: clus is referenced twice in repdocs (and once in
+    # best) — without it DuckDB re-runs the whole recursive-closure
+    # subquery per reference (the Holt-oracle lesson, 14x).
+    return f"""clus AS MATERIALIZED ({SQL_DEDUP_CLUSTERS}),
+best AS (
+  SELECT doc_id FROM (
+    SELECT c.doc_id,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+    FROM clus c JOIN documents d ON d.doc_id = c.doc_id
+  ) WHERE rk = 1
+),
+repdocs AS MATERIALIZED (
+  SELECT * FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM clus)
+     OR doc_id IN (SELECT doc_id FROM best)
+),
+"""
+
+
+def _sql_kcore(prefix: str = "", src: str = "documents") -> str:
     rounds = []
     prev = "a0"
-    base = _sql_doc_graph_base() + """,
+    base = prefix + _sql_doc_graph_base(src) + """,
 a0 AS (SELECT DISTINCT u AS node FROM adj)"""
     for i in range(1, _KCORE_ROUNDS + 1):
         rounds.append(
@@ -949,6 +1033,16 @@ def specs():
         QuerySpec("data_profile", q_data_profile, _sql_data_profile()),
         QuerySpec("dq_checks", q_dq_checks, SQL_DQ_CHECKS),
         QuerySpec("kcore_docs", q_kcore_docs, _sql_kcore()),
+        QuerySpec(
+            "kcore_docs_deduped",
+            q_kcore_docs_deduped,
+            _sql_kcore(prefix=_sql_rep_ctes(), src="repdocs"),
+        ),
+        QuerySpec(
+            "lpa_communities_deduped",
+            q_lpa_communities_deduped,
+            _sql_lpa(prefix=_sql_rep_ctes(), src="repdocs"),
+        ),
         QuerySpec("scd2_intervals", q_scd2_intervals, SQL_SCD2_INTERVALS),
         QuerySpec("hll_by_source", q_hll_by_source, _sql_hll_by_source()),
         QuerySpec("snm_candidates", q_snm_candidates, SQL_SNM_CANDIDATES),
@@ -1303,8 +1397,9 @@ FROM pos a JOIN pos b
 _LPA_ROUNDS = 4
 
 
-def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _kcore_edges(spark, sf_dir)
+def _lpa_label(edges: DataFrame) -> DataFrame:
+    """The synchronous LPA rounds over a prebuilt edge list — shared
+    by the exact-graph and dedup-before-graph variants (r14)."""
     adj = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
@@ -1338,8 +1433,22 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_lpa() -> str:
-    base = _sql_doc_graph_base() + """,
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lpa_label(_kcore_edges(spark, sf_dir))
+
+
+def q_lpa_communities_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPA over the DEDUPED doc-similarity graph (see
+    q_kcore_docs_deduped): keep-best representatives replace replica
+    families before the edge build, so community structure reflects
+    distinct content rather than replication multiplicity."""
+    return _lpa_label(
+        _kcore_edges(spark, sf_dir, docs=_rep_docs(spark, sf_dir))
+    )
+
+
+def _sql_lpa(prefix: str = "", src: str = "documents") -> str:
+    base = prefix + _sql_doc_graph_base(src) + """,
 l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj)"""
     rounds = []
     prev = "l0"

@@ -20,7 +20,7 @@ from lab04_spark_streaming_spark.functions.guards import (
     sql_stable_round,
     stable_round,
 )
-from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
+from lab04_spark_streaming_spark.operators.pinning import PIN_SER as _PIN_SER
 from lab04_spark_streaming_spark.operators.textops import (
     expr_tokens,
     sql_tokens,

@@ -33,7 +33,7 @@ from lab04_spark_streaming_spark.operators.textops import (
     expr_tokens,
     sql_tokens,
 )
-from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
+from lab04_spark_streaming_spark.operators.pinning import PIN_SER as _PIN_SER
 from lab04_spark_streaming_spark.sources.files import load_table
 
 _SPARK_TOKS = expr_tokens("text")

@@ -42,7 +42,7 @@ from lab04_spark_streaming_spark.operators.textops import (
     sql_norm_digest,
     sql_tokens,
 )
-from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
+from lab04_spark_streaming_spark.operators.pinning import PIN_SER as _PIN_SER
 from lab04_spark_streaming_spark.sources.files import (
     load_table,
     parquet_row_count,

@@ -62,6 +62,7 @@ import glob
 import json
 import math
 import os
+import re
 import shutil
 import sys
 import time
@@ -366,6 +367,12 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/scale_probe.json")
     ap.add_argument("--fixture-dir", default=None)
     ap.add_argument(
+        "--rebuild",
+        action="store_true",
+        help="allow wiping *.parquet in a --fixture-dir this script "
+        "did not create (no _fixture_meta.json and no scale{N}x name)",
+    )
+    ap.add_argument(
         "--probes",
         default=None,
         help="comma-separated subset of probes (default: all)",
@@ -385,9 +392,17 @@ def main() -> None:
     want = set().union(*(PROBE_TABLES[n] for n in running))
 
     fixture = args.fixture_dir or f"/tmp/scale{args.factor}x"
+    # Never treat the 1x base dataset as a scratch fixture dir — the
+    # wipe below would irreversibly delete the data build_fixture then
+    # tries to read (r13 advisor, medium).
+    if os.path.realpath(fixture) == os.path.realpath(BASE_SF_DIR):
+        ap.error(
+            f"--fixture-dir {fixture} is the base dataset dir "
+            f"({BASE_SF_DIR}); pick a scratch directory"
+        )
     # Meta-based reuse: a dir built under an older generation scheme
-    # (or missing its marker entirely) is wiped and rebuilt — file
-    # existence alone resurrects stale-keyed tables (r12 advisor).
+    # is wiped and rebuilt — file existence alone resurrects
+    # stale-keyed tables (r12 advisor).
     meta_path = f"{fixture}/_fixture_meta.json"
     built: set[str] = set()
     if os.path.exists(meta_path):
@@ -400,6 +415,24 @@ def main() -> None:
             built = set(meta.get("built", []))
     if not built and os.path.isdir(fixture):
         stale = glob.glob(f"{fixture}/*.parquet")
+        # Refuse to wipe a directory this script did not create: only
+        # delete when a marker proves ownership (stale generation /
+        # factor), the dir name follows the scale{N}x convention this
+        # script generates, or the user passed --rebuild explicitly
+        # (r13 advisor, medium — a user pointing --fixture-dir at
+        # their own parquet dir must not lose it to a stderr notice).
+        ours = (
+            os.path.exists(meta_path)
+            or re.search(r"scale\d+x/?$", fixture) is not None
+            or args.rebuild
+        )
+        if stale and not ours:
+            ap.error(
+                f"--fixture-dir {fixture} contains {len(stale)} parquet "
+                "files but no _fixture_meta.json marker from this "
+                "script; refusing to wipe it (pass --rebuild to force, "
+                "or pick an empty/scale{N}x-named scratch dir)"
+            )
         if stale:
             print(
                 f"[fixture] wiping {len(stale)} stale files in {fixture} "

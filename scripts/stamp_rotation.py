@@ -85,8 +85,24 @@ def compute_window(
 
     pick([n for n in stamped if n in changed_set])
     pick([n for n in stamped if n not in changed_set])
-    # brand-new queries (no stamp yet) outrank everything
+    # Brand-new queries (no stamp yet) outrank everything; they evict
+    # fillers/wedges from the tail.  If that would evict part of the
+    # oldest cohort itself, the window cannot satisfy its own
+    # covers-oldest-cohort invariant — fail loudly instead of emitting
+    # a window the test will (rightly) reject (r13 advisor note).
     new = [n for n in registry_order if n not in stamps]
+    oldest_cohort = [n for n in registry_order if stamps.get(n) == oldest]
+    # (a cohort larger than the window alone is already impossible to
+    # cover in one round — the test carries that escape hatch — so the
+    # guard fires only when NEW registrations cause the eviction)
+    if len(oldest_cohort) <= window and len(new) + len(oldest_cohort) > window:
+        raise SystemExit(
+            f"window overflow: {len(new)} new queries + "
+            f"{len(oldest_cohort)} oldest-cohort (r{oldest}) queries "
+            f"exceed the {window}-slot window; the oldest cohort must "
+            "stay covered — split the new-query registration across "
+            "rounds or raise WINDOW for this round"
+        )
     return (new + out)[:window]
 
 

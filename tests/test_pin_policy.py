@@ -34,8 +34,19 @@ def _pin_sites():
         for i, line in enumerate(lines):
             if "localCheckpoint(" not in line or line.strip().startswith("#"):
                 continue
-            # join the statement across continuation lines
-            stmt = " ".join(lines[i : i + 3])
+            # join the statement until the call's parentheses balance
+            # (a fixed line window silently skips or misclassifies a
+            # call whose kwargs land further down — r13 advisor note)
+            start = line.index("localCheckpoint(")
+            depth = 0
+            parts = []
+            for j in range(i, min(i + 40, len(lines))):
+                seg = lines[j][start:] if j == i else lines[j]
+                parts.append(seg)
+                depth += seg.count("(") - seg.count(")")
+                if depth <= 0 and j > i or (j == i and depth == 0):
+                    break
+            stmt = " ".join(parts)
             # only real pin calls (docstring mentions carry no eager=)
             if "eager=" not in stmt:
                 continue
@@ -65,5 +76,7 @@ def test_pin_ser_is_the_serialized_level():
     SERIALIZED level (deserialized is MEMORY_AND_DISK_DESER, the
     localCheckpoint default)."""
     from lab04_spark_streaming_spark.operators.dedup import _PIN_SER
+    from lab04_spark_streaming_spark.operators.pinning import PIN_SER
 
-    assert _PIN_SER.deserialized is False
+    assert PIN_SER.deserialized is False
+    assert _PIN_SER is PIN_SER  # the dedup alias stays wired
