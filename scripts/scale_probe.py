@@ -130,6 +130,14 @@ PROBES = [
     "multimodal_decode_stub",
     "ppr_related_parts",
     "bfs_hops",
+    # sixth tier (r14): the dedup-before-graph variants (the r13
+    # verdict's one `weak` — the exact graph is output-quadratic on
+    # replica-heavy corpora; these must show the 100x wall far below
+    # the exact graph's 1358 s), plus the exact LPA (never probed —
+    # it shares kcore's edge build but not its peel loop).
+    "kcore_docs_deduped",
+    "lpa_communities",
+    "lpa_communities_deduped",
 ]
 
 # (r11) semdedup_keep_best itself now scales its cell count with the
@@ -225,6 +233,10 @@ PROBE_TABLES = {
     # triangle-count edge relation.
     "ppr_related_parts": {"lineitem"},
     "bfs_hops": {"lineitem"},
+    # r14: dedup-before-graph variants + the exact LPA.
+    "kcore_docs_deduped": {"documents"},
+    "lpa_communities": {"documents"},
+    "lpa_communities_deduped": {"documents"},
 }
 
 
