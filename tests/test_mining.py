@@ -272,6 +272,54 @@ def test_kcore_plan_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_rep_docs_one_representative_per_cluster(spark, sf_dir):
+    """The dedup-before-graph base (r14): exactly one member of every
+    near-dup cluster survives (the keep-best winner — longest by
+    n_chars, doc_id tie-break), every unclustered doc survives, and no
+    doc appears twice."""
+    from lab04_spark_streaming_spark.plans.llm import q_dedup_clusters
+
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in mining._docs(spark, sf_dir).select("doc_id", "n_chars").collect()
+    }
+    clusters = defaultdict(list)
+    for r in q_dedup_clusters(spark, sf_dir).collect():
+        clusters[r["cluster_id"]].append(r["doc_id"])
+    clustered = {d for mem in clusters.values() for d in mem}
+    expected = set(docs) - clustered
+    for mem in clusters.values():
+        expected.add(max(mem, key=lambda d: (docs[d], -d)))
+    kept = [r["doc_id"] for r in mining._rep_docs(spark, sf_dir).collect()]
+    assert len(kept) == len(set(kept))
+    assert set(kept) == expected
+
+
+def test_kcore_deduped_equals_peel_over_rep_graph(spark, sf_dir):
+    """The deduped k-core must equal the exact peel recomputed in
+    Python over the edge relation built from the representative doc
+    set — i.e. the variant differs from q_kcore_docs ONLY in its
+    input corpus."""
+    reps = mining._rep_docs(spark, sf_dir)
+    edges = mining._kcore_edges(spark, sf_dir, docs=reps).collect()
+    adj = defaultdict(set)
+    for r in edges:
+        adj[r["src"]].add(r["dst"])
+        adj[r["dst"]].add(r["src"])
+    nodes = set(adj)
+    while True:
+        kill = {n for n in nodes if len(adj[n] & nodes) < mining._KCORE_K}
+        if not kill:
+            break
+        nodes -= kill
+    expected = {n: len(adj[n] & nodes) for n in nodes}
+    got = {
+        r["doc_id"]: r["core_deg"]
+        for r in mining.q_kcore_docs_deduped(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
 # --- wave 4: SCD2 / HLL merge / SNM / LPA -----------------------------------
 def test_scd2_intervals_tile_and_alternate(spark, sf_dir):
     """Per user: intervals tile (valid_to == next valid_from), exactly
