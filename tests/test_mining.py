@@ -421,6 +421,33 @@ def test_lpa_communities_respect_components(spark, sf_dir):
     assert n_communities >= n_components
 
 
+def test_lpa_deduped_respects_components_of_rep_graph(spark, sf_dir):
+    """The deduped LPA must satisfy the same label/component invariant
+    over the REPRESENTATIVE edge relation, and must label only
+    representative docs (no eliminated near-dup member may appear)."""
+    reps = {r["doc_id"] for r in mining._rep_docs(spark, sf_dir).collect()}
+    edges = mining._kcore_edges(
+        spark, sf_dir, docs=mining._rep_docs(spark, sf_dir)
+    ).collect()
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edges:
+        parent[find(r["src"])] = find(r["dst"])
+    rows = mining.q_lpa_communities_deduped(spark, sf_dir).collect()
+    assert rows and {r["doc_id"] for r in rows} <= reps
+    comp_of_label = {}
+    for r in rows:
+        assert comp_of_label.setdefault(r["community"], find(r["doc_id"])) == find(
+            r["doc_id"]
+        )
+
+
 def test_readme_registry_count_matches():
     """README's stated registered-query count must track the registry
     (VERDICT r5 item 8 hygiene)."""
