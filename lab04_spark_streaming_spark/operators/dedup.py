@@ -93,6 +93,16 @@ def minhash_signatures(
         f"array_min(transform(_hs, h -> pmod({a}L * h + {b}L, {MINHASH_P}L)))"
         for a, b in MINHASH_COEFFS[:k]
     )
+    # Split restoration (r14): the signature pipeline is the CPU-dense
+    # part (tokenize → shingle → k hashes per doc, all interpreted
+    # higher-order exprs) and a single-row-group corpus scan is ONE
+    # input split — measured 1.2 s single-task at sf0.1.  Hash on the
+    # id (deterministic, no round-robin pre-sort), sized to the
+    # session parallelism, same pattern as simhash_pairs /
+    # jaccard_ngram_pairs below.
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     return (
         df.select(
             F.col(id_col), F.expr(expr_tokens(text_col)).alias("_toks")
@@ -143,7 +153,14 @@ def minhash_candidate_pairs(
     filters sig[1] IS NOT NULL, which is equivalent (sig[1] is NULL iff
     the shingle set is empty iff the doc has <3 tokens)."""
     docs = df.filter(F.expr(f"size({expr_tokens(text_col)}) >= 3"))
-    bands = lsh_bands(minhash_signatures(docs, text_col, id_col), id_col)
+    # The banded relation feeds BOTH self-join sides — without a pin
+    # the whole signature pipeline (the expensive part) is computed
+    # once PER SIDE (measured r14: 2 x 1.2 s single-task stages of a
+    # 3.0 s sf0.1 run; the simhash_pairs lesson).  n x bands rows
+    # (row-proportional) -> serialized (_PIN_SER).
+    bands = lsh_bands(minhash_signatures(docs, text_col, id_col), id_col).localCheckpoint(
+        eager=False, storageLevel=_PIN_SER
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

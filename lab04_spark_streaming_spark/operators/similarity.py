@@ -434,7 +434,18 @@ def _quantized_pos(
     emb: DataFrame, id_col: str, vec_col: str, q: float = 10_000_000.0
 ) -> DataFrame:
     """Positional explode with 1e-7 integer quantization — the exact
-    cross-engine arithmetic base shared by the similarity operators."""
+    cross-engine arithmetic base shared by the similarity operators.
+
+    Deliberately NOT split-restored (r14 optimization round): a forced
+    repartition here was tried and measured SLOWER at sf0.1 (the
+    assignment-round microbench settles at ~1.2 s serial vs ~2-3.5 s
+    with an 8- or 32-way repartition — the exchange + extra AQE stages
+    cost more than the ~300 ms of single-core fan-out work they
+    parallelize on a 2k-vector input), and at the 10x/100x probe tiers
+    the fixture scans already arrive multi-split, so the serial-scan
+    case this would guard against does not occur there (measured
+    exponents 0.65/0.59 without it). At cluster scale the repartition
+    would ADD a full shuffle of the vector payloads before the pin."""
     return emb.select(
         F.col(id_col),
         F.posexplode(F.col(vec_col)).alias("pos", "xf"),

@@ -132,7 +132,25 @@ def _stats_flat(
             windows=_spark_windows(windows),
             chunk_slots=None if until else CHUNK_SLOTS,
         )
-    return moving_stats_flat(
+    # r14 optimization: serve the naive branch via the single-shuffle
+    # exploded variant (bit-identical to the window() union —
+    # tests/test_fast_path.py / test_plans.py) over a split-restored
+    # input.  Measured at sf0.1 the union form ran THREE serial expand
+    # stages (one per window branch, each its own scan of the
+    # one-row-group events file: 1.36 + 0.53 + 0.32 s single-task) and
+    # three exchanges; the exploded form is one scan -> one exchange,
+    # and the round-robin repartition parallelizes the x(D/S) expand
+    # across the session's cores (guide §2.4 remove shuffles outright +
+    # §2.5 input-split skew).  At cluster scale the repartition's n-row
+    # shuffle is dwarfed by the expansion it parallelizes; partial
+    # aggregation still collapses the expanded rows before the one
+    # exchange.
+    from lab04_spark_streaming_spark.operators.moving_stats import (
+        moving_stats_exploded,
+    )
+
+    ev = ev.repartition(spark.sparkContext.defaultParallelism)
+    return moving_stats_exploded(
         ev, "ts", ["event_type"], "value", windows=_spark_windows(windows)
     )
 
