@@ -1947,6 +1947,22 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregates per partition. The rank window sees {r} rows."""
     ev = _events(spark, sf_dir).filter(F.col("event_type") == _BOOT_TYPE)
     reps = spark.range(_BOOT_REPS).select(F.col("id").alias("rep"))
+    # Split restoration (r14 opt round, guide §2.5 input skew): the
+    # type-filtered slice of a one/few-row-group events file arrives as
+    # a single input split, so the x{r} replicate fan-out (a per-(rep,
+    # event_id) md5 + threshold ladder — the query's entire compute)
+    # ran as ONE task (measured 1.8 s of a 2.1 s sf0.1 profile).  Hash
+    # on the id (deterministic — no round-robin re-sort) sized to the
+    # session parallelism; the n-row shuffle is ~1/{r}th of the
+    # expansion work it parallelizes at any scale.  Decimal partial
+    # aggregation is order-independent, so results are unchanged.
+    par = (
+        ev.repartition(
+            spark.sparkContext.defaultParallelism, F.col("event_id")
+        )
+        if _BOOT_REPS >= 10
+        else ev
+    )
     h = F.expr(
         "cast(conv(substring(md5(concat('boot|', cast(rep as string), '|',"
         " cast(event_id as string))), 1, 8), 16, 10) as bigint)"
@@ -1957,7 +1973,7 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = F.col("value").cast("decimal(30,6)")
     per = (
-        ev.crossJoin(F.broadcast(reps))
+        par.crossJoin(F.broadcast(reps))
         .withColumn("w", wexpr)
         .groupBy("rep")
         .agg(

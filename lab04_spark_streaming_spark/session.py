@@ -73,6 +73,22 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r14 (opt round, guide §2.2/§2.5): AQE's coalescer is byte-based
+        # — with parallelismFirst it targets max(bytes/parallelism,
+        # minPartitionSize), and the default 1m floor collapses this
+        # engine's CPU-DENSE, BYTE-LIGHT relations (decimal moment
+        # cumsums, sorted-adjacency intersections, md5 threshold
+        # ladders, packed-vector folds) onto 1-10 tasks: measured at
+        # sf0.1, triangle_count's 11.9 MB intersection input coalesced
+        # to 10 tasks and zscore's 2.9 MB as-of fill to 3, leaving 32
+        # cores idle during the most compute-heavy stages.  A 64k floor
+        # lets the target fall back to bytes/parallelism for these
+        # stages; at cluster scale post-shuffle partitions are far above
+        # 1 MB, so the floor is inert there (env-overridable either way).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
