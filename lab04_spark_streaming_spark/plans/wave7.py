@@ -214,36 +214,48 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (part-bounded relation, no broadcast hint — AQE decides); the
     global top-k is orderBy+limit (TakeOrderedAndProject), rank only
     over the 20 survivors."""
-    # The basket relation feeds FOUR consumers (n_orders, marginals,
-    # both self-join sides) — pin one scan+distinct with a lazy
-    # checkpoint instead of replaying it per consumer.  SERIALIZED
-    # storage (PySpark's MEMORY_AND_DISK; the localCheckpoint default
-    # is the deserialized MEMORY_AND_DISK_DESER): the r10 100x scale
-    # probe flagged exactly this pin — ~60M deserialized basket rows
-    # of single-JVM cache pressure — and the serialized holder unrolls
-    # through chunked byte buffers with incremental memory checks and
-    # spills gracefully instead of buffering each partition as a
-    # vector of row objects (same fix as triangle_count's pins,
-    # wave9.py, where the deser unroll OOM'd a 24g heap).
+    # r14 opt round (guide §2.4 — remove shuffles outright): the
+    # basket relation is now ONE row per order holding its sorted
+    # distinct part array (collect_set dedups within the order, so the
+    # separate DISTINCT exchange disappears), and the within-order pair
+    # fan-out is an array comprehension over that row instead of a
+    # basket⋈basket self-join — which needed a second full shuffle of
+    # the basket relation onto l_orderkey plus a join probe per
+    # (order × width²).  Shuffles on the row-proportional relation:
+    # was scan→distinct + join re-shuffle; now ONE groupBy(l_orderkey)
+    # with map-side partial collect_set.  The comprehension runs
+    # post-shuffle across all reduce partitions, and its width is the
+    # basket bound (≤ ~13 for TPC-H), so the interpreted HOF cost is
+    # C(13,2) structs/order worst case.  n_orders falls out as a plain
+    # count of the pinned rows (no distinct pass).  Same pairs, same
+    # marginals, same oracle — re-proven vs DuckDB after the rewrite.
+    # Pin storage: orders-proportional rows (~13 ints payload each) —
+    # SERIALIZED (PySpark's MEMORY_AND_DISK; the r10 100x probe flagged
+    # the deserialized default's unroll pressure on this very pin).
     basket = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("_parts"))
         .localCheckpoint(
             eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
         )
     )
-    n_orders = basket.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders")
+    n_orders = basket.agg(F.count(F.lit(1)).alias("n_orders"))
+    marg = (
+        basket.select(F.explode("_parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("m"))
     )
-    marg = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("m"))
+    _pair_structs = (
+        "flatten(transform(_parts, (x, i) -> "
+        "transform(slice(_parts, i + 2, size(_parts) - i - 1), "
+        "y -> struct(x as p1, y as p2))))"
+    )
     pairs = (
-        basket.alias("a")
-        .join(basket.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        basket.select(F.explode(F.expr(_pair_structs)).alias("_pr"))
         .groupBy(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b.l_partkey").alias("p2"),
+            F.col("_pr.p1").alias("p1"),
+            F.col("_pr.p2").alias("p2"),
         )
         .agg(F.count(F.lit(1)).alias("n_pair"))
     )

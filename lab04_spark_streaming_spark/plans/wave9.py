@@ -792,13 +792,27 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     count() pass and the decision's dependence on it; the remaining
     construction-time work is exactly the pinned relations the
     query itself reuses."""
-    li = (
+    # r14 opt round (guide §2.4 — remove shuffles outright): pair
+    # generation used to be li.distinct ⋈ li.distinct on ok — a
+    # repartition + a (ok, pk) DISTINCT exchange + a join re-shuffle of
+    # the row-proportional relation.  One groupBy(ok) with map-side
+    # partial collect_set replaces all three: the set dedups (ok, pk)
+    # within the order, the sorted array fans out its C(w, 2) pairs as
+    # an array comprehension (w ≤ TPC-H basket width ~13, so the
+    # interpreted HOF cost is bounded per order), and the explosion
+    # runs post-shuffle across all reduce partitions.  Same pair set
+    # (u < v over distinct within-order parts), re-proven vs the
+    # unchanged DuckDB oracle.  Measured in the copurchase_lift twin
+    # of this rewrite first: 12 → 10 exchanges, ~20% faster at sf0.1.
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-        )
-        .repartition(spark.sparkContext.defaultParallelism, "ok")
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("_parts"))
+    )
+    _pair_structs = (
+        "flatten(transform(_parts, (x, i) -> "
+        "transform(slice(_parts, i + 2, size(_parts) - i - 1), "
+        "y -> struct(x as u, y as v))))"
     )
     # pairs feeds degree + orientation; oriented feeds the adjacency
     # build AND the intersection pass — pin both (multi-consumer
@@ -814,10 +828,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # form is MEMORY_AND_DISK_DESER, the localCheckpoint default).
     _PIN = StorageLevel.MEMORY_AND_DISK
     pairs = (
-        li.alias("a")
-        .join(li.alias("b"), "ok")
-        .filter(F.col("a.pk") < F.col("b.pk"))
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        baskets.select(F.explode(F.expr(_pair_structs)).alias("_pr"))
+        .select(F.col("_pr.u").alias("u"), F.col("_pr.v").alias("v"))
         .distinct()
         .localCheckpoint(eager=False, storageLevel=_PIN)
     )
@@ -848,16 +860,23 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False, storageLevel=_PIN)
     )
     # Broadcast the adjacency only while it fits. Past the cap the same
-    # intersection plan runs as a shuffle join on s then t — at a 100x
-    # upscale the forced broadcast OOM'd an 8 GiB driver (caught by
-    # scripts/scale_probe.py --factor 100, round 10), exactly the
-    # degradation the docstring promises to avoid. The edge count is
-    # ESTIMATED from the parquet footer (docstring: ~2 edges/row,
-    # action-free) instead of the r10 pairs.count() job.
+    # intersection plan runs as a SORT-MERGE shuffle join on s then t —
+    # at a 100x upscale the forced broadcast OOM'd an 8 GiB driver
+    # (caught by scripts/scale_probe.py --factor 100, round 10),
+    # exactly the degradation the docstring promises to avoid. The edge
+    # count is ESTIMATED from the parquet footer (docstring: ~2
+    # edges/row, action-free) instead of the r10 pairs.count() job.
+    # The past-cap branch pins the strategy with an explicit merge hint
+    # (r14: the groupBy-based pair build propagates a SMALLER Catalyst
+    # size estimate through the pins than the old join-of-distincts
+    # did, so on a small fixture the planner would happily auto-
+    # broadcast the very relation this branch exists to keep off the
+    # driver; the hint makes "past the cap ⇒ spill-safe shuffle join"
+    # hold by construction instead of by estimate).
     _maybe_b = (
         F.broadcast
         if _estimate_copurchase_edges(sf_dir) <= _BCAST_EDGE_CAP
-        else (lambda d: d)
+        else (lambda d: d.hint("merge"))
     )
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     n_wedges = adj.agg(
