@@ -1404,21 +1404,25 @@ def q_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_t = α·y_t + (1−α)(l_{{t−1}}+b_{{t−1}}), b_t = β(l_t−l_{{t−1}})
     + (1−β)b_{{t−1}} (l₁ = y₁, b₁ = 0), and the one-step forecast
     f_t = l_{{t−1}}+b_{{t−1}} is scored by MAE/RMSE over the last
-    {h} hours. The recursion is inherently sequential IN HOURS, so it
-    runs per-series in an Arrow applyInPandas over the ALREADY
+    {h} hours. The recursion is inherently sequential IN HOURS; its
+    state is the tiny (level, trend) pair, so it runs as a pure-JVM
+    LEFT FOLD — collect_list → array_sort → aggregate() — over the ALREADY
     AGGREGATED hourly relation (≤ series × hours rows — tiny at any
     corpus size; the heavy lifting stays in the exact-decimal hourly
-    aggregate). α = β = 0.5 are exact binary rationals and Python,
-    Spark and DuckDB evaluate the identical IEEE expression order, so
-    levels/trends/forecasts are bit-identical to the oracle's
-    RECURSIVE CTE; error sums ride per-term decimal casts.
+    aggregate). r14 opt round (guide §4.1): this replaced the Arrow
+    applyInPandas recursion — the engine's last Python-boundary
+    stage — with a SQL fold in the identical IEEE expression order
+    (including the oracle CTE's textual re-expansion of l_t inside
+    b_t; α = β = 0.5 are exact binary rationals), so levels/trends/
+    forecasts stay bit-identical to the oracle's RECURSIVE CTE and to
+    the old Python loop; error sums ride per-term decimal casts. At
+    scale this also drops the ~1 ms/series Python-group overhead and
+    the Arrow transposes.
 
-    Scale: one shuffle to (type, hour); the Python stage sees one
+    Scale: one shuffle to (type, hour); the fold sees one
     bounded series per type. (Oracle note: ``hourly`` is
     MATERIALIZED — without it DuckDB re-evaluates the aggregate in
     every one of the ~720 recursion steps, 14x slower.)"""
-    import pandas as pd
-
     hourly = (
         _events(spark, sf_dir)
         .groupBy(
@@ -1432,31 +1436,48 @@ def q_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("h").reset_index(drop=True)
-        ys = pdf["y"].tolist()
-        et = pdf["event_type"].iloc[0]
-        out = []
-        l = ys[0]
-        b = 0.0
-        out.append((et, 1, ys[0], None, l, b))
-        for t in range(1, len(ys)):
-            y = ys[t]
-            f = l + b
-            l_new = 0.5 * y + 0.5 * (l + b)
-            b_new = 0.5 * (l_new - l) + 0.5 * b
-            l, b = l_new, b_new
-            out.append((et, t + 1, y, f, l, b))
-        return pd.DataFrame(
-            out, columns=["event_type", "rn", "y", "f", "l", "b"]
+    # collect_list order is nondeterministic — array_sort on
+    # struct(h, y) pins it (h is unique within a type). The fold's
+    # accumulator carries (l, b) plus the emitted rows; l_t is
+    # re-expanded textually inside b_t exactly as the oracle CTE
+    # writes it, so both engines evaluate the same IEEE tree.
+    _fold = """
+        aggregate(
+          slice(_hy, 2, size(_hy) - 1),
+          named_struct(
+            'l', _hy[0].y, 'b', cast(0.0 as double),
+            'rows', array(named_struct(
+              'rn', cast(1 as bigint), 'y', _hy[0].y,
+              'f', cast(null as double), 'l', _hy[0].y,
+              'b', cast(0.0 as double)))),
+          (acc, e) -> named_struct(
+            'l', 0.5D * e.y + 0.5D * (acc.l + acc.b),
+            'b', 0.5D * ((0.5D * e.y + 0.5D * (acc.l + acc.b)) - acc.l)
+                 + 0.5D * acc.b,
+            'rows', array_append(acc.rows, named_struct(
+              'rn', cast(size(acc.rows) + 1 as bigint), 'y', e.y,
+              'f', acc.l + acc.b,
+              'l', 0.5D * e.y + 0.5D * (acc.l + acc.b),
+              'b', 0.5D * ((0.5D * e.y + 0.5D * (acc.l + acc.b)) - acc.l)
+                   + 0.5D * acc.b))),
+          acc -> acc.rows)
+    """
+    series = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("h", "y"))).alias("_hy")
+    )
+    rec = (
+        series.select("event_type", F.explode(F.expr(_fold)).alias("_r"))
+        .select(
+            "event_type",
+            F.col("_r.rn").alias("rn"),
+            F.col("_r.y").alias("y"),
+            F.col("_r.f").alias("f"),
+            F.col("_r.l").alias("l"),
+            F.col("_r.b").alias("b"),
         )
-
-    rec = hourly.groupBy("event_type").applyInPandas(
-        holt,
-        "event_type string, rn long, y double, f double, l double, "
-        "b double",
-    # pin-bounded: hours x types rows (time-span-bounded)
-    ).localCheckpoint(eager=False)
+        # pin-bounded: hours x types rows (time-span-bounded)
+        .localCheckpoint(eager=False)
+    )
     n = rec.groupBy("event_type").agg(F.max("rn").alias("n_hours"))
     tail = rec.join(n, "event_type").filter(
         (F.col("rn") > F.col("n_hours") - _HOLT_H) & F.col("f").isNotNull()

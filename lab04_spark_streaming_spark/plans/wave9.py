@@ -860,23 +860,28 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False, storageLevel=_PIN)
     )
     # Broadcast the adjacency only while it fits. Past the cap the same
-    # intersection plan runs as a SORT-MERGE shuffle join on s then t —
-    # at a 100x upscale the forced broadcast OOM'd an 8 GiB driver
+    # intersection plan runs as a SHUFFLED-HASH join on s then t — at
+    # a 100x upscale the forced broadcast OOM'd an 8 GiB driver
     # (caught by scripts/scale_probe.py --factor 100, round 10),
     # exactly the degradation the docstring promises to avoid. The edge
     # count is ESTIMATED from the parquet footer (docstring: ~2
     # edges/row, action-free) instead of the r10 pairs.count() job.
-    # The past-cap branch pins the strategy with an explicit merge hint
+    # The past-cap branch pins the strategy with an explicit hint
     # (r14: the groupBy-based pair build propagates a SMALLER Catalyst
     # size estimate through the pins than the old join-of-distincts
     # did, so on a small fixture the planner would happily auto-
     # broadcast the very relation this branch exists to keep off the
     # driver; the hint makes "past the cap ⇒ spill-safe shuffle join"
-    # hold by construction instead of by estimate).
+    # hold by construction instead of by estimate).  SHUFFLE_HASH over
+    # MERGE (guide §3.1): each partition's build side is its adjacency
+    # slice — node-bounded, spillable since Spark 3.2 — while MERGE
+    # would sort the full edge-proportional oriented relation on both
+    # join keys (a measured 100x probe with the merge hint read 270 s
+    # vs ~190 s expected from the family exponent).
     _maybe_b = (
         F.broadcast
         if _estimate_copurchase_edges(sf_dir) <= _BCAST_EDGE_CAP
-        else (lambda d: d.hint("merge"))
+        else (lambda d: d.hint("shuffle_hash"))
     )
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     n_wedges = adj.agg(
