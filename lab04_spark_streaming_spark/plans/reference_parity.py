@@ -132,25 +132,29 @@ def _stats_flat(
             windows=_spark_windows(windows),
             chunk_slots=None if until else CHUNK_SLOTS,
         )
-    # r14 optimization: serve the naive branch via the single-shuffle
-    # exploded variant (bit-identical to the window() union —
-    # tests/test_fast_path.py / test_plans.py) over a split-restored
-    # input.  Measured at sf0.1 the union form ran THREE serial expand
-    # stages (one per window branch, each its own scan of the
-    # one-row-group events file: 1.36 + 0.53 + 0.32 s single-task) and
-    # three exchanges; the exploded form is one scan -> one exchange,
-    # and the round-robin repartition parallelizes the x(D/S) expand
-    # across the session's cores (guide §2.4 remove shuffles outright +
-    # §2.5 input-split skew).  At cluster scale the repartition's n-row
-    # shuffle is dwarfed by the expansion it parallelizes; partial
-    # aggregation still collapses the expanded rows before the one
-    # exchange.
-    from lab04_spark_streaming_spark.operators.moving_stats import (
-        moving_stats_exploded,
-    )
-
-    ev = ev.repartition(spark.sparkContext.defaultParallelism)
-    return moving_stats_exploded(
+    # r14 optimization, RE-ADJUDICATED by the standing probe-on-change
+    # rule: an earlier r14 session served this branch via
+    # moving_stats_exploded over a round-robin repartition (sf0.1
+    # median 1.07 s vs the union's 2.07 in the same session), but the
+    # 10x probe read exponent 1.12 (14.4 s) against the union's flat
+    # history (0.15/0.14/0.40 across three decades) and the timings
+    # were erratic (3.4-23 s swings): the exploded form's sequence()
+    # explode ALLOCATES an array per input row (GC-bound at x39
+    # expansion), and the keyless repartition pays round-robin's
+    # sort-before-repartition (guide §2.5).  The window() union expands
+    # through allocation-free codegen Expand — measured stable and
+    # fastest at every probed tier — so it serves again, over a
+    # DETERMINISTIC-hash split restoration (guide §2.5 input skew /
+    # SPARK-38388) applied only when the scan cannot feed the cores
+    # (the one-row-group local fixture; at cluster scale inputs arrive
+    # with parts >= cores and this is a no-op).  AQE exchange reuse
+    # dedups the three branch subtrees to one shuffle write.
+    cores = spark.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < cores:
+        ev = ev.repartition(
+            cores, F.pmod(F.xxhash64("event_id"), F.lit(cores * 100))
+        )
+    return moving_stats_flat(
         ev, "ts", ["event_type"], "value", windows=_spark_windows(windows)
     )
 
