@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 # plan modules no longer import a dedup-private name for a storage
 # level).
 from lab04_spark_streaming_spark.operators.pinning import PIN_SER as _PIN_SER
+from lab04_spark_streaming_spark.operators.splits import restore_splits
 
 from lab04_spark_streaming_spark.operators.textops import (
     expr_hash_int,
@@ -99,10 +100,10 @@ def minhash_signatures(
     # input split — measured 1.2 s single-task at sf0.1.  Hash on the
     # id (deterministic, no round-robin pre-sort), sized to the
     # session parallelism, same pattern as simhash_pairs /
-    # jaccard_ngram_pairs below.
-    df = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    # jaccard_ngram_pairs below.  r15 (verdict item 4): conditional —
+    # multi-split cluster inputs must not pay an ADDED full shuffle of
+    # the document text in front of the pipeline.
+    df = restore_splits(df, id_col)
     return (
         df.select(
             F.col(id_col), F.expr(expr_tokens(text_col)).alias("_toks")
@@ -228,16 +229,11 @@ def simhash_pairs(
     )
     # The banded relation feeds BOTH self-join sides; the expensive part
     # (tokenize + 32-bit aggregate per doc) must run once, in parallel —
-    # restore split parallelism off a single-row-group scan, then pin
+    # restore split parallelism off a single-row-group scan (r15:
+    # conditional — a no-op on multi-split cluster inputs), then pin
     # the tiny (id, simhash, band, band_val) relation (the
     # jaccard_prefix_join lesson; was ~27 s of replays at sf0.1).
-    sh = simhash(
-        nonempty.repartition(
-            df.sparkSession.sparkContext.defaultParallelism, id_col
-        ),
-        text_col,
-        id_col,
-    )
+    sh = simhash(restore_splits(nonempty, id_col), text_col, id_col)
     bands = sh.select(
         F.col(id_col),
         F.col("simhash"),
@@ -465,9 +461,7 @@ def jaccard_pairs(
     measured 138 s vs 17 s with the pin); same lesson as
     jaccard_prefix_join / decontamination (r6)."""
     sh0 = (
-        df.repartition(
-            df.sparkSession.sparkContext.defaultParallelism, id_col
-        )
+        restore_splits(df, id_col)
         .select(F.col(id_col), F.expr(expr_tokens(text_col)).alias("_toks"))
         .select(
             F.col(id_col),

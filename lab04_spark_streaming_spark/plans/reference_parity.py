@@ -19,6 +19,7 @@ from lab04_spark_streaming_spark.functions.guards import (
     stable_round,
 )
 from lab04_spark_streaming_spark.operators.moving_stats import moving_stats_flat
+from lab04_spark_streaming_spark.operators.splits import restore_splits
 from lab04_spark_streaming_spark.operators.zscore import (
     zscore_asof,
     zscore_exact_grid,
@@ -149,11 +150,12 @@ def _stats_flat(
     # (the one-row-group local fixture; at cluster scale inputs arrive
     # with parts >= cores and this is a no-op).  AQE exchange reuse
     # dedups the three branch subtrees to one shuffle write.
-    cores = spark.sparkContext.defaultParallelism
-    if ev.rdd.getNumPartitions() < cores:
-        ev = ev.repartition(
-            cores, F.pmod(F.xxhash64("event_id"), F.lit(cores * 100))
-        )
+    # r15 (ADVICE): hash the unique event_id directly — pmod(xxhash64,
+    # cores*100) collapsed the hash space to cores*100 buckets, adding
+    # ~10% expected partition-size variance for no benefit.  The guard
+    # (repartition only when the scan cannot feed the cores) now lives
+    # in the shared restore_splits helper.
+    ev = restore_splits(ev, "event_id")
     return moving_stats_flat(
         ev, "ts", ["event_type"], "value", windows=_spark_windows(windows)
     )

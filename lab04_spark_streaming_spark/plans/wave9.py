@@ -43,6 +43,7 @@ from lab04_spark_streaming_spark.operators.textops import (
     sql_tokens,
 )
 from lab04_spark_streaming_spark.operators.pinning import PIN_SER as _PIN_SER
+from lab04_spark_streaming_spark.operators.splits import restore_splits
 from lab04_spark_streaming_spark.sources.files import (
     load_table,
     parquet_row_count,
@@ -1980,13 +1981,9 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session parallelism; the n-row shuffle is ~1/{r}th of the
     # expansion work it parallelizes at any scale.  Decimal partial
     # aggregation is order-independent, so results are unchanged.
-    par = (
-        ev.repartition(
-            spark.sparkContext.defaultParallelism, F.col("event_id")
-        )
-        if _BOOT_REPS >= 10
-        else ev
-    )
+    # r15 (verdict item 4): conditional on the scan's actual split
+    # count — multi-split cluster inputs skip the shuffle entirely.
+    par = restore_splits(ev, "event_id") if _BOOT_REPS >= 10 else ev
     h = F.expr(
         "cast(conv(substring(md5(concat('boot|', cast(rep as string), '|',"
         " cast(event_id as string))), 1, 8), 16, 10) as bigint)"

