@@ -155,7 +155,26 @@ def _stats_flat(
     # ~10% expected partition-size variance for no benefit.  The guard
     # (repartition only when the scan cannot feed the cores) now lives
     # in the shared restore_splits helper.
-    ev = restore_splits(ev, "event_id")
+    #
+    # r15 (verdict item 5, measured): the split restoration is applied
+    # only to the UNBOUNDED full-table case.  For an `until`-bounded
+    # slice (nested's week) the repartition's extra exchange + barrier
+    # costs more than the single-split expand it parallelizes — 5-run
+    # sf0.1 medians: nested 2.46 with the repartition vs 1.66 without
+    # (the r13 shape the driver read at 1.95 s); flat (full month)
+    # keeps it per the r14 A/B (1.90 vs 2.07).  At cluster scale both
+    # branches are no-ops (multi-split inputs).
+    #
+    # A single-exchange "onepass" union variant (window() Expand in a
+    # projection, union BEFORE one groupBy) was built, measured and
+    # REJECTED this round: sf0.1 flat 2.10 -> 1.95 and nested 2.33 ->
+    # 1.85 looked good, but the same-fixture 100x A/B read 40.6 s vs
+    # the union's 13.4 s (exponent 0.64 vs 0.33) — the merged
+    # Union(Expand x3/x6/x30) map stage loses the per-leg codegen the
+    # separate aggregation legs get.  The union's committed probe
+    # history (0.15/0.14/0.40 across three decades) stands.
+    if until is None:
+        ev = restore_splits(ev, "event_id")
     return moving_stats_flat(
         ev, "ts", ["event_type"], "value", windows=_spark_windows(windows)
     )

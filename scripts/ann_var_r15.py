@@ -30,11 +30,12 @@ def main() -> None:
     times = []
     for i in range(RUNS):
         spark.sparkContext.setJobDescription(f"ann_var run {i}")
-        df = q(spark, SF_DIR)
         t0 = time.time()
+        df = q(spark, SF_DIR)
+        t1 = time.time()
         df.count()
-        dt = time.time() - t0
-        times.append(round(dt, 3))
+        dt = time.time() - t1
+        times.append({"construct": round(t1 - t0, 3), "count": round(dt, 3)})
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted"
         )
