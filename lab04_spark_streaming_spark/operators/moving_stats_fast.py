@@ -54,15 +54,30 @@ def bucket_moments(
     slide_s: int = 10,
 ) -> DataFrame:
     """Stage 1: exact moments per (key, slot). The only row-count-
-    proportional shuffle in the pipeline (with map-side partial agg)."""
+    proportional shuffle in the pipeline (with map-side partial agg).
+
+    r15 (verdict stretch item — zscore per-ROW cost; guide §2.3
+    narrower types): the per-tick casts are decimal(18,*), not (30,*).
+    Same scale ⇒ same quantum ⇒ identical values, sums and final
+    doubles (exceptAll 0/0 both ways at sf0.1; oracle MATCH — the
+    DuckDB twin keeps DECIMAL(30,*)), but precision ≤ 18 keeps Spark's
+    Decimal COMPACT (long-backed: primitive adds in the partial agg
+    instead of BigDecimal allocations, 8-byte inline UnsafeRow storage
+    instead of variable-length bytes in the bucket shuffle).  Bounds:
+    ticks carry |value| ≤ ~600 (vs the 10^14 cast capacity) and the
+    SUM buffer widens to decimal(28,*) — a per-(key, 10 s slot) bucket
+    would need ~10^17 rows of max-magnitude values to overflow, and
+    ANSI mode makes any overflow a loud error, never a wrong answer.
+    Measured: zscore_asof_join 4.35 → 4.14 s interleaved median at
+    sf0.1 (±5%; the separate-session read was 5.62 → 4.79)."""
     v = F.col(value_col)
     return (
         df.withColumn("_slot", F.floor(F.unix_timestamp(F.col(ts_col)) / slide_s))
         .groupBy(*key_cols, "_slot")
         .agg(
             F.count(v).alias("_n"),
-            F.sum(v.cast("decimal(30,4)")).alias("_s"),
-            F.sum((v * v).cast("decimal(30,8)")).alias("_sq"),
+            F.sum(v.cast("decimal(18,4)")).alias("_s"),
+            F.sum((v * v).cast("decimal(18,8)")).alias("_sq"),
         )
     )
 
